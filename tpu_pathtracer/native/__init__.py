@@ -1,0 +1,61 @@
+"""Optional native (C++) host-side helpers.
+
+The reference keeps its BVH builder in a separate native project (SURVEY
+§2, TODO.txt); ours lives in ``bvh_builder.cpp``, compiled to a shared
+library and loaded via ctypes. Everything degrades gracefully to the NumPy
+implementations when the library hasn't been built (run ``make -C
+tpu_pathtracer/native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "libbvh_builder.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.bvh_build_order.restype = ctypes.c_int
+        lib.bvh_build_order.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # centroids [T*3]
+            ctypes.c_int,                    # T
+            ctypes.c_int,                    # num_leaves
+            ctypes.c_int,                    # prims_per_leaf
+            ctypes.POINTER(ctypes.c_longlong),  # out slots [num_leaves*P]
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def native_build_order(centroids: np.ndarray, num_leaves: int,
+                       prims_per_leaf: int):
+    """SAH-binned partition order from the C++ builder, or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(centroids, np.float32)
+    T = c.shape[0]
+    out = np.full(num_leaves * prims_per_leaf, -1, np.int64)
+    rc = lib.bvh_build_order(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T,
+        num_leaves, prims_per_leaf,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    if rc != 0:
+        return None
+    return out

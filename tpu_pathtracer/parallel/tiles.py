@@ -1,0 +1,96 @@
+"""Multi-chip rendering: image tiles sharded over a device mesh.
+
+The reference is strictly single-GPU (SURVEY §2 parallelism table:
+``cudaDeviceReset`` kernels.cu:679, zero collectives). The TPU-native
+scaling design (BASELINE.json north star): shard the flat pixel axis over
+a 1-D ``jax.sharding.Mesh``, give every lane its counter-based RNG stream
+keyed by *global* pixel id (so the tiled render is bit-identical to the
+single-chip render), and keep the bounce loop collective-free — each
+device runs its own ``while_loop`` and exits independently; the only
+cross-device traffic is the final framebuffer gather (one all-gather worth
+of pixels per frame) and a scalar psum for the optional stats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax>=0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from tpu_pathtracer.camera import Camera
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.engine.render import sample_sum
+from tpu_pathtracer.engine.wavefront import Stats
+from tpu_pathtracer.models.scene import Scene
+
+AXIS = "tiles"
+
+
+def make_tile_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "ns", "mesh"))
+def _render_tiles(scene: Scene, camera: Camera, config: RenderConfig,
+                  pixel_ids: jnp.ndarray, s0: jnp.ndarray, ns: int,
+                  mesh: Mesh) -> Tuple[jnp.ndarray, Stats]:
+    def per_device(scene, camera, ids, s0):
+        acc, stats = sample_sum(scene, camera, config, ids, ns, s0)
+        # stats are tiny scalars; one psum outside the bounce loop
+        stats = jax.lax.psum(stats, AXIS)
+        return acc / jnp.float32(ns), stats
+
+    fn = _shard_map(per_device, mesh=mesh,
+                    in_specs=(P(), P(), P(AXIS), P()),
+                    out_specs=(P(AXIS), P()))
+    return fn(scene, camera, pixel_ids, s0)
+
+
+def render_image_tiled(scene: Scene, camera: Camera, config: RenderConfig,
+                       devices: Optional[Sequence[jax.Device]] = None,
+                       report_stats: bool = False):
+    """Render the frame tiled across devices. Bit-identical to the
+    single-chip :func:`~tpu_pathtracer.engine.render.render_image`
+    because RNG streams are keyed by global pixel id.
+
+    Samples are traced in batches of ``config.samples_per_batch`` (0 =
+    all at once) to bound per-device live state.
+    """
+    mesh = make_tile_mesh(devices)
+    d = mesh.devices.size
+    n = config.num_pixels
+    n_pad = ((n + d - 1) // d) * d
+    ids = np.minimum(np.arange(n_pad, dtype=np.uint32), n - 1)
+    sharding = NamedSharding(mesh, P(AXIS))
+    ids = jax.device_put(jnp.asarray(ids), sharding)
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    camera = jax.device_put(camera, NamedSharding(mesh, P()))
+
+    batch = config.samples_per_batch or config.ns
+    acc = None
+    stats_total = Stats.zeros()
+    done = 0
+    while done < config.ns:
+        take = min(batch, config.ns - done)
+        out, stats = _render_tiles(
+            scene, camera, config, ids, jnp.uint32(done), take, mesh)
+        # out is already mean over `take`; re-weight into running mean
+        out = np.asarray(out) * (take / config.ns)
+        acc = out if acc is None else acc + out
+        stats_total = jax.tree.map(lambda a, b: a + b, stats_total, stats)
+        done += take
+
+    img = np.asarray(acc)[:n].reshape(config.ny, config.nx, 3)
+    if report_stats:
+        return img, jax.tree.map(int, stats_total)
+    return img
