@@ -69,6 +69,18 @@ class Stats(NamedTuple):
         return Stats(z, z, z, z, z, z, z, z, z)
 
 
+def _spheres_nearest(config: RenderConfig, origin, direction, centers, radii,
+                     t_min: float, t_max):
+    """Dispatch brute-force sphere intersection: Pallas kernel on TPU
+    (VMEM-resident, no [N,S] HBM traffic), chunked jnp elsewhere. Both
+    compute the identical direct-form quadratic."""
+    if jax.default_backend() == "tpu" and not config.interpret:
+        from tpu_pathtracer.ops.pallas_spheres import spheres_hit_pallas
+        return spheres_hit_pallas(origin, direction, centers, radii,
+                                  t_min, t_max)
+    return _i.spheres_hit(origin, direction, centers, radii, t_min, t_max)
+
+
 def intersect_scene(scene: Scene, config: RenderConfig,
                     origin: jnp.ndarray, direction: jnp.ndarray,
                     specular: jnp.ndarray) -> Intersection:
@@ -121,8 +133,10 @@ def intersect_scene(scene: Scene, config: RenderConfig,
         tex_v = jnp.where(win, tv, tex_v)
 
     if scene.has_spheres:
-        st, sidx = _i.spheres_hit(origin, direction, scene.sphere_center,
-                                  scene.sphere_radius, eps, FLT_MAX)
+        st, sidx = _spheres_nearest(config, origin, direction,
+                                    scene.sphere_center, scene.sphere_radius,
+                                    eps, FLT_MAX)
+        sidx = jnp.maximum(sidx, 0)
         win = st < t
         p = origin + st[:, None] * direction
         n = (p - scene.sphere_center[sidx]) / scene.sphere_radius[sidx, None]
@@ -177,8 +191,9 @@ def occluded(scene: Scene, config: RenderConfig, origin: jnp.ndarray,
             res = _bvh.brute_force(mesh, origin, direction, config.epsilon, tm)
         occ = occ | (res.tri_id >= 0)
     if scene.has_spheres:
-        st, _ = _i.spheres_hit(origin, direction, scene.sphere_center,
-                               scene.sphere_radius, config.epsilon, t_max)
+        st, _ = _spheres_nearest(config, origin, direction,
+                                 scene.sphere_center, scene.sphere_radius,
+                                 config.epsilon, t_max)
         occ = occ | (st < t_max)
     return occ
 

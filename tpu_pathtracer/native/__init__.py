@@ -30,7 +30,8 @@ def _load():
         lib = ctypes.CDLL(path)
         lib.bvh_build_order.restype = ctypes.c_int
         lib.bvh_build_order.argtypes = [
-            ctypes.POINTER(ctypes.c_float),  # centroids [T*3]
+            ctypes.POINTER(ctypes.c_float),  # tri mins [T*3]
+            ctypes.POINTER(ctypes.c_float),  # tri maxs [T*3]
             ctypes.c_int,                    # T
             ctypes.c_int,                    # num_leaves
             ctypes.c_int,                    # prims_per_leaf
@@ -42,18 +43,20 @@ def _load():
     return _LIB
 
 
-def native_build_order(centroids: np.ndarray, num_leaves: int,
-                       prims_per_leaf: int):
+def native_build_order(tri_min: np.ndarray, tri_max: np.ndarray,
+                       num_leaves: int, prims_per_leaf: int):
     """SAH-binned partition order from the C++ builder, or None if the
     native library is unavailable."""
     lib = _load()
     if lib is None:
         return None
-    c = np.ascontiguousarray(centroids, np.float32)
-    T = c.shape[0]
+    lo = np.ascontiguousarray(tri_min, np.float32)
+    hi = np.ascontiguousarray(tri_max, np.float32)
+    T = lo.shape[0]
     out = np.full(num_leaves * prims_per_leaf, -1, np.int64)
     rc = lib.bvh_build_order(
-        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T,
         num_leaves, prims_per_leaf,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
     if rc != 0:

@@ -87,11 +87,12 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     order = None
     if native_build_order is not None:
-        order = native_build_order(centroids, num_leaves, P)
+        tri_min = np.minimum(np.minimum(v0, v1), v2)
+        tri_max = np.maximum(np.maximum(v0, v1), v2)
+        order = native_build_order(tri_min, tri_max, num_leaves, P)
     if order is None:
         order = _median_order(centroids, num_leaves, P)
-    n = min(len(order), len(slots))
-    slots[:n] = order[:n]
+    slots[:] = order  # both builders return the padded slot layout
 
     # gather reordered + padded triangle arrays; sentinels get +inf verts
     def take(arr, fill):

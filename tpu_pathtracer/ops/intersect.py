@@ -27,9 +27,6 @@ from tpu_pathtracer.ops.vec import FLT_MAX, dot, cross
 BBOX_T_MIN = 0.001
 
 
-REFINE_K = 4  # exact-refinement candidates per ray
-
-
 def _quadratic_ts(b, c, valid, t_min, t_max):
     """Roots of t² + 2bt + c (a=1), filtered to (t_min, t_max); prefers the
     near root exactly like intersections.h:91–101 (t1 <= t2 so min == the
@@ -49,16 +46,15 @@ def spheres_hit(origin: jnp.ndarray, direction: jnp.ndarray,
                 t_min, t_max) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest hit among S spheres for N rays (intersections.h:85–104).
 
-    Two-phase TPU design:
-      1. *Candidate generation on the MXU*: the quadratic coefficients for
-         all N×S pairs come from two matmuls via
-         ``dot(oc,d) = dot(o,d) - o·cᵀ`` etc. This costs ~nothing but the
-         expansion loses ~|c|²·ε_f32 absolute precision — enough to
-         misorder or spuriously hit near grazing for large scenes.
-      2. *Exact refinement on the VPU*: the top-K nearest candidates per
-         ray are re-tested in the direct ``oc = o - center`` form (the
-         reference's formulation), restoring full f32 precision where it
-         matters while keeping the O(N·S) work on the systolic array.
+    Direct ``oc = o - center`` form (full f32 precision, identical to the
+    reference), chunked over spheres with a running min to bound the
+    [N, chunk, 3] intermediates. This is the portable fallback; on TPU the
+    engine dispatches to the Pallas kernel
+    (:mod:`tpu_pathtracer.ops.pallas_spheres`) which computes the same
+    thing VMEM-resident. A matmul (MXU) expansion of the coefficients was
+    measured to lose ~|c|²·ε_f32 absolute precision — enough to cause
+    spurious grazing self-hits — so brute-force sphere testing stays on
+    the VPU by design.
 
     Args:
       origin, direction: ``[N, 3]`` (directions unit — ray.h:9, so a=1).
@@ -68,37 +64,38 @@ def spheres_hit(origin: jnp.ndarray, direction: jnp.ndarray,
     Returns:
       (t ``[N]`` with FLT_MAX for miss, sphere index ``[N]``).
     """
+    n = origin.shape[0]
+    s = centers.shape[0]
+    chunk = min(s, 512)
+    s_pad = ((s + chunk - 1) // chunk) * chunk
+    cen = jnp.concatenate(
+        [centers, jnp.zeros((s_pad - s, 3), centers.dtype)]).reshape(-1, chunk, 3)
+    rad = jnp.concatenate(
+        [radii, jnp.zeros((s_pad - s,), radii.dtype)]).reshape(-1, chunk)
+
     t_min = jnp.asarray(t_min, jnp.float32)
     t_max = jnp.asarray(t_max, jnp.float32)
     tmin_b = t_min[:, None] if t_min.ndim else t_min
     tmax_b = t_max[:, None] if t_max.ndim else t_max
 
-    s = centers.shape[0]
-    # --- phase 1: MXU candidates ([N,3] @ [3,S])
-    d_dot_c = jnp.dot(direction, centers.T, preferred_element_type=jnp.float32)
-    o_dot_c = jnp.dot(origin, centers.T, preferred_element_type=jnp.float32)
-    b = dot(origin, direction)[:, None] - d_dot_c  # dot(oc, dir)
-    c = (dot(origin, origin)[:, None] - 2.0 * o_dot_c
-         + (jnp.sum(centers * centers, axis=-1) - radii * radii)[None, :])
-    # widened window: anything the noisy test finds plausible is refined
-    ts = _quadratic_ts(b, c - 1e-3 * jnp.abs(c), (radii > 0.0)[None, :],
-                       tmin_b, tmax_b)
-    k = min(REFINE_K, s)
-    _, cand = jax.lax.top_k(-ts, k)  # k smallest candidate ts, [N,k]
+    def step(carry, sph):
+        t_best, i_best, base = carry
+        cc, rr = sph
+        oc = origin[:, None, :] - cc[None, :, :]
+        b = dot(oc, direction[:, None, :])
+        c = dot(oc, oc) - rr[None, :] * rr[None, :]
+        ts = _quadratic_ts(b, c, (rr > 0.0)[None, :], tmin_b, tmax_b)
+        j = jnp.argmin(ts, axis=-1)
+        tj = jnp.take_along_axis(ts, j[:, None], axis=1)[:, 0]
+        better = tj < t_best
+        t_best = jnp.where(better, tj, t_best)
+        i_best = jnp.where(better, base + j.astype(jnp.int32), i_best)
+        return (t_best, i_best, base + chunk), None
 
-    # --- phase 2: exact VPU refinement of the K candidates
-    cc = centers[cand]               # [N,k,3]
-    rr = radii[cand]                 # [N,k]
-    oc = origin[:, None, :] - cc
-    b2 = dot(oc, direction[:, None, :])
-    c2 = dot(oc, oc) - rr * rr
-    t2 = _quadratic_ts(b2, c2, rr > 0.0,
-                       t_min[:, None] if t_min.ndim else t_min,
-                       t_max[:, None] if t_max.ndim else t_max)
-    j = jnp.argmin(t2, axis=-1)
-    t_best = jnp.take_along_axis(t2, j[:, None], axis=1)[:, 0]
-    idx = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0].astype(jnp.int32)
-    return t_best, idx
+    init = (jnp.full((n,), FLT_MAX), jnp.full((n,), -1, jnp.int32),
+            jnp.int32(0))
+    (t_best, i_best, _), _ = jax.lax.scan(step, init, (cen, rad))
+    return t_best, jnp.maximum(i_best, 0)
 
 
 def sphere_hit_one(origin: jnp.ndarray, direction: jnp.ndarray,
