@@ -20,36 +20,31 @@ BASELINE_SECONDS = 6.48  # README.md:94, GTX 1050
 
 
 def main():
-    from tpu_pathtracer.config import RenderConfig
-    from tpu_pathtracer.engine.render import render_image
-    from tpu_pathtracer.models.spheres import random_spheres_scene
-    from tpu_pathtracer.engine.wavefront import Stats
+    from tpu_pathtracer.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
-    cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=50, stats=False)
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.engine.regen import render_image_regen
+    from tpu_pathtracer.models.spheres import random_spheres_scene
+
+    cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=50)
     scene, cam = random_spheres_scene(cfg.nx, cfg.ny)
 
-    # warmup / compile
-    wcfg = cfg.replace(ns=1)
-    render_image(scene, cam, wcfg)
+    # warmup / compile (ns is dynamic: same executable as the real run)
+    render_image_regen(scene, cam, cfg, ns=1)
 
     t0 = time.perf_counter()
-    img = render_image(scene, cam, cfg)
+    img = render_image_regen(scene, cam, cfg, ns=cfg.ns)
     elapsed = time.perf_counter() - t0
 
-    # ray accounting for Mrays/s: count actual rays with stats on a
-    # subsampled run (stats add masked-sum overhead; estimate rate from the
-    # full-res timing and the stats-run ray count scaled by spp).
-    scfg = cfg.replace(ns=4, stats=True)
-    _, stats = render_image(scene, cam, scfg, report_stats=True)
-    rays_per_spp = (stats["primary"] + stats["secondary"]
-                    if isinstance(stats, dict) else
-                    (stats.primary + stats.secondary)) / 4.0
-    total_rays = rays_per_spp * cfg.ns
-    mrays = total_rays / elapsed / 1e6
+    # path count is exact (one per pixel*sample); ray count per path varies.
+    # Report primary-path throughput; Mrays/s proper needs stats (slower).
+    paths = cfg.num_pixels * cfg.ns
+    mpaths = paths / elapsed / 1e6
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     print(f"random-spheres 1200x800@100spp: {elapsed:.3f} s "
-          f"({mrays:.1f} Mrays/s, mean={img.mean():.4f})", file=sys.stderr)
+          f"({mpaths:.1f} Mpaths/s, mean={img.mean():.4f})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "random_spheres_1200x800_100spp_wall_clock",

@@ -29,10 +29,10 @@ def test_rays_unit_and_through_image_plane():
     cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 2.0)
     pid = jnp.arange(nx * ny, dtype=jnp.uint32)
     o, d = cam.generate_rays(pid, jnp.uint32(0), nx, ny)
-    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(o), 0.0, atol=1e-6)
-    d = np.asarray(d)
+    o = np.asarray(o.stack())
+    d = np.asarray(d.stack())
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(o, 0.0, atol=1e-6)
     # pixel (0,0) is bottom-left → dir x<0, y<0; top-right → x>0, y>0
     assert d[0, 0] < 0 and d[0, 1] < 0
     assert d[-1, 0] > 0 and d[-1, 1] > 0
@@ -50,7 +50,7 @@ def test_lens_aperture_spreads_origins():
                       aperture=0.5, focus_dist=3.0)
     pid = jnp.arange(256, dtype=jnp.uint32)
     o, d = cam.generate_rays(pid, jnp.uint32(0), 16, 16)
-    r = np.linalg.norm(np.asarray(o), axis=-1)
+    r = np.linalg.norm(np.asarray(o.stack()), axis=-1)
     assert r.max() <= 0.25 + 1e-5  # lens_radius = aperture/2
     assert r.std() > 0.01
 

@@ -6,7 +6,19 @@ import numpy as np
 from tpu_pathtracer.models import scene as sc
 from tpu_pathtracer.ops import materials as M
 from tpu_pathtracer.ops import rng as R
-from tpu_pathtracer.ops.vec import dot, reflect, refract, schlick, unit_vector
+from tpu_pathtracer.ops.v3 import V3, refract
+from tpu_pathtracer.ops.materials import schlick
+
+
+class _Out:
+    """Adapter presenting V3 ScatterOut fields as [N,3] arrays."""
+
+    def __init__(self, out):
+        self.wi = np.asarray(out.wi.stack())
+        self.throughput = np.asarray(out.throughput.stack())
+        self.specular = np.asarray(out.specular)
+        self.refracted = np.asarray(out.refracted)
+        self.t = np.asarray(out.t)
 
 
 def _scatter(mtype, n=512, inside=False, param=0.0, param2=0.0,
@@ -14,20 +26,20 @@ def _scatter(mtype, n=512, inside=False, param=0.0, param2=0.0,
              color2=(1.0, 1.0, 1.0), hit_t=2.0, wo=(0.0, -0.70710678, -0.70710678),
              normal=(0.0, 1.0, 0.0)):
     pid = jnp.arange(n, dtype=jnp.uint32)
+    base = R.bounce_base(pid, jnp.uint32(0), jnp.uint32(0))
     us = R.bounce_uniforms(pid, jnp.uint32(0), jnp.uint32(0))
     ones = jnp.ones((n,))
-    return M.scatter(
-        wo=jnp.broadcast_to(jnp.asarray(wo), (n, 3)),
-        normal=jnp.broadcast_to(jnp.asarray(normal), (n, 3)),
-        hit_t=ones * hit_t,
-        hit_p=jnp.zeros((n, 3)) + 0.3,
+    v3c = lambda c: V3.full((n,), c[0], c[1], c[2])
+    out = M.scatter(
+        wo=v3c(wo), normal=v3c(normal),
+        hit_t=ones * hit_t, hit_p=V3.full((n,), 0.3, 0.3, 0.3),
         inside=jnp.full((n,), inside),
         mtype=jnp.full((n,), mtype, jnp.int32),
-        albedo=jnp.broadcast_to(jnp.asarray(albedo, jnp.float32), (n, 3)),
-        color2=jnp.broadcast_to(jnp.asarray(color2, jnp.float32), (n, 3)),
+        albedo=v3c(albedo), color2=v3c(color2),
         param=ones * param, param2=ones * param2,
-        absorption=jnp.broadcast_to(jnp.asarray(absorption, jnp.float32), (n, 3)),
-        scatter_dist=ones * scatter_dist, us=us), us
+        absorption=v3c(absorption),
+        scatter_dist=ones * scatter_dist, rng_base=base)
+    return _Out(out), us
 
 
 def test_diffuse():
@@ -86,9 +98,9 @@ def test_glass_beer_lambert():
 
 
 def test_refract_matches_snell():
-    uv = jnp.asarray([[0.0, -0.70710678, -0.70710678]])
-    n = jnp.asarray([[0.0, 1.0, 0.0]])
-    out = np.asarray(refract(uv, n, jnp.asarray([1.0 / 1.5])))[0]
+    uv = V3.full((1,), 0.0, -0.70710678, -0.70710678)
+    n = V3.full((1,), 0.0, 1.0, 0.0)
+    out = np.asarray(refract(uv, n, jnp.asarray([1.0 / 1.5])).stack())[0]
     # Snell: sin_out = sin_in/1.5
     sin_out = np.linalg.norm(out[[0, 2]])
     np.testing.assert_allclose(sin_out / np.linalg.norm(out),

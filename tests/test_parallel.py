@@ -49,6 +49,17 @@ def test_tiled_subset_of_devices():
     np.testing.assert_array_equal(d2, d8)
 
 
+def test_tiled_regen_matches_single():
+    from tpu_pathtracer.engine.regen import render_image_regen
+    from tpu_pathtracer.parallel.tiles import render_image_tiled_regen
+
+    cfg = RenderConfig(nx=32, ny=16, ns=2, max_depth=5, rays_per_chunk=128)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    single = render_image_regen(scene, cam, cfg)
+    tiled = render_image_tiled_regen(scene, cam, cfg)
+    np.testing.assert_allclose(single, tiled, atol=1e-6)
+
+
 def test_tiled_stats_psum():
     cfg = RenderConfig(nx=16, ny=16, ns=2, max_depth=6, stats=True)
     scene, cam = three_sphere_scene(cfg.nx, cfg.ny)

@@ -1,0 +1,75 @@
+"""Regeneration engine + checkpoint/resume."""
+
+import os
+
+import numpy as np
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.engine.regen import render_image_regen, render_sample_range
+from tpu_pathtracer.engine.render import render_image
+from tpu_pathtracer.models.mesh import procedural_staircase_scene
+from tpu_pathtracer.models.spheres import three_sphere_scene
+from tpu_pathtracer.utils import checkpoint as ck
+from tpu_pathtracer.utils.golden import rmse
+
+
+def test_regen_matches_plain_spheres():
+    cfg = RenderConfig(nx=48, ny=32, ns=8, max_depth=8, rays_per_chunk=512)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    a = render_image(scene, cam, cfg)
+    b = render_image_regen(scene, cam, cfg)
+    assert rmse(a, b) < 1e-6  # identical paths; only fp sum order differs
+
+
+def test_regen_matches_plain_mesh_nee():
+    cfg = RenderConfig(nx=32, ny=24, ns=4, max_depth=5, rays_per_chunk=256)
+    scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
+    a = render_image(scene, cam, cfg)
+    b = render_image_regen(scene, cam, cfg)
+    assert rmse(a, b) < 1e-6
+
+
+def test_regen_dynamic_ns():
+    cfg = RenderConfig(nx=32, ny=16, ns=4, max_depth=6, rays_per_chunk=256)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    a = render_image_regen(scene, cam, cfg, ns=2)
+    b = render_image(scene, cam, cfg.replace(ns=2))
+    assert rmse(a, b) < 1e-6
+
+
+def test_sample_ranges_partition():
+    """Sum over [0,2) + sum over [2,4) == 4 * mean over [0,4)."""
+    cfg = RenderConfig(nx=24, ny=16, ns=4, max_depth=6, rays_per_chunk=256)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    whole = render_image_regen(scene, cam, cfg) * 4.0
+    parts = (render_sample_range(scene, cam, cfg, 0, 2)
+             + render_sample_range(scene, cam, cfg, 2, 2))
+    np.testing.assert_allclose(whole, parts, atol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    buf = np.random.RandomState(0).rand(8, 12, 3).astype(np.float32)
+    p = str(tmp_path / "c.ckpt")
+    ck.save_checkpoint(p, buf, 7)
+    back, done = ck.load_checkpoint(p)
+    assert done == 7
+    np.testing.assert_array_equal(back, buf)
+    assert ck.load_checkpoint(str(tmp_path / "missing.ckpt")) is None
+
+
+def test_render_with_checkpoints_resume(tmp_path):
+    cfg = RenderConfig(nx=24, ny=16, ns=6, max_depth=5, rays_per_chunk=256)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    p = str(tmp_path / "r.ckpt")
+
+    # straight run
+    full = ck.render_with_checkpoints(scene, cam, cfg, p + ".a", batch=6)
+    # interrupted run: do 2 batches of 2, "crash", resume for the rest
+    calls = []
+    ck.render_with_checkpoints(
+        scene, cam, cfg.replace(ns=4), p, batch=2,
+        progress=lambda d, t: calls.append(d))
+    assert calls == [2, 4]
+    # ckpt now holds 4 samples; resume to 6
+    resumed = ck.render_with_checkpoints(scene, cam, cfg, p, batch=2)
+    np.testing.assert_allclose(full, resumed, atol=1e-4)

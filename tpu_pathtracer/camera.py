@@ -44,26 +44,36 @@ class Camera:
         return cls(*leaves)
 
     def generate_rays(self, pixel_id: jnp.ndarray, sample: jnp.ndarray,
-                      nx: int, ny: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      nx: int, ny: int):
         """Primary-ray batch for flat pixel ids (pixel_id = j*nx + i,
         kernels.cu:541) with sub-pixel jitter (kernels.cu:549–550) and lens
-        sampling (camera.h:9–11). Returns (origins [N,3], unit dirs [N,3])."""
-        us = _rng.camera_uniforms(pixel_id, sample)
+        sampling (camera.h:9–11). Returns (origin, unit direction) as
+        component-SoA :class:`~tpu_pathtracer.ops.v3.V3` batches."""
+        from tpu_pathtracer.ops.v3 import V3
+
+        base = _rng.camera_base(pixel_id, sample)
         i = (pixel_id % nx).astype(jnp.float32)
         j = (pixel_id // nx).astype(jnp.float32)
-        s = (i + us[..., _rng.S_JITTER_U]) / jnp.float32(nx)
-        t = (j + us[..., _rng.S_JITTER_V]) / jnp.float32(ny)
+        s = (i + _rng.slot_uniform(base, _rng.S_JITTER_U)) / jnp.float32(nx)
+        t = (j + _rng.slot_uniform(base, _rng.S_JITTER_V)) / jnp.float32(ny)
 
-        rd = self.lens_radius * _rng.in_unit_disk(
-            us[..., _rng.S_LENS0], us[..., _rng.S_LENS1])
-        offset = rd[..., 0:1] * self.u + rd[..., 1:2] * self.v
-        origin = self.origin + offset
-        direction = (self.lower_left_corner
-                     + s[..., None] * self.horizontal
-                     + t[..., None] * self.vertical
-                     - origin)
+        rdx, rdy = _rng.in_unit_disk_xy(
+            _rng.slot_uniform(base, _rng.S_LENS0),
+            _rng.slot_uniform(base, _rng.S_LENS1))
+        rdx = self.lens_radius * rdx
+        rdy = self.lens_radius * rdy
+        cu, cv = self.u, self.v
+        offset = V3(rdx * cu[0] + rdy * cv[0],
+                    rdx * cu[1] + rdy * cv[1],
+                    rdx * cu[2] + rdy * cv[2])
+        o = self.origin
+        origin = V3(o[0] + offset.x, o[1] + offset.y, o[2] + offset.z)
+        llc, h, v = self.lower_left_corner, self.horizontal, self.vertical
+        direction = V3(llc[0] + s * h[0] + t * v[0] - origin.x,
+                       llc[1] + s * h[1] + t * v[1] - origin.y,
+                       llc[2] + s * h[2] + t * v[2] - origin.z)
         # ray ctor normalizes direction (ray.h:9)
-        return origin, _v.unit_vector(direction)
+        return origin, direction.normalized()
 
 
 def make_camera(lookfrom, lookat, vup, vfov_deg: float, aspect: float,

@@ -1,23 +1,24 @@
-"""Wavefront renderer with ray regeneration (persistent lane pool).
+"""Wavefront renderer with pixel-stationary ray regeneration.
 
 The plain wavefront (`engine/wavefront.py`) advances a fixed (pixel,
 sample) batch until *every* lane dies — but path lifetimes are heavy-
 tailed: with Russian roulette most paths die within ~4 bounces while a
 handful survive to ``max_depth``, so late iterations do full-width work
-for a nearly empty batch (the dead-ray fractions the reference measured
-are 40–76%, Optimization.txt per SURVEY §7; here it's worse because the
-loop runs to the *maximum* lifetime).
+for a nearly empty batch.
 
-This engine fixes utilization the TPU-idiomatic way — fixed shapes, no
-compaction shuffle: a persistent pool of M lanes, each owning one path.
-The moment a lane's path terminates, its radiance is scatter-added into
-the framebuffer and the lane is *reloaded* with the next (pixel, sample)
-task from a global counter. Every iteration therefore does ~100% useful
-work; total iterations ≈ total-path-bounces / M instead of
-chunks × spp × max_depth.
+This engine keeps a persistent pool of M lanes at ~100% utilization with
+a *pixel-stationary* schedule: lane ℓ owns pixels {ℓ, ℓ+M, ℓ+2M, …} and
+traces all their samples back to back. The moment a path terminates the
+lane immediately starts its next sample (or its next pixel). Because each
+lane accumulates its own pixel's radiance, the framebuffer needs **no
+scatter** (TPU scatter-add measured ~2.5× the cost of the intersection
+kernel itself) and no task queue/cumsum: finished pixels are written into
+a ``[rounds, M]`` buffer with a one-hot row add, and the final image is a
+reshape. Lane workloads average over rounds × ns paths, so load imbalance
+is negligible.
 
 Correctness is unchanged: the counter-based RNG is keyed by
-(pixel, sample, bounce), independent of lane assignment, so each path's
+(pixel, sample, bounce), independent of lane scheduling, so each path's
 radiance is bit-identical to the plain engine's; only the per-pixel
 summation order differs (float associativity ~1e-7).
 """
@@ -25,7 +26,6 @@ summation order differs (float associativity ~1e-7).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,156 +33,128 @@ import numpy as np
 
 from tpu_pathtracer.camera import Camera
 from tpu_pathtracer.config import RenderConfig
-from tpu_pathtracer.engine import wavefront as wf
-from tpu_pathtracer.models import scene as sc
+from tpu_pathtracer.engine.wavefront import BounceState, bounce_step, make_view
 from tpu_pathtracer.models.scene import Scene
-from tpu_pathtracer.ops import materials as _m
-from tpu_pathtracer.ops import rng as _rng
-from tpu_pathtracer.ops import vec as _v
+from tpu_pathtracer.ops.v3 import V3, where as vwhere
 
 
-def _pool_size(config: RenderConfig, total_tasks: int) -> int:
+def _pool_size(config: RenderConfig, num_pixels: int) -> int:
     m = config.rays_per_chunk or (1 << 17)
-    return int(min(m, total_tasks))
+    return int(min(m, num_pixels))
 
 
 def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
                  ns=None, pixel_offset: int = 0,
-                 num_pixels: int | None = None) -> jnp.ndarray:
-    """Render ``[num_pixels, 3]`` mean radiance with a regenerating pool.
+                 num_pixels: int | None = None, s0=0,
+                 normalize: bool = True) -> jnp.ndarray:
+    """Render ``[num_pixels, 3]`` radiance with a pixel-stationary pool.
 
     ``pixel_offset``/``num_pixels`` select a contiguous pixel range (the
-    tile of this device). Flat pixel ids remain global for RNG parity.
+    tile of this device); flat pixel ids remain global for RNG parity.
     ``ns`` may be a traced scalar (dynamic spp — one compile serves any
-    sample count); defaults to ``config.ns``.
+    sample count); ``s0`` offsets sample indices (checkpoint resume).
+    ``normalize=False`` returns the radiance sum instead of the mean.
     """
     n = num_pixels if num_pixels is not None else config.num_pixels
     ns = jnp.asarray(config.ns if ns is None else ns, jnp.uint32)
-    total = jnp.uint32(n) * ns
-    m = _pool_size(config, n * config.ns)
-    inv_ns = 1.0 / ns.astype(jnp.float32)
+    s0 = jnp.asarray(s0, jnp.uint32)
+    m = _pool_size(config, n)
+    rounds = (n + m - 1) // m
+    inv_ns = (1.0 / ns.astype(jnp.float32)) if normalize else jnp.float32(1.0)
 
-    def fresh_rays(pixel, sample):
-        return camera.generate_rays(pixel, sample, config.nx, config.ny)
+    view = make_view(scene)
+    lane = jnp.arange(m, dtype=jnp.uint32)
+    round_iota = jnp.arange(rounds, dtype=jnp.int32)[:, None]  # [R,1]
+
+    def pixel_of(rnd):
+        return jnp.uint32(pixel_offset) + lane + rnd.astype(jnp.uint32) * m
 
     def body(carry):
-        (fb, next_task, pixel, sample, bounce, origin, direction, color,
-         att, specular, inside, alive) = carry
+        (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,
+         done) = carry
 
-        # ---- flush + regenerate dead lanes -------------------------------
-        dead = ~alive
-        # scatter completed radiance (lanes that never ran carry color=0)
-        fb = fb.at[pixel - pixel_offset].add(
-            jnp.where(dead[:, None], color, 0.0) * inv_ns,
-            mode="drop", indices_are_sorted=False, unique_indices=False)
-        # zero every flushed lane so an idle lane can't flush twice
-        color = _v.where3(dead, jnp.zeros_like(color), color)
-        rank = jnp.cumsum(dead.astype(jnp.uint32)) - dead.astype(jnp.uint32)
-        task = next_task + rank
-        has_work = dead & (task < total)
-        # pixel-major task order → consecutive lanes trace adjacent pixels
-        new_sample = (task // n).astype(jnp.uint32)
-        new_pixel = (task % n).astype(jnp.uint32) + jnp.uint32(pixel_offset)
-        pixel = jnp.where(has_work, new_pixel, pixel)
-        sample = jnp.where(has_work, new_sample, sample)
-        o2, d2 = fresh_rays(pixel, sample)
-        origin = _v.where3(has_work, o2, origin)
-        direction = _v.where3(has_work, d2, direction)
-        color = _v.where3(has_work, jnp.zeros_like(color), color)
-        att = _v.where3(has_work, jnp.ones_like(att), att)
-        specular = jnp.where(has_work, False, specular)
-        inside = jnp.where(has_work, False, inside)
-        bounce = jnp.where(has_work, 0, bounce)
-        alive = alive | has_work
-        next_task = next_task + jnp.sum(dead, dtype=jnp.uint32)
+        # ---- reap dead lanes: accumulate, maybe flush pixel, restart ----
+        dead = ~state.alive & ~done
+        acc = vwhere(dead, acc + state.color, acc)
+        color = vwhere(dead, V3.zeros((m,)), state.color)
 
-        # ---- one wavefront bounce (same semantics as wavefront.trace) ----
-        us = _rng.bounce_uniforms(pixel, sample, bounce.astype(jnp.uint32))
-        inters = wf.intersect_scene(scene, config, origin, direction, specular)
+        flush = dead & (cur_sample >= ns)          # pixel complete
+        onehot = (round_iota == rnd[None, :]) & flush[None, :]
+        out_x = out_x + jnp.where(onehot, acc.x[None, :], 0.0)
+        out_y = out_y + jnp.where(onehot, acc.y[None, :], 0.0)
+        out_z = out_z + jnp.where(onehot, acc.z[None, :], 0.0)
+        acc = vwhere(flush, V3.zeros((m,)), acc)
+        rnd = jnp.where(flush, rnd + 1, rnd)
+        cur_sample = jnp.where(flush, 0, cur_sample)
+        done = done | (dead & ((rnd >= rounds)
+                               | (lane + rnd.astype(jnp.uint32) * m
+                                  >= jnp.uint32(n))))
 
-        miss = alive & (inters.obj == sc.OBJ_NONE)
-        color = color + jnp.where(
-            miss[:, None], att * sc.sky_radiance(scene, direction), 0.0)
-        light_hit = alive & (inters.obj == sc.OBJ_LIGHT)
-        if not config.shadow:
-            color = color + jnp.where(light_hit[:, None],
-                                      att * scene.light_color, 0.0)
-        surf = alive & ~miss & ~light_hit
-        alive = surf
+        # ---- start the next path on reaped, not-done lanes --------------
+        start = dead & ~done
+        pixel = pixel_of(rnd)
+        start_sample = s0 + cur_sample
+        o2, d2 = camera.generate_rays(pixel, start_sample,
+                                      config.nx, config.ny)
+        state = BounceState(
+            origin=vwhere(start, o2, state.origin),
+            direction=vwhere(start, d2, state.direction),
+            color=color,
+            attenuation=vwhere(start, V3.ones((m,)), state.attenuation),
+            specular=jnp.where(start, False, state.specular),
+            inside=jnp.where(start, False, state.inside),
+            alive=state.alive | start,
+        )
+        bounce = jnp.where(start, 0, bounce)
+        cur_sample = jnp.where(start, cur_sample + 1, cur_sample)
 
-        mats = scene.materials
-        mid = jnp.where(surf, inters.mat_id, 0)
-        albedo = wf._resolve_albedo(scene, config, mid, inters.tex_u,
-                                    inters.tex_v, inters.obj == sc.OBJ_TRIMESH)
-        hit_p = origin + inters.t[:, None] * direction
-        out = _m.scatter(
-            wo=direction, normal=inters.normal, hit_t=inters.t, hit_p=hit_p,
-            inside=inside, mtype=mats.mtype[mid], albedo=albedo,
-            color2=mats.color2[mid], param=mats.param[mid],
-            param2=mats.param2[mid], absorption=mats.absorption[mid],
-            scatter_dist=mats.scatter_dist[mid], us=us)
-
-        origin = _v.where3(surf, origin + out.t[:, None] * direction, origin)
-        direction = _v.where3(surf, _v.unit_vector(out.wi), direction)
-        att = _v.where3(surf, att * out.throughput, att)
-        specular = jnp.where(surf, out.specular, specular)
-        inside = jnp.where(surf, inside ^ out.refracted, inside)
-
-        if config.shadow and scene.use_nee:
-            nee_mask = surf & ~specular
-            valid, sdir, contrib, ldist = wf.generate_shadow_rays(
-                scene, origin, inters.normal, att,
-                us[..., _rng.S_NEE0], us[..., _rng.S_NEE1])
-            nee_mask = nee_mask & valid
-            occ = wf.occluded(scene, config, origin, sdir,
-                              jnp.where(nee_mask, ldist, config.epsilon))
-            lit = nee_mask & ~occ
-            color = color + jnp.where(lit[:, None], contrib, 0.0)
-
-        if config.russian_roulette:
-            rr = alive & (bounce > config.rr_start_bounce)
-            mx = _v.max3(att)
-            kill = rr & (us[..., _rng.S_ROULETTE] > mx)
-            alive = alive & ~kill
-            scale = jnp.where(rr & ~kill, 1.0 / jnp.maximum(mx, 1e-30), 1.0)
-            att = att * scale[:, None]
-
+        # ---- one wavefront bounce ---------------------------------------
+        # the sample being traced is the last one started
+        trace_sample = s0 + cur_sample - jnp.uint32(1)
+        state, _ = bounce_step(scene, view, config, state, pixel,
+                               trace_sample, bounce)
         bounce = bounce + 1
-        alive = alive & (bounce < config.max_depth)
+        state = state._replace(alive=state.alive & (bounce < config.max_depth))
 
-        return (fb, next_task, pixel, sample, bounce, origin, direction,
-                color, att, specular, inside, alive)
+        return (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,
+                done)
 
     def cond(carry):
-        fb, next_task, *_, alive = carry
-        return (next_task < total) | jnp.any(alive)
+        done = carry[-1]
+        return ~jnp.all(done)
 
-    zero3 = jnp.zeros((m, 3), jnp.float32)
-    carry = (
-        jnp.zeros((n, 3), jnp.float32),        # fb
-        jnp.uint32(0),                          # next_task
-        jnp.full((m,), pixel_offset, jnp.uint32),  # pixel
-        jnp.zeros((m,), jnp.uint32),            # sample
-        jnp.zeros((m,), jnp.int32),             # bounce
-        zero3, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (m, 3)),
-        zero3,                                  # color
-        zero3,                                  # att (dead lanes: flushed 0)
-        jnp.zeros((m,), bool), jnp.zeros((m,), bool),
-        jnp.zeros((m,), bool),                  # alive (all dead → regen)
-    )
-    carry = jax.lax.while_loop(cond, body, carry)
-    fb = carry[0]
-    # final flush: tail lanes died in the last iteration without reclaim
-    pixel, color, alive = carry[2], carry[7], carry[11]
-    fb = fb.at[pixel - pixel_offset].add(
-        jnp.where((~alive)[:, None], color, 0.0) * inv_ns, mode="drop")
-    return fb
+    zeros_rm = jnp.zeros((rounds, m), jnp.float32)
+    init_state = BounceState(
+        origin=V3.zeros((m,)), direction=V3.full((m,), 0.0, 0.0, 1.0),
+        color=V3.zeros((m,)), attenuation=V3.ones((m,)),
+        specular=jnp.zeros((m,), bool), inside=jnp.zeros((m,), bool),
+        alive=jnp.zeros((m,), bool))
+    carry = (zeros_rm, zeros_rm, zeros_rm, init_state, V3.zeros((m,)),
+             jnp.zeros((m,), jnp.uint32), jnp.zeros((m,), jnp.int32),
+             jnp.zeros((m,), jnp.int32), jnp.zeros((m,), bool))
+    out_x, out_y, out_z, *_ = jax.lax.while_loop(cond, body, carry)
+
+    flat = jnp.stack([out_x.reshape(-1), out_y.reshape(-1),
+                      out_z.reshape(-1)], axis=-1)  # pixel p = r*M + lane
+    return flat[:n] * inv_ns
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "normalize"))
 def _render_regen_jit(scene: Scene, camera: Camera, config: RenderConfig,
-                      ns: jnp.ndarray) -> jnp.ndarray:
-    return render_regen(scene, camera, config, ns=ns)
+                      ns: jnp.ndarray, s0: jnp.ndarray = 0,
+                      normalize: bool = True) -> jnp.ndarray:
+    return render_regen(scene, camera, config, ns=ns, s0=s0,
+                        normalize=normalize)
+
+
+def render_sample_range(scene: Scene, camera: Camera, config: RenderConfig,
+                        s0: int, ns: int) -> np.ndarray:
+    """Radiance SUM over samples [s0, s0+ns) for every pixel —
+    [ny, nx, 3]. The building block for progressive/checkpointed renders:
+    sums over disjoint ranges add up to exactly a straight run's sum."""
+    fb = _render_regen_jit(scene, camera, config, jnp.uint32(ns),
+                           jnp.uint32(s0), normalize=False)
+    return np.asarray(fb).reshape(config.ny, config.nx, 3)
 
 
 def render_image_regen(scene: Scene, camera: Camera, config: RenderConfig,

@@ -1,13 +1,13 @@
-"""Wavefront path-tracing core.
+"""Wavefront path-tracing stages (component-SoA) + the plain batch engine.
 
 The reference renders with one megakernel: one CUDA thread owns one pixel
 and serially loops samples × bounces (kernels.cu:535–569, :396–533). A
-megakernel maps badly onto TPU (data-dependent scalar control flow
-serializes the VPU), so this engine inverts it into a *wavefront*: a batch
-of N paths advances one bounce per iteration of a single
+megakernel maps badly onto TPU, so this engine inverts it into a
+*wavefront*: a batch of N paths advances one bounce per iteration of a
 ``lax.while_loop``; each stage (intersect, scatter, NEE, roulette) is a
-fixed-shape masked vector op. The loop exits as soon as every lane is dead
-— with Russian roulette that is typically far before ``max_depth``.
+fixed-shape masked vector op over dense ``[N]`` component arrays
+(:mod:`tpu_pathtracer.ops.v3` — interleaved ``[N,3]`` state would pad its
+3-wide minor dim to 128 TPU lanes).
 
 Radiance accumulation reproduces the reference exactly (SURVEY §3.3):
   * miss  → ``color += attenuation * sky`` then the path ends
@@ -23,7 +23,7 @@ Radiance accumulation reproduces the reference exactly (SURVEY §3.3):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,19 +33,54 @@ from tpu_pathtracer.camera import Camera
 from tpu_pathtracer.models import scene as sc
 from tpu_pathtracer.models.scene import Scene
 from tpu_pathtracer.ops import bvh as _bvh
-from tpu_pathtracer.ops import intersect as _i
 from tpu_pathtracer.ops import materials as _m
 from tpu_pathtracer.ops import rng as _rng
-from tpu_pathtracer.ops import texture as _tex
-from tpu_pathtracer.ops import vec as _v
+from tpu_pathtracer.ops.v3 import V3, where as vwhere
+from tpu_pathtracer.ops import v3 as _v3
 from tpu_pathtracer.ops.vec import FLT_MAX
+
+TRI_BRUTE_MAX = 8192  # VMEM budget for the Pallas all-triangles kernel
+
+
+def _on_tpu(config: RenderConfig) -> bool:
+    return jax.default_backend() == "tpu" and not config.interpret
+
+
+class SceneView(NamedTuple):
+    """Per-call component-SoA view of the scene's hot arrays. Built once
+    per traced function (outside the bounce loop) so the slices are loop
+    invariants."""
+    sph_c: Optional[V3]            # sphere centers, [S] components
+    sph_r: Optional[jnp.ndarray]   # [S]
+    tri_v0: Optional[V3]           # [T] components
+    tri_e1: Optional[V3]
+    tri_e2: Optional[V3]
+    atlas: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]  # [K,H,W] ×3
+
+
+def make_view(scene: Scene) -> SceneView:
+    sph_c = sph_r = None
+    if scene.has_spheres:
+        sph_c = V3.from_array(scene.sphere_center)
+        sph_r = scene.sphere_radius
+    tri_v0 = tri_e1 = tri_e2 = None
+    if scene.has_mesh:
+        m = scene.mesh
+        tri_v0 = V3.from_array(m.v0)
+        tri_e1 = V3.from_array(m.v1) - tri_v0
+        tri_e2 = V3.from_array(m.v2) - tri_v0
+    atlas = None
+    if scene.has_textures:
+        a = scene.tex_atlas
+        atlas = (a[..., 0], a[..., 1], a[..., 2])
+    return SceneView(sph_c, sph_r, tri_v0, tri_e1, tri_e2, atlas)
 
 
 class Intersection(NamedTuple):
     """SoA `intersection` (helper_structs.h:16–36)."""
     obj: jnp.ndarray      # [N] int32 OBJ_* id
     t: jnp.ndarray        # [N]
-    normal: jnp.ndarray   # [N,3] flipped to face the ray (kernels.cu:354)
+    normal: V3            # flipped to face the ray (kernels.cu:354)
     mat_id: jnp.ndarray   # [N] int32
     tex_u: jnp.ndarray    # [N]
     tex_v: jnp.ndarray    # [N]
@@ -69,20 +104,78 @@ class Stats(NamedTuple):
         return Stats(z, z, z, z, z, z, z, z, z)
 
 
-def _spheres_nearest(config: RenderConfig, origin, direction, centers, radii,
-                     t_min: float, t_max):
-    """Dispatch brute-force sphere intersection: Pallas kernel on TPU
-    (VMEM-resident, no [N,S] HBM traffic), chunked jnp elsewhere. Both
-    compute the identical direct-form quadratic."""
-    if jax.default_backend() == "tpu" and not config.interpret:
-        from tpu_pathtracer.ops.pallas_spheres import spheres_hit_pallas
-        return spheres_hit_pallas(origin, direction, centers, radii,
-                                  t_min, t_max)
-    return _i.spheres_hit(origin, direction, centers, radii, t_min, t_max)
+# ---------------------------------------------------------------------------
+# intersection dispatch
+# ---------------------------------------------------------------------------
 
 
-def intersect_scene(scene: Scene, config: RenderConfig,
-                    origin: jnp.ndarray, direction: jnp.ndarray,
+def _spheres_nearest(view: SceneView, config: RenderConfig, origin: V3,
+                     direction: V3, t_min: float, t_max):
+    """Brute-force sphere set: Pallas kernel on TPU (VMEM-resident, direct
+    oc-form quadratic), chunked jnp elsewhere."""
+    if _on_tpu(config):
+        from tpu_pathtracer.ops.pallas_spheres import spheres_hit_soa
+        return spheres_hit_soa(origin, direction, view.sph_c, view.sph_r,
+                               t_min, t_max)
+    from tpu_pathtracer.ops.intersect import spheres_hit
+    t, idx = spheres_hit(origin.stack(), direction.stack(),
+                         view.sph_c.stack(), view.sph_r, t_min, t_max)
+    return t, idx
+
+
+def _mesh_nearest(scene: Scene, view: SceneView, config: RenderConfig,
+                  origin: V3, direction: V3, t_min: float, t_max,
+                  is_shadow: bool = False):
+    """Mesh dispatch: TPU + small mesh → Pallas VMEM brute force (streaming
+    every triangle through the VPU beats gather-heavy BVH descent for
+    meshes that fit on-chip); otherwise vectorized BVH traversal, or the
+    all-triangles oracle path when use_bvh is off (kernels.cu:307–321)."""
+    mesh = scene.mesh
+    if (_on_tpu(config) and config.use_bvh
+            and mesh.num_tris <= TRI_BRUTE_MAX):
+        from tpu_pathtracer.ops.pallas_tris import tris_hit_soa
+        t, idx, u, v = tris_hit_soa(origin, direction, view.tri_v0,
+                                    view.tri_e1, view.tri_e2, t_min, t_max)
+        return _bvh.TraceResult(t=t, tri_id=idx, u=u, v=v)
+    o = origin.stack()
+    d = direction.stack()
+    if config.use_bvh:
+        return _bvh.traverse(mesh, o, d, t_min, t_max, is_shadow=is_shadow)
+    return _bvh.brute_force(mesh, o, d, t_min, t_max)
+
+
+def _sphere_hit_one(origin: V3, direction: V3, center, radius,
+                    t_min, t_max) -> jnp.ndarray:
+    """Single-sphere test (the light, kernels.cu:346)."""
+    oc = origin - V3(center[0], center[1], center[2])
+    b = oc.dot(direction)
+    c = oc.dot(oc) - radius * radius
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - sq
+    t2 = -b + sq
+    ok = disc > 0.0
+    t1v = jnp.where(ok & (t1 > t_min) & (t1 < t_max), t1, FLT_MAX)
+    t2v = jnp.where(ok & (t2 > t_min) & (t2 < t_max), t2, FLT_MAX)
+    return jnp.minimum(t1v, t2v)
+
+
+def _plane_hit(scene: Scene, origin: V3, direction: V3, t_min,
+               t_max) -> jnp.ndarray:
+    """Single-sided plane (intersections.h:43–52)."""
+    nrm = scene.plane_norm
+    pt = scene.plane_point
+    denom = (direction.x * nrm[0] + direction.y * nrm[1]
+             + direction.z * nrm[2])
+    po_dot_n = ((pt[0] - origin.x) * nrm[0] + (pt[1] - origin.y) * nrm[1]
+                + (pt[2] - origin.z) * nrm[2])
+    t = po_dot_n / denom
+    miss = (denom > -1e-6) | (t < t_min) | (t > t_max)
+    return jnp.where(miss, FLT_MAX, t)
+
+
+def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
+                    origin: V3, direction: V3,
                     specular: jnp.ndarray) -> Intersection:
     """Top-level `hit()` (kernels.cu:325–360) over a ray batch.
 
@@ -91,191 +184,293 @@ def intersect_scene(scene: Scene, config: RenderConfig,
     surface was hit (the reference's else-branch ordering,
     kernels.cu:339–349).
     """
-    N = origin.shape[0]
+    n = origin.x.shape[0]
     eps = config.epsilon
-    t = jnp.full((N,), FLT_MAX)
-    obj = jnp.full((N,), sc.OBJ_NONE, jnp.int32)
-    normal = jnp.zeros((N, 3))
-    mat_id = jnp.zeros((N,), jnp.int32)
-    tex_u = jnp.zeros((N,))
-    tex_v = jnp.zeros((N,))
+    t = jnp.full((n,), FLT_MAX)
+    obj = jnp.full((n,), sc.OBJ_NONE, jnp.int32)
+    normal = V3.zeros((n,))
+    mat_id = jnp.zeros((n,), jnp.int32)
+    tex_u = jnp.zeros((n,))
+    tex_v = jnp.zeros((n,))
 
     if scene.has_mesh:
         mesh = scene.mesh
-        # global-bbox early-out (hitMesh, kernels.cu:296–303)
-        inv_dir = 1.0 / direction
-        in_bounds = _i.bbox_hit(mesh.bounds_min, mesh.bounds_max,
-                                origin, inv_dir, FLT_MAX)
-        if config.use_bvh:
-            res = _bvh.traverse(mesh, origin, direction, eps,
-                                jnp.where(in_bounds, FLT_MAX, eps))
-        else:
-            res = _bvh.brute_force(mesh, origin, direction, eps,
-                                   jnp.where(in_bounds, FLT_MAX, eps))
+        res = _mesh_nearest(scene, view, config, origin, direction, eps,
+                            FLT_MAX)
         hit = res.tri_id >= 0
         tri = jnp.maximum(res.tri_id, 0)
-        v0 = mesh.v0[tri]
-        v1 = mesh.v1[tri]
-        v2 = mesh.v2[tri]
-        n = _v.unit_vector(_v.cross(v1 - v0, v2 - v0))  # kernels.cu:336
-        tc = mesh.tex_coords[tri]
+        e1 = V3(view.tri_e1.x[tri], view.tri_e1.y[tri], view.tri_e1.z[tri])
+        e2 = V3(view.tri_e2.x[tri], view.tri_e2.y[tri], view.tri_e2.z[tri])
+        nrm = e1.cross(e2).normalized()  # kernels.cu:336
+        tc = mesh.tex_coords
         u, vv = res.u, res.v
         w0 = 1.0 - u - vv
         # barycentric texcoord interpolation, kernels.cu:337–338
-        tu = u * tc[:, 2] + vv * tc[:, 4] + w0 * tc[:, 0]
-        tv = u * tc[:, 3] + vv * tc[:, 5] + w0 * tc[:, 1]
+        tu = u * tc[:, 2][tri] + vv * tc[:, 4][tri] + w0 * tc[:, 0][tri]
+        tv = u * tc[:, 3][tri] + vv * tc[:, 5][tri] + w0 * tc[:, 1][tri]
         win = hit & (res.t < t)
         t = jnp.where(win, res.t, t)
         obj = jnp.where(win, sc.OBJ_TRIMESH, obj)
-        normal = _v.where3(win, n, normal)
+        normal = vwhere(win, nrm, normal)
         mat_id = jnp.where(win, mesh.mesh_id[tri], mat_id)
         tex_u = jnp.where(win, tu, tex_u)
         tex_v = jnp.where(win, tv, tex_v)
 
     if scene.has_spheres:
-        st, sidx = _spheres_nearest(config, origin, direction,
-                                    scene.sphere_center, scene.sphere_radius,
-                                    eps, FLT_MAX)
+        st, sidx = _spheres_nearest(view, config, origin, direction, eps,
+                                    FLT_MAX)
         sidx = jnp.maximum(sidx, 0)
         win = st < t
-        p = origin + st[:, None] * direction
-        n = (p - scene.sphere_center[sidx]) / scene.sphere_radius[sidx, None]
+        center = V3(view.sph_c.x[sidx], view.sph_c.y[sidx],
+                    view.sph_c.z[sidx])
+        p = origin + direction * st
+        nrm = (p - center) * (1.0 / view.sph_r[sidx])
         t = jnp.where(win, st, t)
         obj = jnp.where(win, sc.OBJ_SPHERE, obj)
-        normal = _v.where3(win, n, normal)
+        normal = vwhere(win, nrm, normal)
         mat_id = jnp.where(win, scene.sphere_mat[sidx], mat_id)
 
     if scene.has_plane:
-        pt = _i.plane_hit(scene.plane_point, scene.plane_norm,
-                          origin, direction, eps, FLT_MAX)
+        pt = _plane_hit(scene, origin, direction, eps, FLT_MAX)
         win = pt < t
+        nrm = scene.plane_norm
         t = jnp.where(win, pt, t)
         obj = jnp.where(win, sc.OBJ_PLANE, obj)
-        normal = _v.where3(win, jnp.broadcast_to(scene.plane_norm, normal.shape),
-                           normal)
+        normal = vwhere(win, V3.full((n,), nrm[0], nrm[1], nrm[2]), normal)
         mat_id = jnp.where(win, scene.plane_mat, mat_id)
 
     if scene.use_nee:
         # light sphere only for specular rays with no surface hit
         # (kernels.cu:346–349)
-        lt = _i.sphere_hit_one(origin, direction, scene.light_center,
-                               scene.light_radius, eps, FLT_MAX)
+        lt = _sphere_hit_one(origin, direction, scene.light_center,
+                             scene.light_radius, eps, FLT_MAX)
         win = specular & (obj == sc.OBJ_NONE) & (lt < FLT_MAX)
         t = jnp.where(win, lt, t)
         obj = jnp.where(win, sc.OBJ_LIGHT, obj)
 
     # flip normal to face the ray (kernels.cu:354–355)
-    flip = _v.dot(direction, normal) > 0.0
-    normal = _v.where3(flip, -normal, normal)
+    flip = direction.dot(normal) > 0.0
+    normal = vwhere(flip, -normal, normal)
     return Intersection(obj=obj, t=t, normal=normal, mat_id=mat_id,
                         tex_u=tex_u, tex_v=tex_v)
 
 
-def occluded(scene: Scene, config: RenderConfig, origin: jnp.ndarray,
-             direction: jnp.ndarray, t_max: jnp.ndarray) -> jnp.ndarray:
+def occluded(scene: Scene, view: SceneView, config: RenderConfig,
+             origin: V3, direction: V3, t_max: jnp.ndarray) -> jnp.ndarray:
     """Shadow-ray occlusion (any-hit). The reference occludes only against
     the triangle mesh (kernels.cu:340); analytic scenes use their spheres
     as the occluder set."""
-    N = origin.shape[0]
-    occ = jnp.zeros((N,), bool)
+    n = origin.x.shape[0]
+    occ = jnp.zeros((n,), bool)
     if scene.has_mesh:
-        mesh = scene.mesh
-        inv_dir = 1.0 / direction
-        in_bounds = _i.bbox_hit(mesh.bounds_min, mesh.bounds_max,
-                                origin, inv_dir, t_max)
-        tm = jnp.where(in_bounds, t_max, config.epsilon)
-        if config.use_bvh:
-            res = _bvh.traverse(mesh, origin, direction, config.epsilon, tm,
-                                is_shadow=True)
-        else:
-            res = _bvh.brute_force(mesh, origin, direction, config.epsilon, tm)
+        res = _mesh_nearest(scene, view, config, origin, direction,
+                            config.epsilon, t_max, is_shadow=True)
         occ = occ | (res.tri_id >= 0)
     if scene.has_spheres:
-        st, _ = _spheres_nearest(config, origin, direction,
-                                 scene.sphere_center, scene.sphere_radius,
+        st, _ = _spheres_nearest(view, config, origin, direction,
                                  config.epsilon, t_max)
         occ = occ | (st < t_max)
     return occ
 
 
-def _resolve_albedo(scene: Scene, config: RenderConfig, mat_id: jnp.ndarray,
-                    tex_u: jnp.ndarray, tex_v: jnp.ndarray,
-                    use_tex: jnp.ndarray) -> jnp.ndarray:
+def sky_radiance(scene: Scene, direction: V3) -> V3:
+    """kernels.cu:424 (constant) / kernels.cu:419–421 (RTiOW gradient)."""
+    n = direction.x.shape[0]
+    if scene.sky_mode == sc.SKY_GRADIENT:
+        t = 0.5 * (direction.y + 1.0)
+        return V3(1.0 - 0.5 * t, 1.0 - 0.3 * t, jnp.ones_like(t))
+    c = scene.sky_color
+    return V3.full((n,), c[0], c[1], c[2])
+
+
+def resolve_albedo(scene: Scene, view: SceneView, config: RenderConfig,
+                   mat_id: jnp.ndarray, tex_u: jnp.ndarray,
+                   tex_v: jnp.ndarray, use_tex: jnp.ndarray) -> V3:
     """Texture-or-color albedo (kernels.cu:456–476)."""
     mats = scene.materials
-    base = mats.color[mat_id]
+    base = V3(mats.color[:, 0][mat_id], mats.color[:, 1][mat_id],
+              mats.color[:, 2][mat_id])
     if not (scene.has_textures and config.textures):
         return base
     tid = mats.tex_id[mat_id]
-    texel = _tex.fetch(scene.tex_atlas, scene.tex_width, scene.tex_height,
-                       tid, tex_u, tex_v)
-    return _v.where3(use_tex & (tid >= 0), texel, base)
+    tid_c = jnp.maximum(tid, 0)
+    w = scene.tex_width[tid_c]
+    h = scene.tex_height[tid_c]
+    fu = tex_u - jnp.floor(tex_u)
+    fv = tex_v - jnp.floor(tex_v)
+    tx = ((w - 1).astype(jnp.float32) * fu).astype(jnp.int32)
+    ty = ((h - 1).astype(jnp.float32) * fv).astype(jnp.int32)
+    ar, ag, ab = view.atlas
+    texel = V3(ar[tid_c, ty, tx], ag[tid_c, ty, tx], ab[tid_c, ty, tx])
+    return vwhere(use_tex & (tid >= 0), texel, base)
 
 
-def generate_shadow_rays(scene: Scene, origin: jnp.ndarray,
-                         normal: jnp.ndarray, attenuation: jnp.ndarray,
-                         eps1: jnp.ndarray, eps2: jnp.ndarray):
+def generate_shadow_rays(scene: Scene, origin: V3, normal: V3,
+                         attenuation: V3, eps1: jnp.ndarray,
+                         eps2: jnp.ndarray):
     """Solid-angle sphere-light sampling (generateShadowRay,
     kernels.cu:363–393). Returns (valid, shadow_dir, contribution,
     light_dist)."""
-    to_light = scene.light_center - origin
-    sw = _v.unit_vector(to_light)
-    up = _v.where3(jnp.abs(sw[..., 0]) > 0.01,
-                   jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), sw.shape),
-                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), sw.shape))
-    su = _v.unit_vector(_v.cross(up, sw))
-    sv = _v.cross(sw, su)
+    lc = scene.light_center
+    to_light = V3(lc[0] - origin.x, lc[1] - origin.y, lc[2] - origin.z)
+    sw = to_light.normalized()
+    big_x = jnp.abs(sw.x) > 0.01
+    up = V3(jnp.where(big_x, 0.0, 1.0), jnp.where(big_x, 1.0, 0.0),
+            jnp.zeros_like(sw.x))
+    su = up.cross(sw).normalized()
+    sv = sw.cross(su)
 
-    d2 = _v.squared_length(to_light)
+    d2 = to_light.squared_length()
     ratio = 1.0 - scene.light_radius * scene.light_radius / d2
     valid = ratio >= 0.0  # isnan(cosAMax) guard, kernels.cu:372
     cos_a_max = jnp.sqrt(jnp.maximum(ratio, 0.0))
     cos_a = 1.0 - eps1 + eps1 * cos_a_max
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
     phi = 2.0 * jnp.pi * eps2
-    l = (su * (jnp.cos(phi) * sin_a)[..., None]
-         + sv * (jnp.sin(phi) * sin_a)[..., None]
-         + sw * cos_a[..., None])
-    dotl = _v.dot(l, normal)
+    l = (su * (jnp.cos(phi) * sin_a) + sv * (jnp.sin(phi) * sin_a)
+         + sw * cos_a)
+    dotl = l.dot(normal)
     valid = valid & (dotl > 0.0)
-    shadow_dir = _v.unit_vector(l)
+    shadow_dir = l.normalized()
     omega = 2.0 * jnp.pi * (1.0 - cos_a_max)
-    contribution = (attenuation * scene.light_color
-                    * (dotl * omega / jnp.pi)[..., None])
+    scale = dotl * omega / jnp.pi
+    lcol = scene.light_color
+    contribution = attenuation * V3(lcol[0] * scale, lcol[1] * scale,
+                                    lcol[2] * scale)
     light_dist = jnp.sqrt(d2) - scene.light_radius  # kernels.cu:390
     return valid, shadow_dir, contribution, light_dist
 
 
-class PathState(NamedTuple):
-    """SoA `path` (helper_structs.h:48–71)."""
-    origin: jnp.ndarray       # [N,3]
-    direction: jnp.ndarray    # [N,3] unit
-    color: jnp.ndarray        # [N,3]
-    attenuation: jnp.ndarray  # [N,3]
-    specular: jnp.ndarray     # [N] bool
-    inside: jnp.ndarray       # [N] bool
-    alive: jnp.ndarray        # [N] bool
+class BounceState(NamedTuple):
+    """Mutable per-lane path state threaded through one bounce."""
+    origin: V3
+    direction: V3
+    color: V3
+    attenuation: V3
+    specular: jnp.ndarray
+    inside: jnp.ndarray
+    alive: jnp.ndarray
+
+
+def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
+                state: BounceState, pixel: jnp.ndarray, sample: jnp.ndarray,
+                bounce: jnp.ndarray, stats: Optional[Stats] = None
+                ) -> Tuple[BounceState, Optional[Stats]]:
+    """One wavefront bounce for all lanes — the body of `color()`
+    (kernels.cu:402–527). ``bounce`` may be scalar (plain engine) or
+    per-lane [N] (regeneration engine)."""
+    base = _rng.bounce_base(pixel, sample, bounce)
+    alive = state.alive
+
+    def count(stat, mask):
+        return stat + jnp.sum(mask, dtype=jnp.int32)
+
+    inters = intersect_scene(scene, view, config, state.origin,
+                             state.direction, state.specular)
+    if stats is not None:
+        stats = stats._replace(
+            primary=count(stats.primary, alive & (bounce == 0)),
+            secondary=count(stats.secondary, alive & (bounce > 0)))
+
+    # ---- miss → sky (kernels.cu:424)
+    miss = alive & (inters.obj == sc.OBJ_NONE)
+    color = state.color + vwhere(
+        miss, state.attenuation * sky_radiance(scene, state.direction),
+        V3.zeros(miss.shape))
+    if stats is not None:
+        stats = stats._replace(
+            primary_nohit=count(stats.primary_nohit, miss & (bounce == 0)),
+            secondary_nohit=count(stats.secondary_nohit, miss & (bounce > 0)))
+
+    # ---- light hit by specular path (kernels.cu:433–447)
+    light_hit = alive & (inters.obj == sc.OBJ_LIGHT)
+    if not config.shadow:
+        lc = scene.light_color
+        color = color + vwhere(
+            light_hit, state.attenuation * V3.full(miss.shape, lc[0], lc[1], lc[2]),
+            V3.zeros(miss.shape))
+
+    surf = alive & ~miss & ~light_hit
+    alive = surf
+
+    # ---- scatter (kernels.cu:452–489)
+    mats = scene.materials
+    mid = jnp.where(surf, inters.mat_id, 0)
+    albedo = resolve_albedo(scene, view, config, mid, inters.tex_u,
+                            inters.tex_v, inters.obj == sc.OBJ_TRIMESH)
+    hit_p = state.origin + state.direction * inters.t
+    out = _m.scatter(
+        wo=state.direction, normal=inters.normal, hit_t=inters.t,
+        hit_p=hit_p, inside=state.inside,
+        mtype=mats.mtype[mid], albedo=albedo,
+        color2=V3(mats.color2[:, 0][mid], mats.color2[:, 1][mid],
+                  mats.color2[:, 2][mid]),
+        param=mats.param[mid], param2=mats.param2[mid],
+        absorption=V3(mats.absorption[:, 0][mid], mats.absorption[:, 1][mid],
+                      mats.absorption[:, 2][mid]),
+        scatter_dist=mats.scatter_dist[mid], rng_base=base)
+
+    new_origin = vwhere(surf, state.origin + state.direction * out.t,
+                        state.origin)
+    # NOTE: the reference stores possibly non-unit SSS directions and
+    # re-normalizes in the next ray ctor (ray.h:9) but then advances the
+    # origin with the non-unit vector (kernels.cu:485) — a scale
+    # inconsistency on SSS paths. We normalize at store time instead.
+    new_dir = vwhere(surf, out.wi.normalized(), state.direction)
+    new_att = vwhere(surf, state.attenuation * out.throughput,
+                     state.attenuation)
+    new_specular = jnp.where(surf, out.specular, state.specular)
+    new_inside = jnp.where(surf, state.inside ^ out.refracted, state.inside)
+
+    # ---- NEE shadow pass (kernels.cu:491–510)
+    if config.shadow and scene.use_nee:
+        nee_mask = surf & ~new_specular
+        valid, sdir, contrib, ldist = generate_shadow_rays(
+            scene, new_origin, inters.normal, new_att,
+            _rng.slot_uniform(base, _rng.S_NEE0),
+            _rng.slot_uniform(base, _rng.S_NEE1))
+        nee_mask = nee_mask & valid
+        occ = occluded(scene, view, config, new_origin, sdir,
+                       jnp.where(nee_mask, ldist, config.epsilon))
+        lit = nee_mask & ~occ
+        color = color + vwhere(lit, contrib, V3.zeros(miss.shape))
+        if stats is not None:
+            stats = stats._replace(
+                shadows=count(stats.shadows, nee_mask),
+                shadows_nohit=count(stats.shadows_nohit, lit))
+
+    # ---- Russian roulette (kernels.cu:512–527)
+    if config.russian_roulette:
+        rr = alive & (bounce > config.rr_start_bounce)
+        mx = new_att.max3()
+        kill = rr & (_rng.slot_uniform(base, _rng.S_ROULETTE) > mx)
+        alive = alive & ~kill
+        scale = jnp.where(rr & ~kill, 1.0 / jnp.maximum(mx, 1e-30), 1.0)
+        new_att = new_att * scale
+        if stats is not None:
+            stats = stats._replace(roulette_kill=count(stats.roulette_kill,
+                                                       kill))
+
+    return BounceState(origin=new_origin, direction=new_dir, color=color,
+                       attenuation=new_att, specular=new_specular,
+                       inside=new_inside, alive=alive), stats
 
 
 def trace(scene: Scene, camera: Camera, config: RenderConfig,
           pixel_id: jnp.ndarray, sample: jnp.ndarray
           ) -> Tuple[jnp.ndarray, Stats]:
-    """Trace one sample for each pixel lane; returns ([N,3] radiance, Stats).
-
-    This is `color()` (kernels.cu:396–533) as a wavefront loop.
-    """
-    N = pixel_id.shape[0]
+    """Trace one sample for each pixel lane; returns ([N,3] radiance,
+    Stats). This is `color()` (kernels.cu:396–533) as a wavefront loop."""
+    n = pixel_id.shape[0]
+    view = make_view(scene)
     origin, direction = camera.generate_rays(pixel_id, sample,
                                              config.nx, config.ny)
-    state = PathState(
+    state = BounceState(
         origin=origin, direction=direction,
-        color=jnp.zeros((N, 3)), attenuation=jnp.ones((N, 3)),
-        specular=jnp.zeros((N,), bool), inside=jnp.zeros((N,), bool),
-        alive=jnp.ones((N,), bool),
+        color=V3.zeros((n,)), attenuation=V3.ones((n,)),
+        specular=jnp.zeros((n,), bool), inside=jnp.zeros((n,), bool),
+        alive=jnp.ones((n,), bool),
     )
-
-    def count(stat, mask):
-        return (stat + jnp.sum(mask, dtype=jnp.int32)) if config.stats else stat
 
     def cond(carry):
         state, bounce, _ = carry
@@ -283,94 +478,12 @@ def trace(scene: Scene, camera: Camera, config: RenderConfig,
 
     def body(carry):
         state, bounce, stats = carry
-        us = _rng.bounce_uniforms(pixel_id, sample, bounce.astype(jnp.uint32))
-
-        inters = intersect_scene(scene, config, state.origin, state.direction,
-                                 state.specular)
-        alive = state.alive
-        if config.stats:
-            stats = stats._replace(
-                primary=count(stats.primary, alive & (bounce == 0)),
-                secondary=count(stats.secondary, alive & (bounce > 0)))
-
-        # ---- miss → sky (kernels.cu:424)
-        miss = alive & (inters.obj == sc.OBJ_NONE)
-        color = state.color + jnp.where(
-            miss[:, None], state.attenuation * sc.sky_radiance(scene, state.direction),
-            0.0)
-        if config.stats:
-            stats = stats._replace(
-                primary_nohit=count(stats.primary_nohit, miss & (bounce == 0)),
-                secondary_nohit=count(stats.secondary_nohit, miss & (bounce > 0)))
-
-        # ---- light hit by specular path (kernels.cu:433–447)
-        light_hit = alive & (inters.obj == sc.OBJ_LIGHT)
-        if not config.shadow:
-            color = color + jnp.where(light_hit[:, None],
-                                      state.attenuation * scene.light_color, 0.0)
-
-        surf = alive & ~miss & ~light_hit
-        alive = surf
-
-        # ---- scatter (kernels.cu:452–489)
-        mats = scene.materials
-        mid = jnp.where(surf, inters.mat_id, 0)
-        albedo = _resolve_albedo(scene, config, mid, inters.tex_u,
-                                 inters.tex_v, inters.obj == sc.OBJ_TRIMESH)
-        hit_p = state.origin + inters.t[:, None] * state.direction
-        out = _m.scatter(
-            wo=state.direction, normal=inters.normal, hit_t=inters.t,
-            hit_p=hit_p, inside=state.inside,
-            mtype=mats.mtype[mid], albedo=albedo, color2=mats.color2[mid],
-            param=mats.param[mid], param2=mats.param2[mid],
-            absorption=mats.absorption[mid],
-            scatter_dist=mats.scatter_dist[mid], us=us)
-
-        new_origin = _v.where3(surf, state.origin + out.t[:, None] * state.direction,
-                               state.origin)
-        # NOTE: the reference stores possibly non-unit SSS directions and
-        # re-normalizes in the next ray ctor (ray.h:9) but then advances the
-        # origin with the non-unit vector (kernels.cu:485) — a scale
-        # inconsistency on SSS paths. We normalize at store time instead.
-        new_dir = _v.where3(surf, _v.unit_vector(out.wi), state.direction)
-        new_att = _v.where3(surf, state.attenuation * out.throughput,
-                            state.attenuation)
-        new_specular = jnp.where(surf, out.specular, state.specular)
-        new_inside = jnp.where(surf, state.inside ^ out.refracted, state.inside)
-
-        # ---- NEE shadow pass (kernels.cu:491–510)
-        if config.shadow and scene.use_nee:
-            nee_mask = surf & ~new_specular
-            valid, sdir, contrib, ldist = generate_shadow_rays(
-                scene, new_origin, inters.normal, new_att,
-                us[..., _rng.S_NEE0], us[..., _rng.S_NEE1])
-            nee_mask = nee_mask & valid
-            occ = occluded(scene, config, new_origin, sdir,
-                           jnp.where(nee_mask, ldist, config.epsilon))
-            lit = nee_mask & ~occ
-            color = color + jnp.where(lit[:, None], contrib, 0.0)
-            if config.stats:
-                stats = stats._replace(
-                    shadows=count(stats.shadows, nee_mask),
-                    shadows_nohit=count(stats.shadows_nohit, lit))
-
-        # ---- Russian roulette (kernels.cu:512–527)
-        if config.russian_roulette:
-            rr = alive & (bounce > config.rr_start_bounce)
-            m = _v.max3(new_att)
-            kill = rr & (us[..., _rng.S_ROULETTE] > m)
-            alive = alive & ~kill
-            scale = jnp.where(rr & ~kill, 1.0 / jnp.maximum(m, 1e-30), 1.0)
-            new_att = new_att * scale[:, None]
-            if config.stats:
-                stats = stats._replace(
-                    roulette_kill=count(stats.roulette_kill, kill))
-
-        new_state = PathState(origin=new_origin, direction=new_dir,
-                              color=color, attenuation=new_att,
-                              specular=new_specular, inside=new_inside,
-                              alive=alive)
-        return new_state, bounce + 1, stats
+        state, stats = bounce_step(scene, view, config, state, pixel_id,
+                                   sample, bounce,
+                                   stats if config.stats else None)
+        if stats is None:
+            stats = carry[2]
+        return state, bounce + 1, stats
 
     carry = (state, jnp.int32(0), Stats.zeros())
     state, bounce, stats = jax.lax.while_loop(cond, body, carry)
@@ -379,7 +492,8 @@ def trace(scene: Scene, camera: Camera, config: RenderConfig,
             exceed_max_bounce=stats.exceed_max_bounce
             + jnp.sum(state.alive, dtype=jnp.int32))
     if config.check_nans:
-        stats = stats._replace(
-            nans=stats.nans + jnp.sum(jnp.any(jnp.isnan(state.color), axis=-1),
-                                      dtype=jnp.int32))
-    return state.color, stats
+        isnan = (jnp.isnan(state.color.x) | jnp.isnan(state.color.y)
+                 | jnp.isnan(state.color.z))
+        stats = stats._replace(nans=stats.nans
+                               + jnp.sum(isnan, dtype=jnp.int32))
+    return state.color.stack(), stats

@@ -1,11 +1,11 @@
-"""Branchless masked BSDF scatter stage.
+"""Branchless masked BSDF scatter stage (component-SoA).
 
 Rebuilds the reference BSDF library (material.h:27–143) and its dispatch
 (scene_materials.h:13–20) as a single fixed-shape vector stage: every BSDF
 family's candidate direction/throughput is computed for all lanes and the
 per-lane material type selects between them. On TPU masked lanes cost the
 same as active ones, so this replaces the reference's warp-divergent
-``switch`` with pure VPU work.
+``switch`` with pure VPU work over dense ``[N]`` component arrays.
 
 Semantics parity notes (all against material.h):
   * diffuse: wi = unit(n + random_in_unit_sphere) (:28).
@@ -27,108 +27,117 @@ import jax.numpy as jnp
 
 from tpu_pathtracer.models import scene as sc
 from tpu_pathtracer.ops import rng as _rng
-from tpu_pathtracer.ops import vec as _v
+from tpu_pathtracer.ops import v3 as _v3
+from tpu_pathtracer.ops.v3 import V3, where as vwhere, reflect, refract
+
+
+def schlick(cosine: jnp.ndarray, ref_idx: jnp.ndarray) -> jnp.ndarray:
+    """Schlick Fresnel approximation. material.h:9–13."""
+    r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
 
 
 class ScatterOut(NamedTuple):
     """scatter_info (helper_structs.h:38–46), SoA."""
-    wi: jnp.ndarray          # [N,3] next direction (may be non-unit for SSS)
-    throughput: jnp.ndarray  # [N,3]
+    wi: V3                   # next direction (may be non-unit for SSS)
+    throughput: V3
     specular: jnp.ndarray    # [N] bool
     refracted: jnp.ndarray   # [N] bool
-    t: jnp.ndarray           # [N] distance actually travelled (SSS shortens)
+    t: jnp.ndarray           # [N] distance travelled (SSS shortens)
 
 
-def scatter(wo: jnp.ndarray, normal: jnp.ndarray, hit_t: jnp.ndarray,
-            hit_p: jnp.ndarray, inside: jnp.ndarray,
-            mtype: jnp.ndarray, albedo: jnp.ndarray, color2: jnp.ndarray,
-            param: jnp.ndarray, param2: jnp.ndarray,
-            absorption: jnp.ndarray, scatter_dist: jnp.ndarray,
-            us: jnp.ndarray) -> ScatterOut:
+def scatter(wo: V3, normal: V3, hit_t: jnp.ndarray, hit_p: V3,
+            inside: jnp.ndarray, mtype: jnp.ndarray, albedo: V3,
+            color2: V3, param: jnp.ndarray, param2: jnp.ndarray,
+            absorption: V3, scatter_dist: jnp.ndarray,
+            rng_base: jnp.ndarray) -> ScatterOut:
     """One scatter for N lanes.
 
     Args:
-      wo: incoming ray direction (unit) [N,3].
+      wo: incoming ray direction (unit).
       normal: shading normal, already flipped to face the ray
-        (kernels.cu:354–355) [N,3].
-      hit_t: intersection distance [N].
-      hit_p: hit point [N,3] (checker layer needs it, material.h:34).
-      inside: per-path inside-the-model flag (helper_structs.h:61) [N].
-      mtype..tex-resolved albedo: gathered material columns for each lane;
-        ``albedo`` is the texture-resolved color (kernels.cu:456–476).
-      us: per-bounce uniform block [N, NUM_BOUNCE_SLOTS].
+        (kernels.cu:354–355).
+      hit_t: intersection distance [N]; hit_p: hit point (checker layer
+        needs it, material.h:34).
+      inside: per-path inside-the-model flag (helper_structs.h:61).
+      mtype..albedo: gathered material columns; ``albedo`` is the
+        texture-resolved color (kernels.cu:456–476).
+      rng_base: per-lane bounce draw-block base (ops.rng.bounce_base).
     """
-    ones = jnp.ones_like(albedo)
+    u = lambda k: _rng.slot_uniform(rng_base, k)
+    ones = V3.ones(hit_t.shape)
 
     # Shared samples -------------------------------------------------------
-    sph = _rng.in_unit_sphere(us[..., _rng.S_BSDF0], us[..., _rng.S_BSDF1],
-                              us[..., _rng.S_BSDF2])
-    diffuse_wi = _v.unit_vector(normal + sph)
-    refl = _v.reflect(wo, normal)
+    sph = _rng.in_unit_sphere_v3(u(_rng.S_BSDF0), u(_rng.S_BSDF1),
+                                 u(_rng.S_BSDF2))
+    diffuse_wi = (normal + sph).normalized()
+    refl = reflect(wo, normal)
 
     def glossy_wi(fuzz):
         f = jnp.where(fuzz > 1e-4, fuzz, 0.0)
-        return _v.unit_vector(refl + f[..., None] * sph)
+        return (refl + sph * f).normalized()
 
     # Fresnel layer (material.h:55–60) -------------------------------------
     ior = jnp.maximum(param, 1e-6)
     eta = jnp.where(inside, ior, 1.0 / ior)
-    cos_theta = jnp.minimum(_v.dot(-wo, normal), 1.0)
+    cos_theta = jnp.minimum((-wo).dot(normal), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     reflect_choice = ((eta * sin_theta > 1.0)
-                      | (us[..., _rng.S_BSDF3] < _v.schlick(cos_theta, eta)))
-    refract_wi = _v.unit_vector(_v.refract(wo, normal, eta))
+                      | (u(_rng.S_BSDF3) < schlick(cos_theta, eta)))
+    refract_wi = refract(wo, normal, eta).normalized()
 
     # Subsurface free flight (material.h:96–103) ---------------------------
-    d_free = -jnp.log(us[..., _rng.S_BSDF4]) / jnp.maximum(scatter_dist, 1e-12)
+    d_free = -jnp.log(u(_rng.S_BSDF4)) / jnp.maximum(scatter_dist, 1e-12)
     sss_scattered = inside & (d_free < hit_t)
     t_sss = jnp.where(sss_scattered, d_free, hit_t)
 
     # Beer–Lambert when exiting (material.h:75–78, :102) --------------------
-    absorb_glass = _v.where3(inside, jnp.exp(-absorption * hit_t[..., None]), ones)
-    absorb_sss = _v.where3(inside, jnp.exp(-absorption * t_sss[..., None]), ones)
+    absorb_glass = vwhere(inside, (absorption * (-hit_t)).exp(), ones)
+    absorb_sss = vwhere(inside, (absorption * (-t_sss)).exp(), ones)
 
     # Checker (material.h:33–36) -------------------------------------------
-    sines = (jnp.sin(param * hit_p[..., 0]) * jnp.sin(param * hit_p[..., 1])
-             * jnp.sin(param * hit_p[..., 2]))
-    checker_albedo = _v.where3(sines < 0.0, albedo, color2)
+    sines = (jnp.sin(param * hit_p.x) * jnp.sin(param * hit_p.y)
+             * jnp.sin(param * hit_p.z))
+    checker_albedo = vwhere(sines < 0.0, albedo, color2)
 
     # Per-family candidates --------------------------------------------------
     glossy_main = glossy_wi(param)    # METAL: param is fuzz
     glossy_layer = glossy_wi(param2)  # layered BSDFs: param2 is fuzz
-    glass_wi = _v.where3(reflect_choice, glossy_layer, refract_wi)
+    glass_wi = vwhere(reflect_choice, glossy_layer, refract_wi)
     # GLASS dispatch passes the texture-resolved color as the glossy tint
     # (scene_materials.h:19); layered presets use color2 as their tint.
-    glass_thr = absorb_glass * _v.where3(reflect_choice, albedo, ones)
-    coat_wi = _v.where3(reflect_choice, glossy_layer, diffuse_wi)
-    coat_thr = _v.where3(reflect_choice, color2, albedo)
-    sssd_wi = _v.where3(sss_scattered, sph, glass_wi)
-    sssd_thr = absorb_sss * _v.where3(sss_scattered | ~reflect_choice, ones, color2)
-    sss_wi = _v.where3(sss_scattered, sph, wo)
+    glass_thr = absorb_glass * vwhere(reflect_choice, albedo, ones)
+    coat_wi = vwhere(reflect_choice, glossy_layer, diffuse_wi)
+    coat_thr = vwhere(reflect_choice, color2, albedo)
+    sssd_wi = vwhere(sss_scattered, sph, glass_wi)
+    sssd_thr = absorb_sss * vwhere(sss_scattered | ~reflect_choice, ones,
+                                   color2)
+    sss_wi = vwhere(sss_scattered, sph, wo)
 
     # Type dispatch (scene_materials.h:13–20 + preset families) -------------
     t_is = lambda k: mtype == k
     wi = diffuse_wi
-    wi = _v.where3(t_is(sc.METAL), glossy_main, wi)
-    wi = _v.where3(t_is(sc.GLASS), glass_wi, wi)
-    wi = _v.where3(t_is(sc.COAT), coat_wi, wi)
-    wi = _v.where3(t_is(sc.SSS_DIELECTRIC), sssd_wi, wi)
-    wi = _v.where3(t_is(sc.SSS), sss_wi, wi)
+    wi = vwhere(t_is(sc.METAL), glossy_main, wi)
+    wi = vwhere(t_is(sc.GLASS), glass_wi, wi)
+    wi = vwhere(t_is(sc.COAT), coat_wi, wi)
+    wi = vwhere(t_is(sc.SSS_DIELECTRIC), sssd_wi, wi)
+    wi = vwhere(t_is(sc.SSS), sss_wi, wi)
 
-    thr = albedo  # DIFFUSE
-    thr = _v.where3(t_is(sc.METAL), albedo, thr)  # tint (dispatch passes color)
-    thr = _v.where3(t_is(sc.GLASS), glass_thr, thr)
-    thr = _v.where3(t_is(sc.COAT), coat_thr, thr)
-    thr = _v.where3(t_is(sc.SSS_DIELECTRIC), sssd_thr, thr)
-    thr = _v.where3(t_is(sc.SSS), absorb_sss, thr)
-    thr = _v.where3(t_is(sc.CHECKER), checker_albedo, thr)
+    thr = albedo  # DIFFUSE / METAL (tint = dispatch-resolved color)
+    thr = vwhere(t_is(sc.GLASS), glass_thr, thr)
+    thr = vwhere(t_is(sc.COAT), coat_thr, thr)
+    thr = vwhere(t_is(sc.SSS_DIELECTRIC), sssd_thr, thr)
+    thr = vwhere(t_is(sc.SSS), absorb_sss, thr)
+    thr = vwhere(t_is(sc.CHECKER), checker_albedo, thr)
 
     specular = (t_is(sc.METAL) | t_is(sc.GLASS) | t_is(sc.SSS)
                 | t_is(sc.SSS_DIELECTRIC) | (t_is(sc.COAT) & reflect_choice))
 
     refracted = ((t_is(sc.GLASS) & ~reflect_choice)
                  | (t_is(sc.SSS) & ~sss_scattered)
-                 | (t_is(sc.SSS_DIELECTRIC) & ~sss_scattered & ~reflect_choice))
+                 | (t_is(sc.SSS_DIELECTRIC) & ~sss_scattered
+                    & ~reflect_choice))
 
     t_out = jnp.where(t_is(sc.SSS) | t_is(sc.SSS_DIELECTRIC), t_sss, hit_t)
 

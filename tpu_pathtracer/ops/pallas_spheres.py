@@ -73,20 +73,37 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, t_out, idx_out,
     idx_out[0, :] = i_best[:, 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("t_min", "interpret"))
+def spheres_hit_soa(origin, direction, centers, radii, t_min: float, t_max,
+                    interpret: bool = False):
+    """Component-SoA entry: origin/direction/centers are V3 of [N]/[S]
+    arrays — no interleave/deinterleave at the boundary."""
+    return _spheres_hit_impl(origin.x, origin.y, origin.z,
+                             direction.x, direction.y, direction.z,
+                             centers.x, centers.y, centers.z, radii,
+                             t_min, t_max, interpret)
+
+
 def spheres_hit_pallas(origin: jnp.ndarray, direction: jnp.ndarray,
                        centers: jnp.ndarray, radii: jnp.ndarray,
                        t_min: float, t_max,
                        interpret: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in for :func:`tpu_pathtracer.ops.intersect.spheres_hit`.
+    """[N,3]-interface drop-in for
+    :func:`tpu_pathtracer.ops.intersect.spheres_hit`."""
+    return _spheres_hit_impl(
+        origin[:, 0], origin[:, 1], origin[:, 2],
+        direction[:, 0], direction[:, 1], direction[:, 2],
+        centers[:, 0], centers[:, 1], centers[:, 2], radii,
+        t_min, t_max, interpret)
 
-    origin/direction [N,3]; centers [S,3]; radii [S]; t_max scalar or [N].
-    Returns (t [N] with _FLT_MAX miss, idx [N]).
-    """
-    n = origin.shape[0]
-    s = centers.shape[0]
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _spheres_hit_impl(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii,
+                      t_min: float, t_max, interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (t [N] with _FLT_MAX miss, idx [N], -1 on miss)."""
+    n = ox.shape[0]
+    s = cx.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
     s_pad = ((s + S_CHUNK - 1) // S_CHUNK) * S_CHUNK
 
@@ -102,13 +119,10 @@ def spheres_hit_pallas(origin: jnp.ndarray, direction: jnp.ndarray,
 
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     args = [
-        pad_n(origin[:, 0], 0.0), pad_n(origin[:, 1], 0.0),
-        pad_n(origin[:, 2], 0.0),
-        pad_n(direction[:, 0], 1.0), pad_n(direction[:, 1], 0.0),
-        pad_n(direction[:, 2], 0.0),
+        pad_n(ox, 0.0), pad_n(oy, 0.0), pad_n(oz, 0.0),
+        pad_n(dx, 1.0), pad_n(dy, 0.0), pad_n(dz, 0.0),
         pad_n(t_max_b, 0.0),
-        pad_s(centers[:, 0], 0.0), pad_s(centers[:, 1], 0.0),
-        pad_s(centers[:, 2], 0.0),
+        pad_s(cx, 0.0), pad_s(cy, 0.0), pad_s(cz, 0.0),
         pad_s(radii * radii * jnp.where(radii > 0, 1.0, -1.0), -1.0),
     ]
 

@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: fused brute-force ray×triangle nearest-hit.
+
+For meshes that fit in VMEM (up to a few thousand triangles), testing
+every triangle on the VPU beats pointer-chasing a BVH on TPU: the
+traversal's per-step node gathers are HBM round trips with terrible
+locality, while this kernel streams (TILE rays × T triangles) Möller–
+Trumbore tests (intersections.h:54–83) entirely on-chip. The engine
+dispatches: small mesh → this kernel; large mesh → the vectorized BVH
+traversal (ops/bvh.py).
+
+Sentinel padding triangles (+inf vertices, kernels.cu:202) fall out
+naturally: NaN comparisons are false so they always miss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FLT_MAX = 3.4028235e38
+TILE = 256
+T_CHUNK = 512
+
+
+def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int):
+    (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z,
+     t_out, i_out, u_out, v_out) = refs
+    o1 = ox[0, :][:, None]
+    o2 = oy[0, :][:, None]
+    o3 = oz[0, :][:, None]
+    d1 = dx[0, :][:, None]
+    d2 = dy[0, :][:, None]
+    d3 = dz[0, :][:, None]
+    tmax_v = tmax[0, :][:, None]
+
+    t_best = jnp.full((TILE, 1), _FLT_MAX, jnp.float32)
+    i_best = jnp.full((TILE, 1), -1, jnp.int32)
+    u_best = jnp.zeros((TILE, 1), jnp.float32)
+    v_best = jnp.zeros((TILE, 1), jnp.float32)
+
+    for k in range(t_pad // T_CHUNK):
+        sl = slice(k * T_CHUNK, (k + 1) * T_CHUNK)
+        v0x = ax[0, sl][None, :]
+        v0y = ay[0, sl][None, :]
+        v0z = az[0, sl][None, :]
+        g1x = e1x[0, sl][None, :]
+        g1y = e1y[0, sl][None, :]
+        g1z = e1z[0, sl][None, :]
+        g2x = e2x[0, sl][None, :]
+        g2y = e2y[0, sl][None, :]
+        g2z = e2z[0, sl][None, :]
+        # h = cross(d, edge2)
+        hx = d2 * g2z - d3 * g2y
+        hy = d3 * g2x - d1 * g2z
+        hz = d1 * g2y - d2 * g2x
+        a = g1x * hx + g1y * hy + g1z * hz
+        parallel = jnp.abs(a) < 1e-7  # intersections.h:55
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx = o1 - v0x
+        sy = o2 - v0y
+        sz = o3 - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        # q = cross(s, edge1)
+        qx = sy * g1z - sz * g1y
+        qy = sz * g1x - sx * g1z
+        qz = sx * g1y - sy * g1x
+        v = f * (d1 * qx + d2 * qy + d3 * qz)
+        t = f * (g2x * qx + g2y * qy + g2z * qz)
+        bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+               | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+        ts = jnp.where(bad, _FLT_MAX, t)
+        tloc = jnp.min(ts, axis=1, keepdims=True)
+        jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
+        better = tloc < t_best
+        t_best = jnp.where(better, tloc, t_best)
+        i_best = jnp.where(better, jloc + k * T_CHUNK, i_best)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, T_CHUNK), 1)
+        sel = rows == jloc
+        u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+        v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+        u_best = jnp.where(better, u_pick, u_best)
+        v_best = jnp.where(better, v_pick, v_best)
+
+    t_out[0, :] = t_best[:, 0]
+    i_out[0, :] = i_best[:, 0]
+    u_out[0, :] = u_best[:, 0]
+    v_out[0, :] = v_best[:, 0]
+
+
+def tris_hit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
+                 interpret: bool = False):
+    """Component-SoA entry: origin/direction are V3 of [N]; v0/e1/e2 are V3
+    of [T] (e1/e2 = precomputed edges)."""
+    return _tris_hit_impl(origin.x, origin.y, origin.z,
+                          direction.x, direction.y, direction.z,
+                          v0.x, v0.y, v0.z, e1.x, e1.y, e1.z,
+                          e2.x, e2.y, e2.z, t_min, t_max, interpret)
+
+
+def tris_hit_pallas(origin: jnp.ndarray, direction: jnp.ndarray,
+                    v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
+                    t_min: float, t_max, interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[N,3]-interface convenience wrapper. Returns (t, tri_idx, u, v)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    return _tris_hit_impl(
+        origin[:, 0], origin[:, 1], origin[:, 2],
+        direction[:, 0], direction[:, 1], direction[:, 2],
+        v0[:, 0], v0[:, 1], v0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
+        e2[:, 0], e2[:, 1], e2[:, 2], t_min, t_max, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
+                   v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                   t_min: float, t_max, interpret: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nearest triangle hit for N rays. Returns (t, tri_idx, u, v)."""
+    n = ox.shape[0]
+    t = v0x.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    t_pad = ((t + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
+
+    def pad_n(a, fill):
+        if n_pad != n:
+            a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
+        return a.reshape(1, n_pad)
+
+    def pad_t(a):
+        if t_pad != t:
+            # inf sentinel → NaN edges → always-miss (kernels.cu:202)
+            a = jnp.concatenate([a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
+        return a.reshape(1, t_pad)
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        pad_n(ox, 0.0), pad_n(oy, 0.0), pad_n(oz, 0.0),
+        pad_n(dx, 1.0), pad_n(dy, 0.0), pad_n(dz, 0.0),
+        pad_n(t_max_b, 0.0),
+        pad_t(v0x), pad_t(v0y), pad_t(v0z),
+        pad_t(e1x), pad_t(e1y), pad_t(e1z),
+        pad_t(e2x), pad_t(e2y), pad_t(e2z),
+    ]
+
+    grid = (n_pad // TILE,)
+    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out, idx, uu, vv = pl.pallas_call(
+        functools.partial(_kernel, t_min=float(t_min), t_pad=t_pad),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        out_specs=(ray_spec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+        interpret=interpret,
+    )(*args)
+    return out[0, :n], idx[0, :n], uu[0, :n], vv[0, :n]

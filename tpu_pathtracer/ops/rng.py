@@ -80,14 +80,32 @@ def uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
     return (bits >> _U32(8)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
+def bounce_base(pixel_id: jnp.ndarray, sample: jnp.ndarray,
+                bounce: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane base counter for one bounce's draw block."""
+    return _combine(_combine(pcg_hash(pixel_id), sample),
+                    jnp.asarray(bounce, _U32) + _U32(SALT_BOUNCE))
+
+
+def camera_base(pixel_id: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane base counter for the primary-ray draw block."""
+    return _combine(_combine(pcg_hash(pixel_id), sample), SALT_CAMERA)
+
+
+def slot_uniform(base: jnp.ndarray, slot: int) -> jnp.ndarray:
+    """The ``slot``-th uniform of a draw block — a dense [N] array
+    (component-SoA friendly: no [N, slots] minor-dim lane padding)."""
+    return uniform_from_bits(pcg_hash(base + _U32(slot) * _U32(0x9E3779B9)))
+
+
 def bounce_uniforms(pixel_id: jnp.ndarray, sample: jnp.ndarray, bounce: jnp.ndarray,
                     num_slots: int = NUM_BOUNCE_SLOTS) -> jnp.ndarray:
     """Draw block for one bounce: shape ``pixel_id.shape + (num_slots,)``.
 
     Each element is hash(pixel, sample, bounce, slot) — fully parallel.
+    (Interleaved variant of :func:`slot_uniform` — same values.)
     """
-    base = _combine(_combine(pcg_hash(pixel_id), sample),
-                    jnp.asarray(bounce, _U32) + _U32(SALT_BOUNCE))
+    base = bounce_base(pixel_id, sample, bounce)
     slots = jnp.arange(num_slots, dtype=_U32)
     bits = pcg_hash(base[..., None] + slots * _U32(0x9E3779B9))
     return uniform_from_bits(bits)
@@ -95,10 +113,29 @@ def bounce_uniforms(pixel_id: jnp.ndarray, sample: jnp.ndarray, bounce: jnp.ndar
 
 def camera_uniforms(pixel_id: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
     """Draw block for primary-ray generation: ``[..., NUM_CAMERA_SLOTS]``."""
-    base = _combine(_combine(pcg_hash(pixel_id), sample), SALT_CAMERA)
+    base = camera_base(pixel_id, sample)
     slots = jnp.arange(NUM_CAMERA_SLOTS, dtype=_U32)
     bits = pcg_hash(base[..., None] + slots * _U32(0x9E3779B9))
     return uniform_from_bits(bits)
+
+
+def in_unit_sphere_v3(u1: jnp.ndarray, u2: jnp.ndarray, u3: jnp.ndarray):
+    """Uniform point in the unit ball as component-SoA V3 (same transform
+    as :func:`in_unit_sphere`)."""
+    from tpu_pathtracer.ops.v3 import V3
+
+    z = 1.0 - 2.0 * u1
+    phi = (2.0 * jnp.pi) * u2
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    r = jnp.cbrt(u3)
+    return V3(r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z)
+
+
+def in_unit_disk_xy(u1: jnp.ndarray, u2: jnp.ndarray):
+    """Uniform point in the unit disk → (x, y) component arrays."""
+    r = jnp.sqrt(u1)
+    theta = (2.0 * jnp.pi) * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
 def in_unit_sphere(u1: jnp.ndarray, u2: jnp.ndarray, u3: jnp.ndarray) -> jnp.ndarray:

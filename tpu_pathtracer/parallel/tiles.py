@@ -56,6 +56,48 @@ def _render_tiles(scene: Scene, camera: Camera, config: RenderConfig,
     return fn(scene, camera, pixel_ids, s0)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "num_pixels", "mesh"))
+def _render_tiles_regen(scene: Scene, camera: Camera, config: RenderConfig,
+                        offsets: jnp.ndarray, ns: jnp.ndarray,
+                        num_pixels: int, mesh: Mesh) -> jnp.ndarray:
+    from tpu_pathtracer.engine.regen import render_regen
+
+    def per_device(scene, camera, offset, ns):
+        return render_regen(scene, camera, config, ns=ns,
+                            pixel_offset=offset[0],
+                            num_pixels=num_pixels)
+
+    fn = _shard_map(per_device, mesh=mesh,
+                    in_specs=(P(), P(), P(AXIS), P()),
+                    out_specs=P(AXIS))
+    return fn(scene, camera, offsets, ns)
+
+
+def render_image_tiled_regen(scene: Scene, camera: Camera,
+                             config: RenderConfig,
+                             devices: Optional[Sequence[jax.Device]] = None,
+                             ns: Optional[int] = None) -> np.ndarray:
+    """Tile-sharded render using the regeneration engine: each device owns
+    a contiguous pixel stripe and runs its own regen loop to completion —
+    zero collectives anywhere, one device→host gather of tiles at the end.
+    Bit-identical per-path radiance to the single-chip regen render."""
+    mesh = make_tile_mesh(devices)
+    d = mesh.devices.size
+    n = config.num_pixels
+    per_dev = (n + d - 1) // d
+    offsets = jnp.asarray(np.arange(d, dtype=np.uint32) * per_dev)
+    sharding = NamedSharding(mesh, P(AXIS))
+    offsets = jax.device_put(offsets, sharding)
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    camera = jax.device_put(camera, NamedSharding(mesh, P()))
+    # NOTE: per_dev*d may exceed n; tail lanes render clamped pixel ids and
+    # are dropped below.
+    cfg = config.replace(nx=config.nx, ny=config.ny)
+    fb = _render_tiles_regen(scene, camera, cfg, offsets,
+                             jnp.uint32(ns or config.ns), per_dev, mesh)
+    return np.asarray(fb)[:n].reshape(config.ny, config.nx, 3)
+
+
 def render_image_tiled(scene: Scene, camera: Camera, config: RenderConfig,
                        devices: Optional[Sequence[jax.Device]] = None,
                        report_stats: bool = False):

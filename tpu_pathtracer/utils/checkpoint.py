@@ -1,0 +1,78 @@
+"""Accumulation-buffer checkpoint / resume.
+
+The reference has no runtime checkpointing; resuming a render from a
+saved file is on its wish-list (SURVEY §5, TODO.txt:70). For 1000-spp
+frames (BASELINE config 5) it's cheap and valuable: the checkpoint is the
+linear radiance *sum* buffer plus the number of samples completed —
+because the RNG is counter-based, resuming at sample k reproduces exactly
+the samples a straight run would have traced.
+
+Format: ``CKPT_00.01`` header, nx, ny, samples_done, float32 sum buffer.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Callable, Optional
+
+import numpy as np
+
+CKPT_HEADER = b"CKPT_00.01"
+
+
+def save_checkpoint(path: str, sum_buffer: np.ndarray, samples_done: int) -> None:
+    ny, nx, _ = sum_buffer.shape
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(CKPT_HEADER)
+        f.write(struct.pack("<iii", nx, ny, samples_done))
+        f.write(np.ascontiguousarray(sum_buffer, np.float32).tobytes())
+    os.replace(tmp, path)  # atomic: a torn write never corrupts the ckpt
+
+
+def load_checkpoint(path: str):
+    """Returns (sum_buffer [ny,nx,3], samples_done) or None if absent."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        header = f.read(len(CKPT_HEADER))
+        if header != CKPT_HEADER:
+            raise ValueError(f"invalid checkpoint header {header!r}")
+        nx, ny, done = struct.unpack("<iii", f.read(12))
+        data = np.frombuffer(f.read(nx * ny * 12), np.float32)
+    return data.reshape(ny, nx, 3).copy(), done
+
+
+def render_with_checkpoints(scene, camera, config, path: str,
+                            batch: int = 16,
+                            progress: Optional[Callable[[int, int], None]] = None
+                            ) -> np.ndarray:
+    """Progressive render: trace ``batch`` samples at a time, checkpoint
+    after each batch, resume automatically if ``path`` exists. Returns the
+    final mean-radiance image [ny, nx, 3].
+
+    Uses the regeneration engine with dynamic sample offsets — sample
+    indices [done, done+batch) are traced exactly as a straight run would.
+    """
+    from tpu_pathtracer.engine.regen import render_sample_range
+
+    state = load_checkpoint(path)
+    if state is None:
+        acc = np.zeros((config.ny, config.nx, 3), np.float32)
+        done = 0
+    else:
+        acc, done = state
+        if acc.shape != (config.ny, config.nx, 3):
+            raise ValueError("checkpoint resolution mismatch")
+
+    while done < config.ns:
+        take = min(batch, config.ns - done)
+        part = render_sample_range(scene, camera, config, done, take)
+        acc = acc + np.asarray(part)  # part is a SUM over `take` samples
+        done += take
+        save_checkpoint(path, acc, done)
+        if progress is not None:
+            progress(done, config.ns)
+
+    return acc / config.ns
