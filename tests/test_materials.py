@@ -60,7 +60,8 @@ def test_metal_mirror_and_fuzz():
     out, _ = _scatter(sc.METAL, param=0.0)
     want = wo - 2 * np.dot(wo, [0, 1, 0]) * np.array([0, 1, 0])
     want /= np.linalg.norm(want)
-    np.testing.assert_allclose(np.asarray(out.wi), want[None, :], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.wi),
+                               np.tile(want, (len(out.wi), 1)), atol=1e-5)
     assert np.all(np.asarray(out.specular))
     # fuzz spreads directions
     out2, _ = _scatter(sc.METAL, param=0.3)

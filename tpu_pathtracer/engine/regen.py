@@ -46,7 +46,8 @@ def _pool_size(config: RenderConfig, num_pixels: int) -> int:
 def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
                  ns=None, pixel_offset: int = 0,
                  num_pixels: int | None = None, s0=0,
-                 normalize: bool = True) -> jnp.ndarray:
+                 normalize: bool = True,
+                 return_iters: bool = False):
     """Render ``[num_pixels, 3]`` radiance with a pixel-stationary pool.
 
     ``pixel_offset``/``num_pixels`` select a contiguous pixel range (the
@@ -71,7 +72,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
 
     def body(carry):
         (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,
-         done) = carry
+         done, iters) = carry
 
         # ---- reap dead lanes: accumulate, maybe flush pixel, restart ----
         dead = ~state.alive & ~done
@@ -117,10 +118,10 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
         state = state._replace(alive=state.alive & (bounce < config.max_depth))
 
         return (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,
-                done)
+                done, iters + 1)
 
     def cond(carry):
-        done = carry[-1]
+        done = carry[-2]
         return ~jnp.all(done)
 
     zeros_rm = jnp.zeros((rounds, m), jnp.float32)
@@ -131,12 +132,17 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
         alive=jnp.zeros((m,), bool))
     carry = (zeros_rm, zeros_rm, zeros_rm, init_state, V3.zeros((m,)),
              jnp.zeros((m,), jnp.uint32), jnp.zeros((m,), jnp.int32),
-             jnp.zeros((m,), jnp.int32), jnp.zeros((m,), bool))
-    out_x, out_y, out_z, *_ = jax.lax.while_loop(cond, body, carry)
+             jnp.zeros((m,), jnp.int32), jnp.zeros((m,), bool),
+             jnp.int32(0))
+    out = jax.lax.while_loop(cond, body, carry)
+    out_x, out_y, out_z = out[0], out[1], out[2]
 
     flat = jnp.stack([out_x.reshape(-1), out_y.reshape(-1),
                       out_z.reshape(-1)], axis=-1)  # pixel p = r*M + lane
-    return flat[:n] * inv_ns
+    fb = flat[:n] * inv_ns
+    if return_iters:
+        return fb, out[-1]
+    return fb
 
 
 @functools.partial(jax.jit, static_argnames=("config", "normalize"))

@@ -46,42 +46,117 @@ def _on_tpu(config: RenderConfig) -> bool:
     return jax.default_backend() == "tpu" and not config.interpret
 
 
+class MatCols(NamedTuple):
+    """Per-lane material columns (the `material` row each lane hit,
+    helper_structs.h:133–138 extended) — fetched inside the intersection
+    kernels on TPU, gathered on CPU."""
+    mtype: jnp.ndarray        # [N] int32
+    color: V3
+    color2: V3
+    param: jnp.ndarray
+    param2: jnp.ndarray
+    absorption: V3
+    scatter_dist: jnp.ndarray
+    tex_id: jnp.ndarray       # [N] int32
+
+    @staticmethod
+    def zeros(n: int) -> "MatCols":
+        z = jnp.zeros((n,))
+        zi = jnp.zeros((n,), jnp.int32)
+        return MatCols(zi, V3.zeros((n,)), V3.zeros((n,)), z, z,
+                       V3.zeros((n,)), z, zi)
+
+
+def _cols_where(mask: jnp.ndarray, a: MatCols, b: MatCols) -> MatCols:
+    return jax.tree.map(lambda x, y: jnp.where(mask, x, y), a, b)
+
+
+def _gather_cols(mats, mat_id: jnp.ndarray) -> MatCols:
+    """CPU path: material columns via jnp gathers."""
+    g = lambda a: a[mat_id]
+    g3 = lambda a: V3(a[:, 0][mat_id], a[:, 1][mat_id], a[:, 2][mat_id])
+    return MatCols(mtype=g(mats.mtype), color=g3(mats.color),
+                   color2=g3(mats.color2), param=g(mats.param),
+                   param2=g(mats.param2), absorption=g3(mats.absorption),
+                   scatter_dist=g(mats.scatter_dist), tex_id=g(mats.tex_id))
+
+
+def _material_table(mats, ids: jnp.ndarray) -> jnp.ndarray:
+    """[len(ids), 14] material columns joined by id (host-side prep for the
+    in-kernel feature fetch)."""
+    cols = [mats.mtype.astype(jnp.float32)[ids],
+            mats.color[:, 0][ids], mats.color[:, 1][ids],
+            mats.color[:, 2][ids],
+            mats.color2[:, 0][ids], mats.color2[:, 1][ids],
+            mats.color2[:, 2][ids],
+            mats.param[ids], mats.param2[ids],
+            mats.absorption[:, 0][ids], mats.absorption[:, 1][ids],
+            mats.absorption[:, 2][ids],
+            mats.scatter_dist[ids], mats.tex_id.astype(jnp.float32)[ids]]
+    return jnp.stack(cols, axis=1)
+
+
+def _cols_from_feats(f, off: int) -> MatCols:
+    """Decode the 14 material columns out of kernel feature outputs."""
+    return MatCols(
+        mtype=f[off + 0].astype(jnp.int32),
+        color=V3(f[off + 1], f[off + 2], f[off + 3]),
+        color2=V3(f[off + 4], f[off + 5], f[off + 6]),
+        param=f[off + 7], param2=f[off + 8],
+        absorption=V3(f[off + 9], f[off + 10], f[off + 11]),
+        scatter_dist=f[off + 12],
+        tex_id=f[off + 13].astype(jnp.int32))
+
+
 class SceneView(NamedTuple):
     """Per-call component-SoA view of the scene's hot arrays. Built once
     per traced function (outside the bounce loop) so the slices are loop
     invariants."""
     sph_c: Optional[V3]            # sphere centers, [S] components
     sph_r: Optional[jnp.ndarray]   # [S]
+    sph_feat: Optional[jnp.ndarray]  # [S, 18] center,radius + material cols
     tri_v0: Optional[V3]           # [T] components
     tri_e1: Optional[V3]
     tri_e2: Optional[V3]
+    tri_feat: Optional[jnp.ndarray]  # [T, 26] e1,e2,tc + material cols
     atlas: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]  # [K,H,W] ×3
 
 
 def make_view(scene: Scene) -> SceneView:
-    sph_c = sph_r = None
+    sph_c = sph_r = sph_feat = None
     if scene.has_spheres:
         sph_c = V3.from_array(scene.sphere_center)
         sph_r = scene.sphere_radius
-    tri_v0 = tri_e1 = tri_e2 = None
+        sph_feat = jnp.concatenate(
+            [scene.sphere_center, sph_r[:, None],
+             _material_table(scene.materials, scene.sphere_mat)], axis=1)
+    tri_v0 = tri_e1 = tri_e2 = tri_feat = None
     if scene.has_mesh:
         m = scene.mesh
         tri_v0 = V3.from_array(m.v0)
         tri_e1 = V3.from_array(m.v1) - tri_v0
         tri_e2 = V3.from_array(m.v2) - tri_v0
+        safe_mid = jnp.clip(m.mesh_id, 0, scene.materials.count - 1)
+        tri_feat = jnp.concatenate(
+            [jnp.nan_to_num(m.v1 - m.v0, posinf=0.0, neginf=0.0),
+             jnp.nan_to_num(m.v2 - m.v0, posinf=0.0, neginf=0.0),
+             m.tex_coords,
+             _material_table(scene.materials, safe_mid)], axis=1)
     atlas = None
     if scene.has_textures:
         a = scene.tex_atlas
         atlas = (a[..., 0], a[..., 1], a[..., 2])
-    return SceneView(sph_c, sph_r, tri_v0, tri_e1, tri_e2, atlas)
+    return SceneView(sph_c, sph_r, sph_feat, tri_v0, tri_e1, tri_e2,
+                     tri_feat, atlas)
 
 
 class Intersection(NamedTuple):
-    """SoA `intersection` (helper_structs.h:16–36)."""
+    """SoA `intersection` (helper_structs.h:16–36) + the hit material's
+    columns (fetched in-kernel on TPU, gathered on CPU)."""
     obj: jnp.ndarray      # [N] int32 OBJ_* id
     t: jnp.ndarray        # [N]
     normal: V3            # flipped to face the ray (kernels.cu:354)
-    mat_id: jnp.ndarray   # [N] int32
+    cols: "MatCols"       # material of the hit surface
     tex_u: jnp.ndarray    # [N]
     tex_v: jnp.ndarray    # [N]
 
@@ -189,46 +264,78 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
     t = jnp.full((n,), FLT_MAX)
     obj = jnp.full((n,), sc.OBJ_NONE, jnp.int32)
     normal = V3.zeros((n,))
-    mat_id = jnp.zeros((n,), jnp.int32)
+    cols = MatCols.zeros(n)
     tex_u = jnp.zeros((n,))
     tex_v = jnp.zeros((n,))
 
     if scene.has_mesh:
         mesh = scene.mesh
-        res = _mesh_nearest(scene, view, config, origin, direction, eps,
-                            FLT_MAX)
-        hit = res.tri_id >= 0
-        tri = jnp.maximum(res.tri_id, 0)
-        e1 = V3(view.tri_e1.x[tri], view.tri_e1.y[tri], view.tri_e1.z[tri])
-        e2 = V3(view.tri_e2.x[tri], view.tri_e2.y[tri], view.tri_e2.z[tri])
+        if (_on_tpu(config) and config.use_bvh
+                and mesh.num_tris <= TRI_BRUTE_MAX):
+            from tpu_pathtracer.ops.pallas_tris import tris_hit_feat
+            tt, tri_id, u, vv, f = tris_hit_feat(
+                origin, direction, view.tri_v0, view.tri_e1, view.tri_e2,
+                view.tri_feat, eps, FLT_MAX)
+            hit = tri_id >= 0
+            e1 = V3(f[0], f[1], f[2])
+            e2 = V3(f[3], f[4], f[5])
+            w0 = 1.0 - u - vv
+            tu = u * f[8] + vv * f[10] + w0 * f[6]
+            tv = u * f[9] + vv * f[11] + w0 * f[7]
+            mcols = _cols_from_feats(f, 12)
+            res_t = tt
+        else:
+            res = _mesh_nearest(scene, view, config, origin, direction, eps,
+                                FLT_MAX)
+            hit = res.tri_id >= 0
+            tri = jnp.maximum(res.tri_id, 0)
+            e1 = V3(view.tri_e1.x[tri], view.tri_e1.y[tri],
+                    view.tri_e1.z[tri])
+            e2 = V3(view.tri_e2.x[tri], view.tri_e2.y[tri],
+                    view.tri_e2.z[tri])
+            tc = mesh.tex_coords
+            u, vv = res.u, res.v
+            w0 = 1.0 - u - vv
+            # barycentric texcoord interpolation, kernels.cu:337–338
+            tu = u * tc[:, 2][tri] + vv * tc[:, 4][tri] + w0 * tc[:, 0][tri]
+            tv = u * tc[:, 3][tri] + vv * tc[:, 5][tri] + w0 * tc[:, 1][tri]
+            mcols = _gather_cols(scene.materials,
+                                 jnp.clip(mesh.mesh_id[tri], 0,
+                                          scene.materials.count - 1))
+            res_t = res.t
         nrm = e1.cross(e2).normalized()  # kernels.cu:336
-        tc = mesh.tex_coords
-        u, vv = res.u, res.v
-        w0 = 1.0 - u - vv
-        # barycentric texcoord interpolation, kernels.cu:337–338
-        tu = u * tc[:, 2][tri] + vv * tc[:, 4][tri] + w0 * tc[:, 0][tri]
-        tv = u * tc[:, 3][tri] + vv * tc[:, 5][tri] + w0 * tc[:, 1][tri]
-        win = hit & (res.t < t)
-        t = jnp.where(win, res.t, t)
+        win = hit & (res_t < t)
+        t = jnp.where(win, res_t, t)
         obj = jnp.where(win, sc.OBJ_TRIMESH, obj)
         normal = vwhere(win, nrm, normal)
-        mat_id = jnp.where(win, mesh.mesh_id[tri], mat_id)
+        cols = _cols_where(win, mcols, cols)
         tex_u = jnp.where(win, tu, tex_u)
         tex_v = jnp.where(win, tv, tex_v)
 
     if scene.has_spheres:
-        st, sidx = _spheres_nearest(view, config, origin, direction, eps,
-                                    FLT_MAX)
-        sidx = jnp.maximum(sidx, 0)
+        if _on_tpu(config):
+            from tpu_pathtracer.ops.pallas_spheres import spheres_hit_feat
+            st, sidx, f = spheres_hit_feat(origin, direction, view.sph_c,
+                                           view.sph_r, view.sph_feat, eps,
+                                           FLT_MAX)
+            center = V3(f[0], f[1], f[2])
+            radius = f[3]
+            scols = _cols_from_feats(f, 4)
+        else:
+            st, sidx = _spheres_nearest(view, config, origin, direction,
+                                        eps, FLT_MAX)
+            sidx = jnp.maximum(sidx, 0)
+            center = V3(view.sph_c.x[sidx], view.sph_c.y[sidx],
+                        view.sph_c.z[sidx])
+            radius = view.sph_r[sidx]
+            scols = _gather_cols(scene.materials, scene.sphere_mat[sidx])
         win = st < t
-        center = V3(view.sph_c.x[sidx], view.sph_c.y[sidx],
-                    view.sph_c.z[sidx])
         p = origin + direction * st
-        nrm = (p - center) * (1.0 / view.sph_r[sidx])
+        nrm = (p - center) * (1.0 / jnp.maximum(radius, 1e-30))
         t = jnp.where(win, st, t)
         obj = jnp.where(win, sc.OBJ_SPHERE, obj)
         normal = vwhere(win, nrm, normal)
-        mat_id = jnp.where(win, scene.sphere_mat[sidx], mat_id)
+        cols = _cols_where(win, scols, cols)
 
     if scene.has_plane:
         pt = _plane_hit(scene, origin, direction, eps, FLT_MAX)
@@ -237,7 +344,9 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
         t = jnp.where(win, pt, t)
         obj = jnp.where(win, sc.OBJ_PLANE, obj)
         normal = vwhere(win, V3.full((n,), nrm[0], nrm[1], nrm[2]), normal)
-        mat_id = jnp.where(win, scene.plane_mat, mat_id)
+        pcols = _gather_cols(scene.materials,
+                             jnp.broadcast_to(scene.plane_mat, (n,)))
+        cols = _cols_where(win, pcols, cols)
 
     if scene.use_nee:
         # light sphere only for specular rays with no surface hit
@@ -251,7 +360,7 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
     # flip normal to face the ray (kernels.cu:354–355)
     flip = direction.dot(normal) > 0.0
     normal = vwhere(flip, -normal, normal)
-    return Intersection(obj=obj, t=t, normal=normal, mat_id=mat_id,
+    return Intersection(obj=obj, t=t, normal=normal, cols=cols,
                         tex_u=tex_u, tex_v=tex_v)
 
 
@@ -284,15 +393,13 @@ def sky_radiance(scene: Scene, direction: V3) -> V3:
 
 
 def resolve_albedo(scene: Scene, view: SceneView, config: RenderConfig,
-                   mat_id: jnp.ndarray, tex_u: jnp.ndarray,
+                   cols: MatCols, tex_u: jnp.ndarray,
                    tex_v: jnp.ndarray, use_tex: jnp.ndarray) -> V3:
     """Texture-or-color albedo (kernels.cu:456–476)."""
-    mats = scene.materials
-    base = V3(mats.color[:, 0][mat_id], mats.color[:, 1][mat_id],
-              mats.color[:, 2][mat_id])
+    base = cols.color
     if not (scene.has_textures and config.textures):
         return base
-    tid = mats.tex_id[mat_id]
+    tid = cols.tex_id
     tid_c = jnp.maximum(tid, 0)
     w = scene.tex_width[tid_c]
     h = scene.tex_height[tid_c]
@@ -394,21 +501,16 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
     alive = surf
 
     # ---- scatter (kernels.cu:452–489)
-    mats = scene.materials
-    mid = jnp.where(surf, inters.mat_id, 0)
-    albedo = resolve_albedo(scene, view, config, mid, inters.tex_u,
+    cols = inters.cols
+    albedo = resolve_albedo(scene, view, config, cols, inters.tex_u,
                             inters.tex_v, inters.obj == sc.OBJ_TRIMESH)
     hit_p = state.origin + state.direction * inters.t
     out = _m.scatter(
         wo=state.direction, normal=inters.normal, hit_t=inters.t,
         hit_p=hit_p, inside=state.inside,
-        mtype=mats.mtype[mid], albedo=albedo,
-        color2=V3(mats.color2[:, 0][mid], mats.color2[:, 1][mid],
-                  mats.color2[:, 2][mid]),
-        param=mats.param[mid], param2=mats.param2[mid],
-        absorption=V3(mats.absorption[:, 0][mid], mats.absorption[:, 1][mid],
-                      mats.absorption[:, 2][mid]),
-        scatter_dist=mats.scatter_dist[mid], rng_base=base)
+        mtype=cols.mtype, albedo=albedo, color2=cols.color2,
+        param=cols.param, param2=cols.param2, absorption=cols.absorption,
+        scatter_dist=cols.scatter_dist, rng_base=base)
 
     new_origin = vwhere(surf, state.origin + state.direction * out.t,
                         state.origin)

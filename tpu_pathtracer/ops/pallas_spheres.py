@@ -73,6 +73,142 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, t_out, idx_out,
     idx_out[0, :] = i_best[:, 0]
 
 
+def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat,
+                 *refs, t_min: float, s_pad: int, num_feats: int):
+    """Hit test + per-lane feature fetch.
+
+    After the nearest-hit pass, a second pass re-walks the sphere chunks
+    building a one-hot selector for each lane's winning sphere and
+    contracts it against the feature table **on the MXU** — replacing
+    per-lane HBM gathers (measured ~1.3 ms per gathered column on TPU)
+    with ~0.1 ms of matmul for all columns together.
+    """
+    t_out, idx_out = refs[0], refs[1]
+    feat_outs = refs[2:]
+    o1 = ox[0, :][:, None]
+    o2 = oy[0, :][:, None]
+    o3 = oz[0, :][:, None]
+    d1 = dx[0, :][:, None]
+    d2 = dy[0, :][:, None]
+    d3 = dz[0, :][:, None]
+    tmax_v = tmax[0, :][:, None]
+
+    t_best = jnp.full((TILE, 1), _FLT_MAX, jnp.float32)
+    i_best = jnp.full((TILE, 1), -1, jnp.int32)
+
+    num_chunks = s_pad // S_CHUNK
+    for k in range(num_chunks):
+        sl = slice(k * S_CHUNK, (k + 1) * S_CHUNK)
+        ccx = cx[0, sl][None, :]
+        ccy = cy[0, sl][None, :]
+        ccz = cz[0, sl][None, :]
+        rr2 = r2[0, sl][None, :]
+        ocx = o1 - ccx
+        ocy = o2 - ccy
+        ocz = o3 - ccz
+        b = ocx * d1 + ocy * d2 + ocz * d3
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
+        disc = b * b - c
+        ok = (disc > 0.0) & (rr2 > 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = -b - sq
+        t2 = -b + sq
+        t1v = jnp.where(ok & (t1 > t_min) & (t1 < tmax_v), t1, _FLT_MAX)
+        t2v = jnp.where(ok & (t2 > t_min) & (t2 < tmax_v), t2, _FLT_MAX)
+        ts = jnp.minimum(t1v, t2v)
+        tloc = jnp.min(ts, axis=1, keepdims=True)
+        jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
+        better = tloc < t_best
+        t_best = jnp.where(better, tloc, t_best)
+        i_best = jnp.where(better, jloc + k * S_CHUNK, i_best)
+
+    # ---- feature fetch: one-hot(i_best) @ feat, exactly in f32.
+    # HIGHEST precision keeps the fetched values bit-exact (a one-hot row
+    # sums a single table entry). NOTE: a bf16 hi/lo-split variant was
+    # measured no faster per iteration and its ~1e-5 feature error doubled
+    # total iterations (long-tail TIR-trap pixels) — exactness wins.
+    acc = jnp.zeros((TILE, feat.shape[1]), jnp.float32)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, S_CHUNK), 1)
+    for k in range(num_chunks):
+        sel = (col0 + k * S_CHUNK == i_best).astype(jnp.float32)
+        acc = acc + jnp.dot(sel, feat[k * S_CHUNK:(k + 1) * S_CHUNK, :],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    t_out[0, :] = t_best[:, 0]
+    idx_out[0, :] = i_best[:, 0]
+    for c in range(num_feats):
+        feat_outs[c][0, :] = acc[:, c]
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
+def spheres_hit_feat(origin, direction, centers, radii,
+                     feat: jnp.ndarray, t_min: float, t_max,
+                     interpret: bool = False, num_feats: int = 18):
+    """Nearest sphere hit + fused feature fetch.
+
+    origin/direction/centers: V3 component batches ([N]/[S]); radii [S];
+    feat [S, C] per-sphere feature table (material columns pre-joined).
+    Returns (t [N], idx [N], feats: tuple of C dense [N] arrays — zeros
+    for miss lanes).
+    """
+    n = origin.x.shape[0]
+    s = centers.x.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    s_pad = ((s + S_CHUNK - 1) // S_CHUNK) * S_CHUNK
+
+    def pad_n(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((n_pad - n,), fill, a.dtype)]).reshape(1, n_pad) \
+            if n_pad != n else a.reshape(1, n_pad)
+
+    def pad_s(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((s_pad - s,), fill, a.dtype)]).reshape(1, s_pad) \
+            if s_pad != s else a.reshape(1, s_pad)
+
+    radii_ = radii
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    c_pad = feat.shape[1]
+    feat_p = feat
+    if s_pad != s:
+        feat_p = jnp.concatenate(
+            [feat, jnp.zeros((s_pad - s, c_pad), feat.dtype)], axis=0)
+    args = [
+        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
+        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
+        pad_n(direction.z, 0.0),
+        pad_n(t_max_b, 0.0),
+        pad_s(centers.x, 0.0), pad_s(centers.y, 0.0), pad_s(centers.z, 0.0),
+        pad_s(radii_ * radii_ * jnp.where(radii_ > 0, 1.0, -1.0), -1.0),
+        feat_p,
+    ]
+
+    grid = (n_pad // TILE,)
+    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    sph_spec = pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    feat_spec = pl.BlockSpec((s_pad, c_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_feat, t_min=float(t_min), s_pad=s_pad,
+                          num_feats=num_feats),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [sph_spec] * 4 + [feat_spec],
+        out_specs=(ray_spec,) * (2 + num_feats),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+             jax.ShapeDtypeStruct((1, n_pad), jnp.int32)]
+            + [jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * num_feats),
+        interpret=interpret,
+    )(*args)
+    t = outs[0][0, :n]
+    idx = outs[1][0, :n]
+    feats = tuple(o[0, :n] for o in outs[2:])
+    return t, idx, feats
+
+
 def spheres_hit_soa(origin, direction, centers, radii, t_min: float, t_max,
                     interpret: bool = False):
     """Component-SoA entry: origin/direction/centers are V3 of [N]/[S]

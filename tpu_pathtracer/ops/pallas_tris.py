@@ -92,6 +92,150 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int):
     v_out[0, :] = v_best[:, 0]
 
 
+def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
+                 e2x, e2y, e2z, feat, *refs, t_min: float,
+                 t_pad: int, num_feats: int):
+    """Hit test + per-lane feature fetch (one-hot MXU contraction against
+    the per-triangle feature table — see pallas_spheres._kernel_feat)."""
+    t_out, i_out, u_out, v_out = refs[0], refs[1], refs[2], refs[3]
+    feat_outs = refs[4:]
+    o1 = ox[0, :][:, None]
+    o2 = oy[0, :][:, None]
+    o3 = oz[0, :][:, None]
+    d1 = dx[0, :][:, None]
+    d2 = dy[0, :][:, None]
+    d3 = dz[0, :][:, None]
+    tmax_v = tmax[0, :][:, None]
+
+    t_best = jnp.full((TILE, 1), _FLT_MAX, jnp.float32)
+    i_best = jnp.full((TILE, 1), -1, jnp.int32)
+    u_best = jnp.zeros((TILE, 1), jnp.float32)
+    v_best = jnp.zeros((TILE, 1), jnp.float32)
+
+    for k in range(t_pad // T_CHUNK):
+        sl = slice(k * T_CHUNK, (k + 1) * T_CHUNK)
+        v0x = ax[0, sl][None, :]
+        v0y = ay[0, sl][None, :]
+        v0z = az[0, sl][None, :]
+        g1x = e1x[0, sl][None, :]
+        g1y = e1y[0, sl][None, :]
+        g1z = e1z[0, sl][None, :]
+        g2x = e2x[0, sl][None, :]
+        g2y = e2y[0, sl][None, :]
+        g2z = e2z[0, sl][None, :]
+        hx = d2 * g2z - d3 * g2y
+        hy = d3 * g2x - d1 * g2z
+        hz = d1 * g2y - d2 * g2x
+        a = g1x * hx + g1y * hy + g1z * hz
+        parallel = jnp.abs(a) < 1e-7
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx = o1 - v0x
+        sy = o2 - v0y
+        sz = o3 - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * g1z - sz * g1y
+        qy = sz * g1x - sx * g1z
+        qz = sx * g1y - sy * g1x
+        v = f * (d1 * qx + d2 * qy + d3 * qz)
+        t = f * (g2x * qx + g2y * qy + g2z * qz)
+        bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+               | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+        ts = jnp.where(bad, _FLT_MAX, t)
+        tloc = jnp.min(ts, axis=1, keepdims=True)
+        jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
+        better = tloc < t_best
+        t_best = jnp.where(better, tloc, t_best)
+        i_best = jnp.where(better, jloc + k * T_CHUNK, i_best)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, T_CHUNK), 1)
+        sel = rows == jloc
+        u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+        v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+        u_best = jnp.where(better, u_pick, u_best)
+        v_best = jnp.where(better, v_pick, v_best)
+
+    # feature fetch: one-hot(i_best) @ feat, exactly in f32
+    # (see pallas_spheres._kernel_feat)
+    acc = jnp.zeros((TILE, feat.shape[1]), jnp.float32)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, T_CHUNK), 1)
+    for k in range(t_pad // T_CHUNK):
+        sel = (col0 + k * T_CHUNK == i_best).astype(jnp.float32)
+        acc = acc + jnp.dot(sel, feat[k * T_CHUNK:(k + 1) * T_CHUNK, :],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    t_out[0, :] = t_best[:, 0]
+    i_out[0, :] = i_best[:, 0]
+    u_out[0, :] = u_best[:, 0]
+    v_out[0, :] = v_best[:, 0]
+    for c in range(num_feats):
+        feat_outs[c][0, :] = acc[:, c]
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
+def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
+                  t_min: float, t_max, interpret: bool = False,
+                  num_feats: int = 26):
+    """Nearest triangle hit + fused per-triangle feature fetch.
+
+    feat [T, C] (edges, texcoords, material columns pre-joined).
+    Returns (t, tri_idx, u, v, feats tuple of C dense [N] arrays).
+    """
+    n = origin.x.shape[0]
+    t = v0.x.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    t_pad = ((t + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
+
+    def pad_n(a, fill):
+        if n_pad != n:
+            a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
+        return a.reshape(1, n_pad)
+
+    def pad_t(a):
+        if t_pad != t:
+            a = jnp.concatenate([a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
+        return a.reshape(1, t_pad)
+
+    c_pad = feat.shape[1]
+    feat_p = feat
+    if t_pad != t:
+        feat_p = jnp.concatenate(
+            [feat, jnp.zeros((t_pad - t, c_pad), feat.dtype)], axis=0)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
+        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
+        pad_n(direction.z, 0.0),
+        pad_n(t_max_b, 0.0),
+        pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
+        pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
+        pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
+        feat_p,
+    ]
+    grid = (n_pad // TILE,)
+    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    feat_spec = pl.BlockSpec((t_pad, c_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_feat, t_min=float(t_min), t_pad=t_pad,
+                          num_feats=num_feats),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tri_spec] * 9 + [feat_spec],
+        out_specs=(ray_spec,) * (4 + num_feats),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+             jax.ShapeDtypeStruct((1, n_pad), jnp.float32)]
+            + [jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * num_feats),
+        interpret=interpret,
+    )(*args)
+    return (outs[0][0, :n], outs[1][0, :n], outs[2][0, :n], outs[3][0, :n],
+            tuple(o[0, :n] for o in outs[4:]))
+
+
 def tris_hit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
                  interpret: bool = False):
     """Component-SoA entry: origin/direction are V3 of [N]; v0/e1/e2 are V3
