@@ -47,6 +47,9 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=64)  # main.cpp:68
     p.add_argument("-o", "--output", default=None, help=".ppm or .png")
     p.add_argument("--stats", action="store_true")
+    p.add_argument("--engine", default="regen", choices=["regen", "plain"],
+                   help="regen = pixel-stationary regeneration wavefront "
+                        "(fast); plain = batch wavefront (stats support)")
     p.add_argument("--tiled", action="store_true",
                    help="shard image tiles across all devices")
     p.add_argument("--no-bvh", action="store_true")
@@ -63,14 +66,25 @@ def main(argv=None):
     print(f"Rendering a {cfg.nx}x{cfg.ny} image with {cfg.ns} samples per "
           f"pixel and max depth {cfg.max_depth}.", file=sys.stderr)
 
+    from tpu_pathtracer.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     t0 = time.perf_counter()
-    if args.tiled:
+    stats = None
+    if args.tiled and args.engine == "regen" and not args.stats:
+        from tpu_pathtracer.parallel.tiles import render_image_tiled_regen
+        img = render_image_tiled_regen(scene, cam, cfg)
+    elif args.tiled:
         from tpu_pathtracer.parallel.tiles import render_image_tiled
         out = render_image_tiled(scene, cam, cfg, report_stats=args.stats)
+        img, stats = out if args.stats else (out, None)
+    elif args.engine == "regen" and not args.stats:
+        from tpu_pathtracer.engine.regen import render_image_regen
+        img = render_image_regen(scene, cam, cfg)
     else:
         from tpu_pathtracer.engine.render import render_image
         out = render_image(scene, cam, cfg, report_stats=args.stats)
-    img, stats = out if args.stats else (out, None)
+        img, stats = out if args.stats else (out, None)
     print(f"took {time.perf_counter() - t0:.3f} seconds.", file=sys.stderr)
 
     if stats is not None:

@@ -94,7 +94,8 @@ def test_glass_beer_lambert():
     out, _ = _scatter(sc.GLASS, param=1.5, inside=True, absorption=a, hit_t=2.0)
     # TIR branch (see above): throughput = exp(-a*t) * tint(albedo)
     want = np.exp(-np.asarray(a) * 2.0) * np.asarray([0.6, 0.5, 0.4])
-    np.testing.assert_allclose(np.asarray(out.throughput), want[None, :],
+    np.testing.assert_allclose(np.asarray(out.throughput),
+                               np.tile(want, (len(out.throughput), 1)),
                                rtol=1e-5)
 
 
@@ -113,8 +114,10 @@ def test_coat_mixes_diffuse_and_glossy():
     spec = np.asarray(out.specular)
     assert 0 < spec.mean() < 0.5  # schlick at 45° ≈ 0.05–0.3
     thr = np.asarray(out.throughput)
-    np.testing.assert_allclose(thr[spec], 1.0, atol=1e-6)
-    np.testing.assert_allclose(thr[~spec], [0.6, 0.5, 0.4], atol=1e-6)
+    np.testing.assert_allclose(thr[spec], np.ones_like(thr[spec]), atol=1e-6)
+    np.testing.assert_allclose(thr[~spec],
+                               np.tile([0.6, 0.5, 0.4], (int((~spec).sum()), 1)),
+                               atol=1e-6)
 
 
 def test_sss_free_flight():
@@ -126,7 +129,8 @@ def test_sss_free_flight():
     np.testing.assert_array_equal(refr, ~scattered)
     # non-scattered keep direction
     wo = np.array([0.0, -0.70710678, -0.70710678])
-    np.testing.assert_allclose(np.asarray(out.wi)[~scattered], wo[None, :],
+    np.testing.assert_allclose(np.asarray(out.wi)[~scattered],
+                               np.tile(wo, ((~scattered).sum(), 1)),
                                atol=1e-5)
     # throughput = exp(-a * travelled)
     travelled = np.where(scattered, d_free, 2.0)

@@ -105,10 +105,11 @@ def test_nee_specular_light_quirk():
     from tpu_pathtracer.models.scene import METAL, make_materials, make_scene
 
     mats = make_materials([dict(type=METAL, color=(1.0, 1.0, 1.0), param=0.0)])
-    # mirror at z=-2 reflecting straight back up to a light behind camera
+    # flat mirror plane at z=-2 bounces center rays back into a light
+    # sphere behind the camera
     scene_on = make_scene(
-        mats, sphere_center=[[0.0, 0.0, -3.0]], sphere_radius=[1.0],
-        sphere_mat=[0], light_center=(0.0, 0.0, 5.0), light_radius=1.0,
+        mats, plane_point=(0.0, 0.0, -2.0), plane_norm=(0.0, 0.0, 1.0),
+        plane_mat=0, light_center=(0.0, 0.0, 5.0), light_radius=2.0,
         light_color=(7.0, 7.0, 7.0), sky_color=(0.0, 0.0, 0.0), use_nee=True)
     from tpu_pathtracer.camera import make_camera
     cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 40.0, 1.0)

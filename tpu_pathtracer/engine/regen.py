@@ -64,11 +64,17 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
     inv_ns = (1.0 / ns.astype(jnp.float32)) if normalize else jnp.float32(1.0)
 
     view = make_view(scene)
+    pixel_offset = jnp.asarray(pixel_offset, jnp.uint32)
+    # varying-zero seeds: carries must match the body's sharding varyance
+    # under shard_map (pixel_offset is the per-device-varying input)
+    zf = jnp.zeros((m,), jnp.float32) + (pixel_offset * jnp.uint32(0)
+                                         ).astype(jnp.float32)
+    zb = zf != 0.0
     lane = jnp.arange(m, dtype=jnp.uint32)
     round_iota = jnp.arange(rounds, dtype=jnp.int32)[:, None]  # [R,1]
 
     def pixel_of(rnd):
-        return jnp.uint32(pixel_offset) + lane + rnd.astype(jnp.uint32) * m
+        return pixel_offset + lane + rnd.astype(jnp.uint32) * m
 
     def body(carry):
         (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,
@@ -124,16 +130,15 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
         done = carry[-2]
         return ~jnp.all(done)
 
-    zeros_rm = jnp.zeros((rounds, m), jnp.float32)
+    zeros_rm = jnp.zeros((rounds, m), jnp.float32) + zf[None, :]
+    zv = V3(zf, zf, zf)
     init_state = BounceState(
-        origin=V3.zeros((m,)), direction=V3.full((m,), 0.0, 0.0, 1.0),
-        color=V3.zeros((m,)), attenuation=V3.ones((m,)),
-        specular=jnp.zeros((m,), bool), inside=jnp.zeros((m,), bool),
-        alive=jnp.zeros((m,), bool))
-    carry = (zeros_rm, zeros_rm, zeros_rm, init_state, V3.zeros((m,)),
-             jnp.zeros((m,), jnp.uint32), jnp.zeros((m,), jnp.int32),
-             jnp.zeros((m,), jnp.int32), jnp.zeros((m,), bool),
-             jnp.int32(0))
+        origin=zv, direction=V3(zf, zf, zf + 1.0),
+        color=zv, attenuation=V3(zf + 1, zf + 1, zf + 1),
+        specular=zb, inside=zb, alive=zb)
+    carry = (zeros_rm, zeros_rm, zeros_rm, init_state, zv,
+             zf.astype(jnp.uint32), zf.astype(jnp.int32),
+             zf.astype(jnp.int32), zb, jnp.int32(0))
     out = jax.lax.while_loop(cond, body, carry)
     out_x, out_y, out_z = out[0], out[1], out[2]
 

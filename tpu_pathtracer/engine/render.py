@@ -56,9 +56,13 @@ def sample_sum(scene: Scene, camera: Camera, config: RenderConfig,
         stats = jax.tree.map(lambda a, b: a + b, stats, st)
         return acc + col, stats
 
+    # inits derived from inputs so carry varyance matches under shard_map
+    zf = pixel_ids.astype(jnp.float32) * 0.0
+    zstat = jnp.sum(zf).astype(jnp.int32)
     return jax.lax.fori_loop(
         0, ns, body,
-        (jnp.zeros((pixel_ids.shape[0], 3), jnp.float32), Stats.zeros()))
+        (jnp.zeros((pixel_ids.shape[0], 3), jnp.float32) + zf[:, None],
+         jax.tree.map(lambda s: s + zstat, Stats.zeros())))
 
 
 @functools.partial(jax.jit, static_argnames=("config", "ns"))

@@ -567,11 +567,13 @@ def trace(scene: Scene, camera: Camera, config: RenderConfig,
     view = make_view(scene)
     origin, direction = camera.generate_rays(pixel_id, sample,
                                              config.nx, config.ny)
+    # inits derived from inputs: carry varyance matches under shard_map
+    zf = pixel_id.astype(jnp.float32) * 0.0
+    zb = zf != 0.0
     state = BounceState(
         origin=origin, direction=direction,
-        color=V3.zeros((n,)), attenuation=V3.ones((n,)),
-        specular=jnp.zeros((n,), bool), inside=jnp.zeros((n,), bool),
-        alive=jnp.ones((n,), bool),
+        color=V3(zf, zf, zf), attenuation=V3(zf + 1, zf + 1, zf + 1),
+        specular=zb, inside=zb, alive=~zb,
     )
 
     def cond(carry):
@@ -587,7 +589,9 @@ def trace(scene: Scene, camera: Camera, config: RenderConfig,
             stats = carry[2]
         return state, bounce + 1, stats
 
-    carry = (state, jnp.int32(0), Stats.zeros())
+    zstat = jnp.sum(zf).astype(jnp.int32)  # varying scalar zero
+    carry = (state, jnp.int32(0), jax.tree.map(lambda s: s + zstat,
+                                               Stats.zeros()))
     state, bounce, stats = jax.lax.while_loop(cond, body, carry)
     if config.stats:
         stats = stats._replace(

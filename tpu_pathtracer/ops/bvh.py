@@ -334,13 +334,16 @@ def traverse(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
             new_idx = jnp.where(hit_any, 0, new_idx)
         return (new_idx, new_bs, closest, tri_id, uu, vv)
 
+    # inits derived from the input so carry varyance matches under shard_map
+    zf = origin[:, 0] * 0.0
+    zi = zf.astype(jnp.int32)
     init = (
-        jnp.ones((N,), jnp.int32),       # idx = 1, kernels.cu:155
-        jnp.ones((N,), _U32),            # bitStack = 1, kernels.cu:157
-        t_max_b,                         # closest = t_max, kernels.cu:156
-        jnp.full((N,), -1, jnp.int32),
-        jnp.zeros((N,), jnp.float32),
-        jnp.zeros((N,), jnp.float32),
+        zi + 1,                          # idx = 1, kernels.cu:155
+        zi.astype(_U32) + _U32(1),       # bitStack = 1, kernels.cu:157
+        t_max_b + zf,                    # closest = t_max, kernels.cu:156
+        zi - 1,
+        zf,
+        zf,
     )
     _, _, closest, tri_id, uu, vv = jax.lax.while_loop(cond, body, init)
     return TraceResult(t=closest, tri_id=tri_id, u=uu, v=vv)
@@ -386,8 +389,7 @@ def brute_force(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
         vv = jnp.where(won, tv[rows, j], vv)
         return (closest, tri_id, uu, vv, base + chunk), None
 
-    init = (t_max_b, jnp.full((N,), -1, jnp.int32),
-            jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.float32),
-            jnp.int32(0))
+    zf = origin[:, 0] * 0.0
+    init = (t_max_b + zf, zf.astype(jnp.int32) - 1, zf, zf, jnp.int32(0))
     (closest, tri_id, uu, vv, _), _ = jax.lax.scan(step, init, (v0, v1, v2))
     return TraceResult(t=closest, tri_id=tri_id, u=uu, v=vv)

@@ -92,8 +92,10 @@ def spheres_hit(origin: jnp.ndarray, direction: jnp.ndarray,
         i_best = jnp.where(better, base + j.astype(jnp.int32), i_best)
         return (t_best, i_best, base + chunk), None
 
-    init = (jnp.full((n,), FLT_MAX), jnp.full((n,), -1, jnp.int32),
-            jnp.int32(0))
+    # derive inits from the input so the carry matches the body's sharding
+    # varyance under shard_map (axis-agnostic alternative to lax.pvary)
+    zf = origin[:, 0] * 0.0
+    init = (zf + FLT_MAX, zf.astype(jnp.int32) - 1, jnp.int32(0))
     (t_best, i_best, _), _ = jax.lax.scan(step, init, (cen, rad))
     return t_best, jnp.maximum(i_best, 0)
 

@@ -73,18 +73,20 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, t_out, idx_out,
     idx_out[0, :] = i_best[:, 0]
 
 
-def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat,
-                 *refs, t_min: float, s_pad: int, num_feats: int):
+def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat_t,
+                 t_out, idx_out, feat_out, *, t_min: float, s_pad: int,
+                 num_feats: int):
     """Hit test + per-lane feature fetch.
 
     After the nearest-hit pass, a second pass re-walks the sphere chunks
     building a one-hot selector for each lane's winning sphere and
-    contracts it against the feature table **on the MXU** — replacing
-    per-lane HBM gathers (measured ~1.3 ms per gathered column on TPU)
-    with ~0.1 ms of matmul for all columns together.
+    contracts it against the (transposed) feature table **on the MXU** —
+    replacing per-lane HBM gathers (measured ~1.3 ms per gathered column
+    on TPU) with ~0.1 ms of matmul for all columns together. The result is
+    produced feature-major ``(C, TILE)`` into a single ``[C, N]`` output —
+    per-column ``(1, TILE)`` outputs were measured to cost ~3 ms/call in
+    Mosaic output handling.
     """
-    t_out, idx_out = refs[0], refs[1]
-    feat_outs = refs[2:]
     o1 = ox[0, :][:, None]
     o2 = oy[0, :][:, None]
     o3 = oz[0, :][:, None]
@@ -109,7 +111,9 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat,
         b = ocx * d1 + ocy * d2 + ocz * d3
         c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
         disc = b * b - c
-        ok = (disc > 0.0) & (rr2 > 0.0)
+        # padding spheres carry r2 = -1, so c = |oc|^2 + 1 > b^2 and
+        # disc < 0 by Cauchy-Schwarz — no explicit validity test needed
+        ok = disc > 0.0
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = -b - sq
         t2 = -b + sq
@@ -122,23 +126,34 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat,
         t_best = jnp.where(better, tloc, t_best)
         i_best = jnp.where(better, jloc + k * S_CHUNK, i_best)
 
-    # ---- feature fetch: one-hot(i_best) @ feat, exactly in f32.
-    # HIGHEST precision keeps the fetched values bit-exact (a one-hot row
-    # sums a single table entry). NOTE: a bf16 hi/lo-split variant was
-    # measured no faster per iteration and its ~1e-5 feature error doubled
-    # total iterations (long-tail TIR-trap pixels) — exactness wins.
-    acc = jnp.zeros((TILE, feat.shape[1]), jnp.float32)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, S_CHUNK), 1)
+    # ---- feature fetch: feat_tᵀ-chunk @ one-hotᵀ on the MXU, bit-exactly.
+    # The f32 table is decomposed into three bf16 terms (hi+mid+lo covers
+    # all 24 mantissa bits; each residual is exactly representable), and
+    # the one-hot selector is exact in bf16 — so three DEFAULT-precision
+    # MXU passes reconstruct the f32 features exactly, at half the cost of
+    # Mosaic's HIGHEST f32 emulation. (A lossy 2-term variant was measured
+    # no faster per iteration and its ~1e-5 feature error doubled total
+    # iterations via long-tail TIR-trap pixels — exactness matters.)
+    hi = feat_t[:, :].astype(jnp.bfloat16)
+    r1 = feat_t[:, :] - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc_t = jnp.zeros((num_feats, TILE), jnp.float32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (S_CHUNK, TILE), 0)
+    i_row = i_best[:, 0][None, :]
     for k in range(num_chunks):
-        sel = (col0 + k * S_CHUNK == i_best).astype(jnp.float32)
-        acc = acc + jnp.dot(sel, feat[k * S_CHUNK:(k + 1) * S_CHUNK, :],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        sl2 = slice(k * S_CHUNK, (k + 1) * S_CHUNK)
+        sel_t = (row0 + k * S_CHUNK == i_row).astype(jnp.bfloat16)
+        acc_t = acc_t + jnp.dot(hi[:, sl2], sel_t,
+                                preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(mid[:, sl2], sel_t,
+                                preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(lo[:, sl2], sel_t,
+                                preferred_element_type=jnp.float32)
 
     t_out[0, :] = t_best[:, 0]
     idx_out[0, :] = i_best[:, 0]
-    for c in range(num_feats):
-        feat_outs[c][0, :] = acc[:, c]
+    feat_out[:, :] = acc_t
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
@@ -169,11 +184,11 @@ def spheres_hit_feat(origin, direction, centers, radii,
 
     radii_ = radii
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    c_pad = feat.shape[1]
-    feat_p = feat
+    c = feat.shape[1]
+    feat_t = feat.T  # [C, S] — feature-major, matching the (C, TILE) output
     if s_pad != s:
-        feat_p = jnp.concatenate(
-            [feat, jnp.zeros((s_pad - s, c_pad), feat.dtype)], axis=0)
+        feat_t = jnp.concatenate(
+            [feat_t, jnp.zeros((c, s_pad - s), feat.dtype)], axis=1)
     args = [
         pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
         pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
@@ -181,7 +196,7 @@ def spheres_hit_feat(origin, direction, centers, radii,
         pad_n(t_max_b, 0.0),
         pad_s(centers.x, 0.0), pad_s(centers.y, 0.0), pad_s(centers.z, 0.0),
         pad_s(radii_ * radii_ * jnp.where(radii_ > 0, 1.0, -1.0), -1.0),
-        feat_p,
+        feat_t,
     ]
 
     grid = (n_pad // TILE,)
@@ -189,23 +204,25 @@ def spheres_hit_feat(origin, direction, centers, radii,
                             memory_space=pltpu.VMEM)
     sph_spec = pl.BlockSpec((1, s_pad), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    feat_spec = pl.BlockSpec((s_pad, c_pad), lambda i: (0, 0),
+    feat_spec = pl.BlockSpec((c, s_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    fout_spec = pl.BlockSpec((c, TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel_feat, t_min=float(t_min), s_pad=s_pad,
-                          num_feats=num_feats),
+                          num_feats=c),
         grid=grid,
         in_specs=[ray_spec] * 7 + [sph_spec] * 4 + [feat_spec],
-        out_specs=(ray_spec,) * (2 + num_feats),
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-             jax.ShapeDtypeStruct((1, n_pad), jnp.int32)]
-            + [jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * num_feats),
+        out_specs=(ray_spec, ray_spec, fout_spec),
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((c, n_pad), jnp.float32)),
         interpret=interpret,
     )(*args)
     t = outs[0][0, :n]
     idx = outs[1][0, :n]
-    feats = tuple(o[0, :n] for o in outs[2:])
+    fo = outs[2]
+    feats = tuple(fo[i, :n] for i in range(c))
     return t, idx, feats
 
 

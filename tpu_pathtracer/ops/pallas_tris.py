@@ -93,12 +93,11 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int):
 
 
 def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
-                 e2x, e2y, e2z, feat, *refs, t_min: float,
-                 t_pad: int, num_feats: int):
-    """Hit test + per-lane feature fetch (one-hot MXU contraction against
-    the per-triangle feature table — see pallas_spheres._kernel_feat)."""
-    t_out, i_out, u_out, v_out = refs[0], refs[1], refs[2], refs[3]
-    feat_outs = refs[4:]
+                 e2x, e2y, e2z, feat_t, t_out, i_out, u_out, v_out,
+                 feat_out, *, t_min: float, t_pad: int, num_feats: int):
+    """Hit test + per-lane feature fetch (transposed one-hot MXU
+    contraction into a single feature-major output — see
+    pallas_spheres._kernel_feat)."""
     o1 = ox[0, :][:, None]
     o2 = oy[0, :][:, None]
     o3 = oz[0, :][:, None]
@@ -153,22 +152,30 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
         u_best = jnp.where(better, u_pick, u_best)
         v_best = jnp.where(better, v_pick, v_best)
 
-    # feature fetch: one-hot(i_best) @ feat, exactly in f32
-    # (see pallas_spheres._kernel_feat)
-    acc = jnp.zeros((TILE, feat.shape[1]), jnp.float32)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, T_CHUNK), 1)
+    # feature fetch: feat_tᵀ-chunk @ one-hotᵀ on the MXU, bit-exactly via a
+    # 3-term bf16 decomposition (see pallas_spheres._kernel_feat)
+    hi = feat_t[:, :].astype(jnp.bfloat16)
+    r1 = feat_t[:, :] - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc_t = jnp.zeros((num_feats, TILE), jnp.float32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (T_CHUNK, TILE), 0)
+    i_row = i_best[:, 0][None, :]
     for k in range(t_pad // T_CHUNK):
-        sel = (col0 + k * T_CHUNK == i_best).astype(jnp.float32)
-        acc = acc + jnp.dot(sel, feat[k * T_CHUNK:(k + 1) * T_CHUNK, :],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        sl2 = slice(k * T_CHUNK, (k + 1) * T_CHUNK)
+        sel_t = (row0 + k * T_CHUNK == i_row).astype(jnp.bfloat16)
+        acc_t = acc_t + jnp.dot(hi[:, sl2], sel_t,
+                                preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(mid[:, sl2], sel_t,
+                                preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(lo[:, sl2], sel_t,
+                                preferred_element_type=jnp.float32)
 
     t_out[0, :] = t_best[:, 0]
     i_out[0, :] = i_best[:, 0]
     u_out[0, :] = u_best[:, 0]
     v_out[0, :] = v_best[:, 0]
-    for c in range(num_feats):
-        feat_outs[c][0, :] = acc[:, c]
+    feat_out[:, :] = acc_t
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
@@ -195,11 +202,11 @@ def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
             a = jnp.concatenate([a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
         return a.reshape(1, t_pad)
 
-    c_pad = feat.shape[1]
-    feat_p = feat
+    c = feat.shape[1]
+    feat_t = feat.T  # [C, T] feature-major
     if t_pad != t:
-        feat_p = jnp.concatenate(
-            [feat, jnp.zeros((t_pad - t, c_pad), feat.dtype)], axis=0)
+        feat_t = jnp.concatenate(
+            [feat_t, jnp.zeros((c, t_pad - t), feat.dtype)], axis=1)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     args = [
         pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
@@ -209,31 +216,33 @@ def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
         pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
         pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
         pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
-        feat_p,
+        feat_t,
     ]
     grid = (n_pad // TILE,)
     ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    feat_spec = pl.BlockSpec((t_pad, c_pad), lambda i: (0, 0),
+    feat_spec = pl.BlockSpec((c, t_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    fout_spec = pl.BlockSpec((c, TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel_feat, t_min=float(t_min), t_pad=t_pad,
-                          num_feats=num_feats),
+                          num_feats=c),
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec] * 9 + [feat_spec],
-        out_specs=(ray_spec,) * (4 + num_feats),
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-             jax.ShapeDtypeStruct((1, n_pad), jnp.float32)]
-            + [jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * num_feats),
+        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec, fout_spec),
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((c, n_pad), jnp.float32)),
         interpret=interpret,
     )(*args)
+    fo = outs[4]
     return (outs[0][0, :n], outs[1][0, :n], outs[2][0, :n], outs[3][0, :n],
-            tuple(o[0, :n] for o in outs[4:]))
+            tuple(fo[i, :n] for i in range(c)))
 
 
 def tris_hit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
