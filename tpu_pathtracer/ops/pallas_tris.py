@@ -27,7 +27,20 @@ TILE = 256
 T_CHUNK = 512
 
 
-def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int):
+def _chunking(t: int):
+    """Pad the triangle count to a lane multiple and pick the in-kernel
+    chunk size: a single chunk up to 1024 (VMEM (TILE, t_pad) tiles stay
+    ~1 MB), else 512-wide chunks — avoids padding 640-triangle scenes to
+    1024 and doing 60% dead work."""
+    t128 = ((t + 127) // 128) * 128
+    if t128 <= 1024:
+        return t128, t128
+    t_pad = ((t + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
+    return t_pad, T_CHUNK
+
+
+def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int,
+            chunk: int):
     (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z,
      t_out, i_out, u_out, v_out) = refs
     o1 = ox[0, :][:, None]
@@ -43,8 +56,8 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int):
     u_best = jnp.zeros((TILE, 1), jnp.float32)
     v_best = jnp.zeros((TILE, 1), jnp.float32)
 
-    for k in range(t_pad // T_CHUNK):
-        sl = slice(k * T_CHUNK, (k + 1) * T_CHUNK)
+    for k in range(t_pad // chunk):
+        sl = slice(k * chunk, (k + 1) * chunk)
         v0x = ax[0, sl][None, :]
         v0y = ay[0, sl][None, :]
         v0z = az[0, sl][None, :]
@@ -78,8 +91,8 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int):
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
         t_best = jnp.where(better, tloc, t_best)
-        i_best = jnp.where(better, jloc + k * T_CHUNK, i_best)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, T_CHUNK), 1)
+        i_best = jnp.where(better, jloc + k * chunk, i_best)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1)
         sel = rows == jloc
         u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
         v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
@@ -94,7 +107,8 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int):
 
 def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
                  e2x, e2y, e2z, feat_t, t_out, i_out, u_out, v_out,
-                 feat_out, *, t_min: float, t_pad: int, num_feats: int):
+                 feat_out, *, t_min: float, t_pad: int, num_feats: int,
+                 chunk: int):
     """Hit test + per-lane feature fetch (transposed one-hot MXU
     contraction into a single feature-major output — see
     pallas_spheres._kernel_feat)."""
@@ -111,8 +125,8 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
     u_best = jnp.zeros((TILE, 1), jnp.float32)
     v_best = jnp.zeros((TILE, 1), jnp.float32)
 
-    for k in range(t_pad // T_CHUNK):
-        sl = slice(k * T_CHUNK, (k + 1) * T_CHUNK)
+    for k in range(t_pad // chunk):
+        sl = slice(k * chunk, (k + 1) * chunk)
         v0x = ax[0, sl][None, :]
         v0y = ay[0, sl][None, :]
         v0z = az[0, sl][None, :]
@@ -144,8 +158,8 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
         t_best = jnp.where(better, tloc, t_best)
-        i_best = jnp.where(better, jloc + k * T_CHUNK, i_best)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, T_CHUNK), 1)
+        i_best = jnp.where(better, jloc + k * chunk, i_best)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1)
         sel = rows == jloc
         u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
         v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
@@ -159,11 +173,11 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     acc_t = jnp.zeros((num_feats, TILE), jnp.float32)
-    row0 = jax.lax.broadcasted_iota(jnp.int32, (T_CHUNK, TILE), 0)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE), 0)
     i_row = i_best[:, 0][None, :]
-    for k in range(t_pad // T_CHUNK):
-        sl2 = slice(k * T_CHUNK, (k + 1) * T_CHUNK)
-        sel_t = (row0 + k * T_CHUNK == i_row).astype(jnp.bfloat16)
+    for k in range(t_pad // chunk):
+        sl2 = slice(k * chunk, (k + 1) * chunk)
+        sel_t = (row0 + k * chunk == i_row).astype(jnp.bfloat16)
         acc_t = acc_t + jnp.dot(hi[:, sl2], sel_t,
                                 preferred_element_type=jnp.float32)
         acc_t = acc_t + jnp.dot(mid[:, sl2], sel_t,
@@ -190,7 +204,7 @@ def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
     n = origin.x.shape[0]
     t = v0.x.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
-    t_pad = ((t + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
+    t_pad, chunk = _chunking(t)
 
     def pad_n(a, fill):
         if n_pad != n:
@@ -229,7 +243,7 @@ def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel_feat, t_min=float(t_min), t_pad=t_pad,
-                          num_feats=c),
+                          num_feats=c, chunk=chunk),
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec] * 9 + [feat_spec],
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec, fout_spec),
@@ -278,7 +292,7 @@ def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
     n = ox.shape[0]
     t = v0x.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
-    t_pad = ((t + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
+    t_pad, chunk = _chunking(t)
 
     def pad_n(a, fill):
         if n_pad != n:
@@ -307,7 +321,8 @@ def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
     tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     out, idx, uu, vv = pl.pallas_call(
-        functools.partial(_kernel, t_min=float(t_min), t_pad=t_pad),
+        functools.partial(_kernel, t_min=float(t_min), t_pad=t_pad,
+                          chunk=chunk),
         grid=grid,
         in_specs=[ray_spec] * 7 + [tri_spec] * 9,
         out_specs=(ray_spec,) * 4,
