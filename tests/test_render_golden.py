@@ -33,6 +33,18 @@ def test_staircase_mesh_matches_oracle():
     assert abs(float((img - ref).mean())) < 1e-3
 
 
+def test_baseline_config1_ssim_gate():
+    """BASELINE.json config 1 (three-sphere + ground golden) at reduced
+    resolution: SSIM >= 0.99 vs the CPU oracle — the north-star acceptance
+    gate."""
+    cfg = RenderConfig(nx=160, ny=100, ns=4, max_depth=8)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    img = render_image(scene, cam, cfg)
+    ref = render_oracle(scene, cam, cfg)
+    assert golden.ssim(img, ref) >= 0.99
+    assert golden.rmse(img, ref) < 5e-3
+
+
 def test_bvh_equals_brute_force_end_to_end():
     cfg = RenderConfig(nx=32, ny=40, ns=2, max_depth=4)
     scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
