@@ -5,43 +5,61 @@ max depth 50 — the reference's final README state ran it in 6.48 s on a
 GTX 1050 (README.md:94). ``vs_baseline`` is baseline_time / our_time
 (>1 = faster than the reference).
 
-Extra context (Mrays/s, staircase time, SSIM gate) goes to stderr.
+The render is issued in sample batches (shorter device dispatches — the
+axon tunnel intermittently kills very long ones) and the whole
+measurement retries once on a worker crash.
 """
 
 import json
 import sys
 import time
 
-import jax
-import numpy as np
-
-
 BASELINE_SECONDS = 6.48  # README.md:94, GTX 1050
+BATCH = 25
 
 
-def main():
-    from tpu_pathtracer.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+def run_once():
+    import numpy as np
 
     from tpu_pathtracer.config import RenderConfig
-    from tpu_pathtracer.engine.regen import render_image_regen
+    from tpu_pathtracer.engine.regen import render_sample_range
     from tpu_pathtracer.models.spheres import random_spheres_scene
 
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=50)
     scene, cam = random_spheres_scene(cfg.nx, cfg.ny)
 
     # warmup / compile (ns is dynamic: same executable as the real run)
-    render_image_regen(scene, cam, cfg, ns=1)
+    render_sample_range(scene, cam, cfg, 0, 1)
 
     t0 = time.perf_counter()
-    img = render_image_regen(scene, cam, cfg, ns=cfg.ns)
+    acc = np.zeros((cfg.ny, cfg.nx, 3), np.float32)
+    for s0 in range(0, cfg.ns, BATCH):
+        acc += render_sample_range(scene, cam, cfg, s0, BATCH)
     elapsed = time.perf_counter() - t0
+    img = acc / cfg.ns
+    return cfg, elapsed, img
 
-    # path count is exact (one per pixel*sample); ray count per path varies.
-    # Report primary-path throughput; Mrays/s proper needs stats (slower).
+
+def main():
+    from tpu_pathtracer.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+
+    last_err = None
+    for attempt in range(2):
+        try:
+            cfg, elapsed, img = run_once()
+            break
+        except Exception as e:  # tunnel/worker crash — retry once
+            last_err = e
+            print(f"attempt {attempt} failed: {e!r:.200}", file=sys.stderr)
+            time.sleep(30)
+    else:
+        raise last_err
+
     paths = cfg.num_pixels * cfg.ns
     mpaths = paths / elapsed / 1e6
-
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     print(f"random-spheres 1200x800@100spp: {elapsed:.3f} s "
           f"({mpaths:.1f} Mpaths/s, mean={img.mean():.4f})", file=sys.stderr)

@@ -47,6 +47,53 @@ def test_sample_ranges_partition():
     np.testing.assert_allclose(whole, parts, atol=1e-4)
 
 
+def test_regen_stats():
+    import jax
+    from tpu_pathtracer.engine.regen import render_regen
+
+    cfg = RenderConfig(nx=16, ny=8, ns=2, max_depth=6, stats=True,
+                       rays_per_chunk=64)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    fb, stats = jax.jit(lambda s, c: render_regen(s, c, cfg))(scene, cam)
+    assert int(stats.primary) == 16 * 8 * 2
+    assert int(stats.secondary) > 0
+    # must match the plain engine's accounting exactly
+    _, plain = render_image(scene, cam, cfg, report_stats=True)
+    for k in ("primary", "primary_nohit", "secondary", "secondary_nohit",
+              "roulette_kill"):
+        assert int(getattr(stats, k)) == int(getattr(plain, k)), k
+
+
+def test_preset_materials_render_vs_oracle():
+    """Scene using the reference's preset BSDF families (coat, tinted
+    glass, subsurface, checker) end-to-end vs the oracle."""
+    import numpy as np
+
+    from tpu_pathtracer.models.presets import (floor_checker, model_coat,
+                                               model_sss,
+                                               model_tinted_glass)
+    from tpu_pathtracer.models.scene import SKY_GRADIENT, make_materials, \
+        make_scene
+    from tpu_pathtracer.camera import make_camera
+    from tpu_pathtracer.oracle import render_oracle
+
+    mats = make_materials([floor_checker(), model_coat(),
+                           model_tinted_glass(), model_sss()])
+    centers = np.array([[0.0, -100.5, -1.0], [-1.05, 0.0, -1.0],
+                        [0.0, 0.0, -1.0], [1.05, 0.0, -1.0]], np.float32)
+    radii = np.array([100.0, 0.5, 0.5, 0.5], np.float32)
+    scene = make_scene(mats, sphere_center=centers, sphere_radius=radii,
+                       sphere_mat=np.arange(4, dtype=np.int32),
+                       use_nee=False, sky_mode=SKY_GRADIENT)
+    cam = make_camera((0.0, 0.3, 1.0), (0.0, 0.0, -1.0), (0.0, 1.0, 0.0),
+                      60.0, 1.5)
+    cfg = RenderConfig(nx=48, ny=32, ns=6, max_depth=8)
+    img = render_image(scene, cam, cfg)
+    ref = render_oracle(scene, cam, cfg)
+    assert rmse(img, ref) < 0.01
+    assert abs(float((img - ref).mean())) < 2e-3
+
+
 def test_checkpoint_roundtrip(tmp_path):
     buf = np.random.RandomState(0).rand(8, 12, 3).astype(np.float32)
     p = str(tmp_path / "c.ckpt")

@@ -33,7 +33,8 @@ import numpy as np
 
 from tpu_pathtracer.camera import Camera
 from tpu_pathtracer.config import RenderConfig
-from tpu_pathtracer.engine.wavefront import BounceState, bounce_step, make_view
+from tpu_pathtracer.engine.wavefront import (BounceState, Stats,
+                                              bounce_step, make_view)
 from tpu_pathtracer.models.scene import Scene
 from tpu_pathtracer.ops.v3 import V3, where as vwhere
 
@@ -78,7 +79,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
 
     def body(carry):
         (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,
-         done, iters) = carry
+         done, iters, stats) = carry
 
         # ---- reap dead lanes: accumulate, maybe flush pixel, restart ----
         dead = ~state.alive & ~done
@@ -118,16 +119,19 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
         # ---- one wavefront bounce ---------------------------------------
         # the sample being traced is the last one started
         trace_sample = s0 + cur_sample - jnp.uint32(1)
-        state, _ = bounce_step(scene, view, config, state, pixel,
-                               trace_sample, bounce)
+        state, new_stats = bounce_step(scene, view, config, state, pixel,
+                                       trace_sample, bounce,
+                                       stats if config.stats else None)
+        if new_stats is not None:
+            stats = new_stats
         bounce = bounce + 1
         state = state._replace(alive=state.alive & (bounce < config.max_depth))
 
         return (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,
-                done, iters + 1)
+                done, iters + 1, stats)
 
     def cond(carry):
-        done = carry[-2]
+        done = carry[8]
         return ~jnp.all(done)
 
     zeros_rm = jnp.zeros((rounds, m), jnp.float32) + zf[None, :]
@@ -136,17 +140,24 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
         origin=zv, direction=V3(zf, zf, zf + 1.0),
         color=zv, attenuation=V3(zf + 1, zf + 1, zf + 1),
         specular=zb, inside=zb, alive=zb)
+    zstat = jnp.sum(zf).astype(jnp.int32)  # varying scalar zero
     carry = (zeros_rm, zeros_rm, zeros_rm, init_state, zv,
              zf.astype(jnp.uint32), zf.astype(jnp.int32),
-             zf.astype(jnp.int32), zb, jnp.int32(0))
+             zf.astype(jnp.int32), zb, jnp.int32(0),
+             jax.tree.map(lambda x: x + zstat, Stats.zeros()))
     out = jax.lax.while_loop(cond, body, carry)
     out_x, out_y, out_z = out[0], out[1], out[2]
 
     flat = jnp.stack([out_x.reshape(-1), out_y.reshape(-1),
                       out_z.reshape(-1)], axis=-1)  # pixel p = r*M + lane
     fb = flat[:n] * inv_ns
+    extras = []
     if return_iters:
-        return fb, out[-1]
+        extras.append(out[9])
+    if config.stats:
+        extras.append(out[10])
+    if extras:
+        return (fb, *extras)
     return fb
 
 
