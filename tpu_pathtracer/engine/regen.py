@@ -40,7 +40,11 @@ from tpu_pathtracer.ops.v3 import V3, where as vwhere
 
 
 def _pool_size(config: RenderConfig, num_pixels: int) -> int:
-    m = config.rays_per_chunk or (1 << 17)
+    """Lane-pool size. Smaller pools cover more pixels per lane, which
+    averages away the heavy-pixel tail (measured: 128k lanes → 67%
+    utilization; 8–32k → ~90%, 5.55 s → 4.4 s on the headline bench);
+    per-iteration overheads stay negligible down to ~8k lanes."""
+    m = config.rays_per_chunk or (1 << 14)
     return int(min(m, num_pixels))
 
 
