@@ -24,6 +24,12 @@ def build(args):
                        shadow=not args.no_shadow)
     if args.scene == "spheres":
         scene, cam = sphere_scenes.random_spheres_scene(cfg.nx, cfg.ny)
+    elif args.scene.startswith("zoo-"):
+        from tpu_pathtracer.models.shapes import model_zoo_scene
+        scene, cam = model_zoo_scene(cfg.nx, cfg.ny, args.scene[4:])
+    elif args.scene.endswith(".obj"):
+        from tpu_pathtracer.models.obj import load_obj_scene
+        scene, cam = load_obj_scene(args.scene, cfg.nx, cfg.ny)
     elif args.scene == "three-sphere":
         scene, cam = sphere_scenes.three_sphere_scene(cfg.nx, cfg.ny)
     elif args.scene == "staircase":
@@ -39,7 +45,9 @@ def build(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", default="staircase",
-                   help="spheres | three-sphere | staircase | path/to/file.bvh")
+                   help="spheres | three-sphere | staircase | "
+                        "zoo-{coat,diffuse,glass,sss} | path/to/file.obj | "
+                        "path/to/file.bvh")
     p.add_argument("--texture-dir", default=None)
     p.add_argument("--nx", type=int, default=640)   # main.cpp:65
     p.add_argument("--ny", type=int, default=800)   # main.cpp:66

@@ -59,3 +59,14 @@ def test_obj_scene_renders(tmp_path):
     assert np.isfinite(img).all()
     # the cube must be visible (image not all sky)
     assert img.std() > 0.01
+
+
+def test_model_zoo_scene_renders():
+    from tpu_pathtracer.models.shapes import model_zoo_scene
+
+    scene, cam = model_zoo_scene(32, 24, "coat", nu=12, nv=8)
+    assert scene.mesh.num_tris >= 2 * 12 * 8
+    cfg = RenderConfig(nx=32, ny=24, ns=2, max_depth=4)
+    img = render_image(scene, cam, cfg)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.01

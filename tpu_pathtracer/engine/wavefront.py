@@ -39,7 +39,7 @@ from tpu_pathtracer.ops.v3 import V3, where as vwhere
 from tpu_pathtracer.ops import v3 as _v3
 from tpu_pathtracer.ops.vec import FLT_MAX
 
-TRI_BRUTE_MAX = 8192  # VMEM budget for the Pallas all-triangles kernel
+TRI_BRUTE_MAX = 16384  # VMEM budget for the Pallas all-triangles kernel
 
 
 def _on_tpu(config: RenderConfig) -> bool:

@@ -56,8 +56,10 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int,
     u_best = jnp.zeros((TILE, 1), jnp.float32)
     v_best = jnp.zeros((TILE, 1), jnp.float32)
 
-    for k in range(t_pad // chunk):
-        sl = slice(k * chunk, (k + 1) * chunk)
+    def chunk_body(k, carry):
+        t_best, i_best, u_best, v_best = carry
+        base = k * chunk
+        sl = pl.ds(base, chunk)
         v0x = ax[0, sl][None, :]
         v0y = ay[0, sl][None, :]
         v0z = az[0, sl][None, :]
@@ -91,13 +93,17 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int,
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
         t_best = jnp.where(better, tloc, t_best)
-        i_best = jnp.where(better, jloc + k * chunk, i_best)
+        i_best = jnp.where(better, jloc + base, i_best)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1)
         sel = rows == jloc
         u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
         v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
         u_best = jnp.where(better, u_pick, u_best)
         v_best = jnp.where(better, v_pick, v_best)
+        return t_best, i_best, u_best, v_best
+
+    t_best, i_best, u_best, v_best = jax.lax.fori_loop(
+        0, t_pad // chunk, chunk_body, (t_best, i_best, u_best, v_best))
 
     t_out[0, :] = t_best[:, 0]
     i_out[0, :] = i_best[:, 0]
@@ -125,8 +131,10 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
     u_best = jnp.zeros((TILE, 1), jnp.float32)
     v_best = jnp.zeros((TILE, 1), jnp.float32)
 
-    for k in range(t_pad // chunk):
-        sl = slice(k * chunk, (k + 1) * chunk)
+    def chunk_body(k, carry):
+        t_best, i_best, u_best, v_best = carry
+        base = k * chunk
+        sl = pl.ds(base, chunk)
         v0x = ax[0, sl][None, :]
         v0y = ay[0, sl][None, :]
         v0z = az[0, sl][None, :]
@@ -158,13 +166,17 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
         t_best = jnp.where(better, tloc, t_best)
-        i_best = jnp.where(better, jloc + k * chunk, i_best)
+        i_best = jnp.where(better, jloc + base, i_best)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1)
         sel = rows == jloc
         u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
         v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
         u_best = jnp.where(better, u_pick, u_best)
         v_best = jnp.where(better, v_pick, v_best)
+        return t_best, i_best, u_best, v_best
+
+    t_best, i_best, u_best, v_best = jax.lax.fori_loop(
+        0, t_pad // chunk, chunk_body, (t_best, i_best, u_best, v_best))
 
     # feature fetch: feat_tᵀ-chunk @ one-hotᵀ on the MXU, bit-exactly via a
     # 3-term bf16 decomposition (see pallas_spheres._kernel_feat)
@@ -172,18 +184,26 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
     r1 = feat_t[:, :] - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc_t = jnp.zeros((num_feats, TILE), jnp.float32)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE), 0)
     i_row = i_best[:, 0][None, :]
-    for k in range(t_pad // chunk):
-        sl2 = slice(k * chunk, (k + 1) * chunk)
-        sel_t = (row0 + k * chunk == i_row).astype(jnp.bfloat16)
-        acc_t = acc_t + jnp.dot(hi[:, sl2], sel_t,
-                                preferred_element_type=jnp.float32)
-        acc_t = acc_t + jnp.dot(mid[:, sl2], sel_t,
-                                preferred_element_type=jnp.float32)
-        acc_t = acc_t + jnp.dot(lo[:, sl2], sel_t,
-                                preferred_element_type=jnp.float32)
+
+    def feat_body(k, acc_t):
+        base = k * chunk
+        sl2 = pl.ds(base, chunk)
+        sel_t = (row0 + base == i_row).astype(jnp.bfloat16)
+        acc_t = acc_t + jnp.dot(
+            jax.lax.dynamic_slice_in_dim(hi, base, chunk, 1), sel_t,
+            preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(
+            jax.lax.dynamic_slice_in_dim(mid, base, chunk, 1), sel_t,
+            preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(
+            jax.lax.dynamic_slice_in_dim(lo, base, chunk, 1), sel_t,
+            preferred_element_type=jnp.float32)
+        return acc_t
+
+    acc_t = jax.lax.fori_loop(0, t_pad // chunk, feat_body,
+                              jnp.zeros((num_feats, TILE), jnp.float32))
 
     t_out[0, :] = t_best[:, 0]
     i_out[0, :] = i_best[:, 0]
