@@ -179,27 +179,23 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
         0, t_pad // chunk, chunk_body, (t_best, i_best, u_best, v_best))
 
     # feature fetch: feat_tᵀ-chunk @ one-hotᵀ on the MXU, bit-exactly via a
-    # 3-term bf16 decomposition (see pallas_spheres._kernel_feat)
-    hi = feat_t[:, :].astype(jnp.bfloat16)
-    r1 = feat_t[:, :] - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # 3-term bf16 decomposition (see pallas_spheres._kernel_feat). The
+    # chunk is sliced from the ref with pl.ds (Mosaic has no value-level
+    # dynamic_slice) and decomposed per chunk.
     row0 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE), 0)
     i_row = i_best[:, 0][None, :]
 
     def feat_body(k, acc_t):
         base = k * chunk
-        sl2 = pl.ds(base, chunk)
+        fchunk = feat_t[:, pl.ds(base, chunk)]
+        hi = fchunk.astype(jnp.bfloat16)
+        r1 = fchunk - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         sel_t = (row0 + base == i_row).astype(jnp.bfloat16)
-        acc_t = acc_t + jnp.dot(
-            jax.lax.dynamic_slice_in_dim(hi, base, chunk, 1), sel_t,
-            preferred_element_type=jnp.float32)
-        acc_t = acc_t + jnp.dot(
-            jax.lax.dynamic_slice_in_dim(mid, base, chunk, 1), sel_t,
-            preferred_element_type=jnp.float32)
-        acc_t = acc_t + jnp.dot(
-            jax.lax.dynamic_slice_in_dim(lo, base, chunk, 1), sel_t,
-            preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(hi, sel_t, preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(mid, sel_t, preferred_element_type=jnp.float32)
+        acc_t = acc_t + jnp.dot(lo, sel_t, preferred_element_type=jnp.float32)
         return acc_t
 
     acc_t = jax.lax.fori_loop(0, t_pad // chunk, feat_body,
