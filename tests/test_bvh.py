@@ -5,7 +5,6 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpu_pathtracer.ops import bvh as B
 from tpu_pathtracer.ops.vec import FLT_MAX

@@ -9,7 +9,6 @@ pixel batches at once.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -36,7 +36,6 @@ from tpu_pathtracer.ops import bvh as _bvh
 from tpu_pathtracer.ops import materials as _m
 from tpu_pathtracer.ops import rng as _rng
 from tpu_pathtracer.ops.v3 import V3, where as vwhere
-from tpu_pathtracer.ops import v3 as _v3
 from tpu_pathtracer.ops.vec import FLT_MAX
 
 TRI_BRUTE_MAX = 16384  # VMEM budget for the Pallas all-triangles kernel

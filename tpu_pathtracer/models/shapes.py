@@ -15,7 +15,7 @@ import numpy as np
 
 from tpu_pathtracer.camera import Camera, make_camera
 from tpu_pathtracer.models import presets
-from tpu_pathtracer.models.scene import (DIFFUSE, SKY_CONST, Scene,
+from tpu_pathtracer.models.scene import (SKY_CONST, Scene,
                                          make_materials, make_scene)
 from tpu_pathtracer.ops.bvh import build_bvh
 

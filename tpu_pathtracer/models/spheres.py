@@ -10,9 +10,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpu_pathtracer.camera import Camera, make_camera
+from tpu_pathtracer.camera import make_camera
 from tpu_pathtracer.models.scene import (
-    DIFFUSE, GLASS, METAL, SKY_GRADIENT, Scene, make_materials, make_scene)
+    DIFFUSE, GLASS, METAL, SKY_GRADIENT, make_materials, make_scene)
 
 
 def three_sphere_scene(nx: int, ny: int):
