@@ -52,15 +52,14 @@ def test_regen_stats():
     from tpu_pathtracer.engine.regen import render_regen
 
     cfg = RenderConfig(nx=16, ny=8, ns=2, max_depth=6, stats=True,
-                       rays_per_chunk=64)
+                       check_nans=True, rays_per_chunk=64)
     scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
     fb, stats = jax.jit(lambda s, c: render_regen(s, c, cfg))(scene, cam)
     assert int(stats.primary) == 16 * 8 * 2
     assert int(stats.secondary) > 0
-    # must match the plain engine's accounting exactly
+    # must match the plain engine's accounting exactly — all counters
     _, plain = render_image(scene, cam, cfg, report_stats=True)
-    for k in ("primary", "primary_nohit", "secondary", "secondary_nohit",
-              "roulette_kill"):
+    for k in stats._fields:
         assert int(getattr(stats, k)) == int(getattr(plain, k)), k
 
 
@@ -97,11 +96,33 @@ def test_preset_materials_render_vs_oracle():
 def test_checkpoint_roundtrip(tmp_path):
     buf = np.random.RandomState(0).rand(8, 12, 3).astype(np.float32)
     p = str(tmp_path / "c.ckpt")
-    ck.save_checkpoint(p, buf, 7)
-    back, done = ck.load_checkpoint(p)
+    ck.save_checkpoint(p, buf, 7, fingerprint=123)
+    back, done, fp = ck.load_checkpoint(p)
     assert done == 7
+    assert fp == 123
     np.testing.assert_array_equal(back, buf)
     assert ck.load_checkpoint(str(tmp_path / "missing.ckpt")) is None
+
+
+def test_checkpoint_rejects_mismatch(tmp_path):
+    import pytest
+
+    cfg = RenderConfig(nx=16, ny=8, ns=2, max_depth=4, rays_per_chunk=64)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    p = str(tmp_path / "m.ckpt")
+    ck.render_with_checkpoints(scene, cam, cfg, p, batch=2)
+    # more samples done than the new config asks for → refuse
+    with pytest.raises(ValueError, match="samples done"):
+        ck.render_with_checkpoints(scene, cam, cfg.replace(ns=1), p, batch=1)
+    # different scene → fingerprint mismatch
+    import dataclasses
+    import jax.numpy as jnp
+
+    scene2, cam2 = three_sphere_scene(cfg.nx, cfg.ny)
+    scene2 = dataclasses.replace(
+        scene2, light_color=jnp.asarray((9.0, 9.0, 9.0), jnp.float32))
+    with pytest.raises(ValueError, match="fingerprint"):
+        ck.render_with_checkpoints(scene2, cam, cfg.replace(ns=4), p, batch=2)
 
 
 def test_render_with_checkpoints_resume(tmp_path):

@@ -42,10 +42,13 @@ class RenderConfig:
         lanes to bound peak memory (0 = single chunk).
       check_nans: count NaN radiance samples like NUM_RAYS_NAN
         (kernels.cu:63, :560).
-      dtype: compute dtype for geometry ('float32'; bf16 is too coarse for
-        ray-scene intersection).
-      max_bvh_depth: static bound on BVH traversal depth (bitstack width).
       interpret: run Pallas kernels in interpreter mode (debugging/CPU).
+      force_feat_kernels: dispatch the feature-fetch Pallas kernels even
+        off-TPU (interpret mode) so CI exercises the TPU hot path.
+
+    Geometry compute dtype is always float32 (bf16 is too coarse for
+    ray-scene intersection); BVH traversal depth is bounded at 32 by the
+    uint32 bitstack and validated at mesh load/traverse time.
     """
 
     nx: int = 640
@@ -62,9 +65,8 @@ class RenderConfig:
     samples_per_batch: int = 0  # 0 = auto
     rays_per_chunk: int = 0  # 0 = auto
     check_nans: bool = False
-    dtype: str = "float32"
-    max_bvh_depth: int = 32
     interpret: bool = False
+    force_feat_kernels: bool = False
 
     @property
     def num_pixels(self) -> int:

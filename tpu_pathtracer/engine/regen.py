@@ -87,6 +87,14 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
 
         # ---- reap dead lanes: accumulate, maybe flush pixel, restart ----
         dead = ~state.alive & ~done
+        if config.check_nans:
+            # per-path NaN count at reap time (kernels.cu:560); each path
+            # is reaped exactly once so this matches the plain engine.
+            isnan = dead & (jnp.isnan(state.color.x)
+                            | jnp.isnan(state.color.y)
+                            | jnp.isnan(state.color.z))
+            stats = stats._replace(
+                nans=stats.nans + jnp.sum(isnan, dtype=jnp.int32))
         acc = vwhere(dead, acc + state.color, acc)
         color = vwhere(dead, V3.zeros((m,)), state.color)
 
@@ -129,6 +137,12 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
         if new_stats is not None:
             stats = new_stats
         bounce = bounce + 1
+        if config.stats:
+            # lanes killed by the depth cap == plain engine's alive-at-end
+            killed = state.alive & (bounce >= config.max_depth)
+            stats = stats._replace(
+                exceed_max_bounce=stats.exceed_max_bounce
+                + jnp.sum(killed, dtype=jnp.int32))
         state = state._replace(alive=state.alive & (bounce < config.max_depth))
 
         return (out_x, out_y, out_z, state, acc, cur_sample, rnd, bounce,

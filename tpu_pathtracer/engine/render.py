@@ -40,19 +40,21 @@ def auto_chunk(config: RenderConfig) -> int:
 
 
 def sample_sum(scene: Scene, camera: Camera, config: RenderConfig,
-               pixel_ids: jnp.ndarray, ns: int,
-               s0=0) -> Tuple[jnp.ndarray, Stats]:
+               pixel_ids: jnp.ndarray, ns: int, s0=0,
+               valid: Optional[jnp.ndarray] = None
+               ) -> Tuple[jnp.ndarray, Stats]:
     """Sum of radiance over samples ``[s0, s0+ns)`` for a chunk of lanes.
 
     The sample loop is the reference's ``for s in 0..ns`` (kernels.cu:548)
-    hoisted outside the bounce loop.
+    hoisted outside the bounce loop. ``valid`` masks tail-padding duplicate
+    lanes out of the Stats counters.
     """
     s0 = jnp.asarray(s0, jnp.uint32)
 
     def body(s, carry):
         acc, stats = carry
         col, st = trace(scene, camera, config, pixel_ids,
-                        s0 + s.astype(jnp.uint32))
+                        s0 + s.astype(jnp.uint32), valid=valid)
         stats = jax.tree.map(lambda a, b: a + b, stats, st)
         return acc + col, stats
 
@@ -67,11 +69,12 @@ def sample_sum(scene: Scene, camera: Camera, config: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=("config", "ns"))
 def _render_chunk(scene: Scene, camera: Camera, config: RenderConfig,
-                  pixel_ids: jnp.ndarray, ns: int) -> Tuple[jnp.ndarray, Stats]:
+                  pixel_ids: jnp.ndarray, valid: jnp.ndarray,
+                  ns: int) -> Tuple[jnp.ndarray, Stats]:
     """Mean radiance over ``ns`` samples for one chunk of pixel lanes; the
     framebuffer stores linear mean radiance with no gamma (``col/ns``,
     kernels.cu:564–568)."""
-    acc, stats = sample_sum(scene, camera, config, pixel_ids, ns)
+    acc, stats = sample_sum(scene, camera, config, pixel_ids, ns, valid=valid)
     return acc / jnp.float32(ns), stats
 
 
@@ -87,9 +90,11 @@ def render_image(scene: Scene, camera: Camera, config: RenderConfig,
     stats_total = Stats.zeros()
     for c in range(num_chunks):
         start = c * chunk
-        ids = jnp.arange(start, start + chunk, dtype=jnp.uint32)
-        ids = jnp.minimum(ids, jnp.uint32(n - 1))  # tail padding
-        out, stats = _render_chunk(scene, camera, config, ids, config.ns)
+        raw = jnp.arange(start, start + chunk, dtype=jnp.uint32)
+        ids = jnp.minimum(raw, jnp.uint32(n - 1))  # tail padding
+        valid = raw < jnp.uint32(n)  # pads excluded from Stats
+        out, stats = _render_chunk(scene, camera, config, ids, valid,
+                                   config.ns)
         take = min(chunk, n - start)
         fb[start:start + take] = np.asarray(out)[:take]
         stats_total = jax.tree.map(lambda a, b: a + b, stats_total, stats)

@@ -42,7 +42,17 @@ TRI_BRUTE_MAX = 16384  # VMEM budget for the Pallas all-triangles kernel
 
 
 def _on_tpu(config: RenderConfig) -> bool:
+    """Dispatch to the Pallas kernel path. True on real TPU, and with
+    ``force_feat_kernels`` also off-TPU (interpret mode) so CI exercises
+    the exact feature-fetch hot path that runs on hardware."""
+    if config.force_feat_kernels:
+        return True
     return jax.default_backend() == "tpu" and not config.interpret
+
+
+def _interp(config: RenderConfig) -> bool:
+    """Run Pallas kernels in interpret mode when not on real TPU."""
+    return jax.default_backend() != "tpu" or config.interpret
 
 
 class MatCols(NamedTuple):
@@ -190,7 +200,7 @@ def _spheres_nearest(view: SceneView, config: RenderConfig, origin: V3,
     if _on_tpu(config):
         from tpu_pathtracer.ops.pallas_spheres import spheres_hit_soa
         return spheres_hit_soa(origin, direction, view.sph_c, view.sph_r,
-                               t_min, t_max)
+                               t_min, t_max, interpret=_interp(config))
     from tpu_pathtracer.ops.intersect import spheres_hit
     t, idx = spheres_hit(origin.stack(), direction.stack(),
                          view.sph_c.stack(), view.sph_r, t_min, t_max)
@@ -209,7 +219,8 @@ def _mesh_nearest(scene: Scene, view: SceneView, config: RenderConfig,
             and mesh.num_tris <= TRI_BRUTE_MAX):
         from tpu_pathtracer.ops.pallas_tris import tris_hit_soa
         t, idx, u, v = tris_hit_soa(origin, direction, view.tri_v0,
-                                    view.tri_e1, view.tri_e2, t_min, t_max)
+                                    view.tri_e1, view.tri_e2, t_min, t_max,
+                                    interpret=_interp(config))
         return _bvh.TraceResult(t=t, tri_id=idx, u=u, v=v)
     o = origin.stack()
     d = direction.stack()
@@ -274,7 +285,7 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             from tpu_pathtracer.ops.pallas_tris import tris_hit_feat
             tt, tri_id, u, vv, f = tris_hit_feat(
                 origin, direction, view.tri_v0, view.tri_e1, view.tri_e2,
-                view.tri_feat, eps, FLT_MAX)
+                view.tri_feat, eps, FLT_MAX, interpret=_interp(config))
             hit = tri_id >= 0
             e1 = V3(f[0], f[1], f[2])
             e2 = V3(f[3], f[4], f[5])
@@ -316,7 +327,7 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             from tpu_pathtracer.ops.pallas_spheres import spheres_hit_feat
             st, sidx, f = spheres_hit_feat(origin, direction, view.sph_c,
                                            view.sph_r, view.sph_feat, eps,
-                                           FLT_MAX)
+                                           FLT_MAX, interpret=_interp(config))
             center = V3(f[0], f[1], f[2])
             radius = f[3]
             scols = _cols_from_feats(f, 4)
@@ -558,10 +569,14 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
 
 
 def trace(scene: Scene, camera: Camera, config: RenderConfig,
-          pixel_id: jnp.ndarray, sample: jnp.ndarray
+          pixel_id: jnp.ndarray, sample: jnp.ndarray,
+          valid: Optional[jnp.ndarray] = None
           ) -> Tuple[jnp.ndarray, Stats]:
     """Trace one sample for each pixel lane; returns ([N,3] radiance,
-    Stats). This is `color()` (kernels.cu:396–533) as a wavefront loop."""
+    Stats). This is `color()` (kernels.cu:396–533) as a wavefront loop.
+
+    ``valid`` (optional [N] bool) marks real lanes; tail-padding duplicate
+    lanes start dead so they never inflate the Stats counters."""
     n = pixel_id.shape[0]
     view = make_view(scene)
     origin, direction = camera.generate_rays(pixel_id, sample,
@@ -572,7 +587,8 @@ def trace(scene: Scene, camera: Camera, config: RenderConfig,
     state = BounceState(
         origin=origin, direction=direction,
         color=V3(zf, zf, zf), attenuation=V3(zf + 1, zf + 1, zf + 1),
-        specular=zb, inside=zb, alive=~zb,
+        specular=zb, inside=zb,
+        alive=~zb if valid is None else valid & ~zb,
     )
 
     def cond(carry):

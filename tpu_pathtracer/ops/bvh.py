@@ -198,6 +198,12 @@ def load_bvh_file(path: str) -> MeshData:
         (ppl,) = struct.unpack("<i", f.read(4))
 
     first_leaf = num_nodes // 2  # kernels.cu:614
+    # the traversal bitstack is uint32: one bit per level below the root
+    # (kernels.cu:157); deeper trees would silently corrupt backtracking.
+    depth = max(first_leaf, 1).bit_length()  # levels below root
+    if depth > 32:
+        raise ValueError(
+            f"BVH depth {depth} exceeds the 32-level uint32 bitstack")
     # pad triangle arrays out to full leaf coverage with sentinels
     want = first_leaf * ppl
     v = tris["v"].astype(np.float32)
@@ -220,6 +226,11 @@ def load_bvh_file(path: str) -> MeshData:
 def save_bvh_file(path: str, mesh: MeshData) -> None:
     """Write MeshData as a reference-format ``.bvh`` binary."""
     T = mesh.num_tris
+    mid_max = int(np.asarray(mesh.mesh_id).max(initial=0))
+    if mid_max > 255:
+        raise ValueError(
+            f"mesh_id {mid_max} > 255 cannot round-trip through the "
+            "reference's uint8 triangle meshID field (helper_structs.h:81)")
     tris = np.zeros(T, dtype=_TRI_DTYPE)
     tris["v"][:, 0] = np.asarray(mesh.v0)
     tris["v"][:, 1] = np.asarray(mesh.v1)
@@ -270,6 +281,8 @@ def traverse(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
     N = origin.shape[0]
     P = mesh.prims_per_leaf
     first_leaf = mesh.first_leaf
+    if max(int(first_leaf), 1).bit_length() > 32:
+        raise ValueError("BVH deeper than the 32-level uint32 bitstack")
     inv_dir = 1.0 / direction
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (N,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))

@@ -153,21 +153,25 @@ def hit_tris(o, d, v0, v1, v2, t_min, t_max):
         a0 = v0[start:start + 4096][None]
         a1 = v1[start:start + 4096][None]
         a2 = v2[start:start + 4096][None]
-        e1 = a1 - a0
-        e2 = a2 - a0
-        dd = d[:, None, :]
-        oo = o[:, None, :]
-        h = np.cross(dd, e2)
-        a = dot(e1, h)
-        par = np.abs(a) < 1e-7
-        f = 1.0 / np.where(par, 1.0, a)
-        s = oo - a0
-        u = f * dot(s, h)
-        q = np.cross(s, e1)
-        v = f * dot(dd, q)
-        t = f * dot(e2, q)
-        bad = (par | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
-               | ~(t > t_min) | ~(t < best_t[:, None]) | ~np.isfinite(t))
+        # sentinel padding triangles have +inf vertices (kernels.cu:202);
+        # inf-inf = NaN is expected and masked by the `bad` test below, so
+        # silence the (benign but alarming) RuntimeWarnings they raise.
+        with np.errstate(invalid="ignore", over="ignore"):
+            e1 = a1 - a0
+            e2 = a2 - a0
+            dd = d[:, None, :]
+            oo = o[:, None, :]
+            h = np.cross(dd, e2)
+            a = dot(e1, h)
+            par = np.abs(a) < 1e-7
+            f = 1.0 / np.where(par, 1.0, a)
+            s = oo - a0
+            u = f * dot(s, h)
+            q = np.cross(s, e1)
+            v = f * dot(dd, q)
+            t = f * dot(e2, q)
+            bad = (par | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
+                   | ~(t > t_min) | ~(t < best_t[:, None]) | ~np.isfinite(t))
         t = np.where(bad, FLT_MAX, t)
         j = np.argmin(t, -1)
         rows = np.arange(n)

@@ -42,18 +42,20 @@ def make_tile_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 @functools.partial(jax.jit, static_argnames=("config", "ns", "mesh"))
 def _render_tiles(scene: Scene, camera: Camera, config: RenderConfig,
-                  pixel_ids: jnp.ndarray, s0: jnp.ndarray, ns: int,
+                  pixel_ids: jnp.ndarray, valid: jnp.ndarray,
+                  s0: jnp.ndarray, ns: int,
                   mesh: Mesh) -> Tuple[jnp.ndarray, Stats]:
-    def per_device(scene, camera, ids, s0):
-        acc, stats = sample_sum(scene, camera, config, ids, ns, s0)
+    def per_device(scene, camera, ids, valid, s0):
+        acc, stats = sample_sum(scene, camera, config, ids, ns, s0,
+                                valid=valid)
         # stats are tiny scalars; one psum outside the bounce loop
         stats = jax.lax.psum(stats, AXIS)
         return acc / jnp.float32(ns), stats
 
     fn = _shard_map(per_device, mesh=mesh,
-                    in_specs=(P(), P(), P(AXIS), P()),
+                    in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
                     out_specs=(P(AXIS), P()))
-    return fn(scene, camera, pixel_ids, s0)
+    return fn(scene, camera, pixel_ids, valid, s0)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "num_pixels", "mesh"))
@@ -94,7 +96,8 @@ def render_image_tiled_regen(scene: Scene, camera: Camera,
     # are dropped below.
     cfg = config.replace(nx=config.nx, ny=config.ny)
     fb = _render_tiles_regen(scene, camera, cfg, offsets,
-                             jnp.uint32(ns or config.ns), per_dev, mesh)
+                             jnp.uint32(config.ns if ns is None else ns),
+                             per_dev, mesh)
     return np.asarray(fb)[:n].reshape(config.ny, config.nx, 3)
 
 
@@ -112,9 +115,11 @@ def render_image_tiled(scene: Scene, camera: Camera, config: RenderConfig,
     d = mesh.devices.size
     n = config.num_pixels
     n_pad = ((n + d - 1) // d) * d
-    ids = np.minimum(np.arange(n_pad, dtype=np.uint32), n - 1)
+    raw = np.arange(n_pad, dtype=np.uint32)
+    ids = np.minimum(raw, n - 1)
     sharding = NamedSharding(mesh, P(AXIS))
     ids = jax.device_put(jnp.asarray(ids), sharding)
+    valid = jax.device_put(jnp.asarray(raw < n), sharding)
     scene = jax.device_put(scene, NamedSharding(mesh, P()))
     camera = jax.device_put(camera, NamedSharding(mesh, P()))
 
@@ -125,7 +130,7 @@ def render_image_tiled(scene: Scene, camera: Camera, config: RenderConfig,
     while done < config.ns:
         take = min(batch, config.ns - done)
         out, stats = _render_tiles(
-            scene, camera, config, ids, jnp.uint32(done), take, mesh)
+            scene, camera, config, ids, valid, jnp.uint32(done), take, mesh)
         # out is already mean over `take`; re-weight into running mean
         out = np.asarray(out) * (take / config.ns)
         acc = out if acc is None else acc + out
