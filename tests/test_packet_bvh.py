@@ -1,0 +1,124 @@
+"""Packet BVH traversal (the large-mesh TPU path) — interpret mode.
+
+The packet kernel must be *exactly* the brute-force oracle: identical
+hits, triangle ids, t/u/v, features, and occlusion — packet voting only
+changes visit order/speed, never results.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_pathtracer.ops import bvh as B
+from tpu_pathtracer.ops.pallas_bvh import (build_packet_mesh,
+                                           packet_occluded, packet_trace)
+from tpu_pathtracer.ops.v3 import V3
+from tpu_pathtracer.ops.vec import FLT_MAX
+
+
+def _mesh(t=2000, seed=0, ppl=16):
+    rng = np.random.RandomState(seed)
+    base = rng.uniform(-10, 10, (t, 3)).astype(np.float32)
+    v1 = base + rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    v2 = base + rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    tc = rng.rand(t, 6).astype(np.float32)
+    mid = rng.randint(0, 5, t).astype(np.int32)
+    return B.build_bvh(base, v1, v2, tc, mid, prims_per_leaf=ppl)
+
+
+def _rays(n, seed=1):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    tgt = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+    return o, d, ov, dv
+
+
+def test_packet_trace_exact_vs_brute_force():
+    mesh = _mesh()
+    pm = build_packet_mesh(mesh)
+    o, d, ov, dv = _rays(600)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    t, tri, u, v, nx, ny, nz, tu, tv, mid = packet_trace(
+        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
+        interpret=True)
+
+    rt, ri = np.asarray(ref.t), np.asarray(ref.tri_id)
+    np.testing.assert_array_equal(ri >= 0, np.asarray(tri) >= 0)
+    hit = ri >= 0
+    np.testing.assert_array_equal(ri[hit], np.asarray(tri)[hit])
+    # identical MT formula, but separately compiled graphs may contract
+    # mul+add into FMA differently; the 1/a division amplifies the
+    # dot-product ulp on u/v by ~|1/a|, hence the looser atol there
+    np.testing.assert_allclose(rt[hit], np.asarray(t)[hit], rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(ref.u)[hit],
+                               np.asarray(u)[hit], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.v)[hit],
+                               np.asarray(v)[hit], atol=1e-5)
+
+    # captured features == gathered truth
+    tid = np.maximum(np.asarray(tri), 0)
+    e1 = np.asarray(mesh.v1 - mesh.v0)[tid]
+    e2 = np.asarray(mesh.v2 - mesh.v0)[tid]
+    n_ref = np.cross(e1, e2)
+    got_n = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], 1)
+    np.testing.assert_allclose(got_n[hit], n_ref[hit],
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mid)[hit],
+                                  np.asarray(mesh.mesh_id)[tid][hit])
+    tc = np.asarray(mesh.tex_coords)[tid]
+    uu, vv = np.asarray(u), np.asarray(v)
+    w0 = 1.0 - uu - vv
+    tu_ref = uu * tc[:, 2] + vv * tc[:, 4] + w0 * tc[:, 0]
+    tv_ref = uu * tc[:, 3] + vv * tc[:, 5] + w0 * tc[:, 1]
+    np.testing.assert_allclose(np.asarray(tu)[hit], tu_ref[hit], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tv)[hit], tv_ref[hit], atol=1e-5)
+
+
+def test_packet_occluded_matches_nearest():
+    mesh = _mesh(t=1500, seed=3)
+    pm = build_packet_mesh(mesh)
+    o, d, ov, dv = _rays(600, seed=4)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    tmax = 15.0
+    occ = packet_occluded(ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first,
+                          pm.width, 1e-3, interpret=True)
+    truth = (np.asarray(ref.tri_id) >= 0) & (np.asarray(ref.t) < tmax)
+    np.testing.assert_array_equal(np.asarray(occ), truth)
+
+
+def test_packet_grouping_of_small_leaves():
+    """prims_per_leaf=5 (the reference's default) groups into ≤128-tri
+    clusters; results stay exact."""
+    mesh = _mesh(t=900, seed=5, ppl=5)
+    pm = build_packet_mesh(mesh)
+    assert pm.width == 80 and pm.blocks.shape[2] == 128
+    o, d, ov, dv = _rays(300, seed=6)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    t, tri, *_ = packet_trace(ov, dv, FLT_MAX, pm.nodes, pm.blocks,
+                              pm.cl_first, pm.width, 1e-3, interpret=True)
+    hit = np.asarray(ref.tri_id) >= 0
+    np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
+                                  np.asarray(tri)[hit])
+    np.testing.assert_allclose(np.asarray(ref.t)[hit],
+                               np.asarray(t)[hit], rtol=2e-6)
+
+
+def test_packet_render_end_to_end():
+    """Tiny forced-packet render == the jnp-traversal render (the packet
+    path swaps the traversal + feature plumbing, not the radiance math)."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.engine.render import render_image
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+    from tpu_pathtracer.utils.golden import rmse
+
+    cfg = RenderConfig(nx=16, ny=8, ns=1, max_depth=3, rays_per_chunk=128,
+                       textures=False)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=48, nv=12,
+                                prims_per_leaf=32)  # 1152 tris
+    ref = render_image(scene, cam, cfg)
+    forced = cfg.replace(force_feat_kernels=True, packet_threshold=1)
+    img = render_image(scene, cam, forced)
+    assert rmse(ref, img) < 1e-5

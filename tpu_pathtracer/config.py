@@ -67,6 +67,9 @@ class RenderConfig:
     check_nans: bool = False
     interpret: bool = False
     force_feat_kernels: bool = False
+    sort_rays: bool = True  # coherence sort around packet-BVH traversal
+    packet_threshold: int = 0  # tris above which the packet BVH kernel is
+    # used on the TPU path (0 = TRI_BRUTE_MAX); tests set 1 to force it
 
     @property
     def num_pixels(self) -> int:

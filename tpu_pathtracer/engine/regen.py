@@ -68,7 +68,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
     rounds = (n + m - 1) // m
     inv_ns = (1.0 / ns.astype(jnp.float32)) if normalize else jnp.float32(1.0)
 
-    view = make_view(scene)
+    view = make_view(scene, config)
     pixel_offset = jnp.asarray(pixel_offset, jnp.uint32)
     # varying-zero seeds: carries must match the body's sharding varyance
     # under shard_map (pixel_offset is the per-device-varying input)

@@ -129,9 +129,21 @@ class SceneView(NamedTuple):
     tri_e2: Optional[V3]
     tri_feat: Optional[jnp.ndarray]  # [T, 26] e1,e2,tc + material cols
     atlas: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]  # [K,H,W] ×3
+    packet: Optional[object] = None   # ops.pallas_bvh.PacketMesh (big mesh)
+    mat_rows: Optional[jnp.ndarray] = None  # [n_mats, 14] material columns
 
 
-def make_view(scene: Scene) -> SceneView:
+def _use_packet(scene: Scene, config: RenderConfig) -> bool:
+    """Large meshes on the TPU path traverse via the packet BVH kernel."""
+    if not (scene.has_mesh and config.use_bvh and _on_tpu(config)):
+        return False
+    fl = scene.mesh.first_leaf
+    thresh = config.packet_threshold or TRI_BRUTE_MAX
+    return scene.mesh.num_tris > thresh and fl & (fl - 1) == 0
+
+
+def make_view(scene: Scene, config: Optional[RenderConfig] = None
+              ) -> SceneView:
     sph_c = sph_r = sph_feat = None
     if scene.has_spheres:
         sph_c = V3.from_array(scene.sphere_center)
@@ -140,7 +152,9 @@ def make_view(scene: Scene) -> SceneView:
             [scene.sphere_center, sph_r[:, None],
              _material_table(scene.materials, scene.sphere_mat)], axis=1)
     tri_v0 = tri_e1 = tri_e2 = tri_feat = None
-    if scene.has_mesh:
+    packet = mat_rows = None
+    use_packet = (config is not None and _use_packet(scene, config))
+    if scene.has_mesh and not use_packet:
         m = scene.mesh
         tri_v0 = V3.from_array(m.v0)
         tri_e1 = V3.from_array(m.v1) - tri_v0
@@ -151,12 +165,18 @@ def make_view(scene: Scene) -> SceneView:
              jnp.nan_to_num(m.v2 - m.v0, posinf=0.0, neginf=0.0),
              m.tex_coords,
              _material_table(scene.materials, safe_mid)], axis=1)
+    if use_packet:
+        from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh
+        packet = build_packet_mesh(scene.mesh)
+        mat_rows = _material_table(
+            scene.materials,
+            jnp.arange(scene.materials.count, dtype=jnp.int32))
     atlas = None
     if scene.has_textures:
         a = scene.tex_atlas
         atlas = (a[..., 0], a[..., 1], a[..., 2])
     return SceneView(sph_c, sph_r, sph_feat, tri_v0, tri_e1, tri_e2,
-                     tri_feat, atlas)
+                     tri_feat, atlas, packet, mat_rows)
 
 
 class Intersection(NamedTuple):
@@ -191,6 +211,99 @@ class Stats(NamedTuple):
 # ---------------------------------------------------------------------------
 # intersection dispatch
 # ---------------------------------------------------------------------------
+
+
+def _ray_sort_key(scene: Scene, origin: V3, direction: V3) -> jnp.ndarray:
+    """18-bit spatial-coherence key: 15-bit morton of the quantized origin
+    within the mesh bounds + 3-bit direction octant. Packet traversal
+    visits the union of its lanes' nodes, so sorting rays by this key
+    before the kernel call shrinks the union (measured ~1.8× on
+    worst-case incoherent rays for ~0.7 ms of sort)."""
+    lo = scene.mesh.bounds_min
+    ext = jnp.maximum(scene.mesh.bounds_max - lo, 1e-9)
+
+    def q5(x, a):
+        v = jnp.clip((x - lo[a]) / ext[a] * 31.0, 0.0, 31.0)
+        return v.astype(jnp.uint32)
+
+    qx, qy, qz = q5(origin.x, 0), q5(origin.y, 1), q5(origin.z, 2)
+    m = jnp.zeros_like(qx)
+    for b in range(5):
+        m = m | (((qx >> b) & 1) << (3 * b))
+        m = m | (((qy >> b) & 1) << (3 * b + 1))
+        m = m | (((qz >> b) & 1) << (3 * b + 2))
+    octant = ((direction.x < 0).astype(jnp.uint32)
+              | ((direction.y < 0).astype(jnp.uint32) << 1)
+              | ((direction.z < 0).astype(jnp.uint32) << 2))
+    return (m << 3) | octant
+
+
+def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
+                    origin: V3, direction: V3, t_min: float, t_max):
+    """Large-mesh nearest hit via the packet BVH kernel, with a
+    coherence sort/unsort around the call. Returns
+    (t, tri, u, v, normal V3, tu, tv, mid)."""
+    from tpu_pathtracer.ops.pallas_bvh import packet_trace
+
+    pk = view.packet
+    n = origin.x.shape[0]
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if config.sort_rays:
+        key = _ray_sort_key(scene, origin, direction)
+        iota = jnp.arange(n, dtype=jnp.uint32)
+        (_, back, ox, oy, oz, dx, dy, dz, tm) = jax.lax.sort(
+            (key, iota, origin.x, origin.y, origin.z,
+             direction.x, direction.y, direction.z, t_max_b), num_keys=1)
+        o_s, d_s = V3(ox, oy, oz), V3(dx, dy, dz)
+    else:
+        back = None
+        o_s, d_s, tm = origin, direction, t_max_b
+    outs = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks, pk.cl_first,
+                        pk.width, t_min, interpret=_interp(config))
+    if back is not None:
+        unsorted = jax.lax.sort((back,) + outs, num_keys=1)
+        outs = unsorted[1:]
+    t, tri, u, v, nx, ny, nz, tu, tv, mid = outs
+    return t, tri, u, v, V3(nx, ny, nz), tu, tv, mid
+
+
+def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
+                   origin: V3, direction: V3, t_min: float,
+                   t_max: jnp.ndarray) -> jnp.ndarray:
+    """Large-mesh any-hit occlusion via the shadow packet kernel
+    (early-out semantics of kernels.cu:207)."""
+    from tpu_pathtracer.ops.pallas_bvh import packet_occluded
+
+    pk = view.packet
+    n = origin.x.shape[0]
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if config.sort_rays:
+        key = _ray_sort_key(scene, origin, direction)
+        iota = jnp.arange(n, dtype=jnp.uint32)
+        (_, back, ox, oy, oz, dx, dy, dz, tm) = jax.lax.sort(
+            (key, iota, origin.x, origin.y, origin.z,
+             direction.x, direction.y, direction.z, t_max_b), num_keys=1)
+        occ = packet_occluded(V3(ox, oy, oz), V3(dx, dy, dz), tm,
+                              pk.nodes, pk.blocks, pk.cl_first, pk.width,
+                              t_min, interpret=_interp(config))
+        _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
+        return occ != 0
+    return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
+                           pk.cl_first, pk.width, t_min,
+                           interpret=_interp(config))
+
+
+def _cols_from_rows(rows: jnp.ndarray) -> MatCols:
+    """Decode [N, 14] material-column rows (one row-gather from the
+    [n_mats, 14] table — ~0.3 ms vs ~18 ms for per-column gathers)."""
+    return MatCols(
+        mtype=rows[:, 0].astype(jnp.int32),
+        color=V3(rows[:, 1], rows[:, 2], rows[:, 3]),
+        color2=V3(rows[:, 4], rows[:, 5], rows[:, 6]),
+        param=rows[:, 7], param2=rows[:, 8],
+        absorption=V3(rows[:, 9], rows[:, 10], rows[:, 11]),
+        scatter_dist=rows[:, 12],
+        tex_id=rows[:, 13].astype(jnp.int32))
 
 
 def _spheres_nearest(view: SceneView, config: RenderConfig, origin: V3,
@@ -280,7 +393,20 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
 
     if scene.has_mesh:
         mesh = scene.mesh
-        if (_on_tpu(config) and config.use_bvh
+        if view.packet is not None:
+            # large-mesh packet BVH path: normal/texcoords/mesh-id are
+            # captured in-kernel at win time; material columns come from
+            # one row-gather of the tiny per-material table.
+            tt, tri_id, u, vv, nrm_raw, tu, tv, mid = _packet_nearest(
+                scene, view, config, origin, direction, eps, FLT_MAX)
+            hit = tri_id >= 0
+            mid_c = jnp.clip(mid, 0, scene.materials.count - 1)
+            mcols = _cols_from_rows(view.mat_rows[mid_c])
+            # guard the normalize: miss lanes have a zero normal
+            nrm = vwhere(hit, nrm_raw, V3.full(hit.shape, 0.0, 0.0, 1.0))
+            nrm = nrm.normalized()  # kernels.cu:336 (cross done in-kernel)
+            res_t = tt
+        elif (_on_tpu(config) and config.use_bvh
                 and mesh.num_tris <= TRI_BRUTE_MAX):
             from tpu_pathtracer.ops.pallas_tris import tris_hit_feat
             tt, tri_id, u, vv, f = tris_hit_feat(
@@ -293,6 +419,7 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             tu = u * f[8] + vv * f[10] + w0 * f[6]
             tv = u * f[9] + vv * f[11] + w0 * f[7]
             mcols = _cols_from_feats(f, 12)
+            nrm = e1.cross(e2).normalized()  # kernels.cu:336
             res_t = tt
         else:
             res = _mesh_nearest(scene, view, config, origin, direction, eps,
@@ -312,8 +439,8 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             mcols = _gather_cols(scene.materials,
                                  jnp.clip(mesh.mesh_id[tri], 0,
                                           scene.materials.count - 1))
+            nrm = e1.cross(e2).normalized()  # kernels.cu:336
             res_t = res.t
-        nrm = e1.cross(e2).normalized()  # kernels.cu:336
         win = hit & (res_t < t)
         t = jnp.where(win, res_t, t)
         obj = jnp.where(win, sc.OBJ_TRIMESH, obj)
@@ -382,9 +509,13 @@ def occluded(scene: Scene, view: SceneView, config: RenderConfig,
     n = origin.x.shape[0]
     occ = jnp.zeros((n,), bool)
     if scene.has_mesh:
-        res = _mesh_nearest(scene, view, config, origin, direction,
-                            config.epsilon, t_max, is_shadow=True)
-        occ = occ | (res.tri_id >= 0)
+        if view.packet is not None:
+            occ = occ | _packet_shadow(scene, view, config, origin,
+                                       direction, config.epsilon, t_max)
+        else:
+            res = _mesh_nearest(scene, view, config, origin, direction,
+                                config.epsilon, t_max, is_shadow=True)
+            occ = occ | (res.tri_id >= 0)
     if scene.has_spheres:
         st, _ = _spheres_nearest(view, config, origin, direction,
                                  config.epsilon, t_max)
@@ -542,8 +673,10 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
             _rng.slot_uniform(base, _rng.S_NEE0),
             _rng.slot_uniform(base, _rng.S_NEE1))
         nee_mask = nee_mask & valid
+        # non-NEE lanes get t_max = -1: every occluder test fails and the
+        # packet-BVH shadow kernel retires them at init (no node votes)
         occ = occluded(scene, view, config, new_origin, sdir,
-                       jnp.where(nee_mask, ldist, config.epsilon))
+                       jnp.where(nee_mask, ldist, -1.0))
         lit = nee_mask & ~occ
         color = color + vwhere(lit, contrib, V3.zeros(miss.shape))
         if stats is not None:
@@ -578,7 +711,7 @@ def trace(scene: Scene, camera: Camera, config: RenderConfig,
     ``valid`` (optional [N] bool) marks real lanes; tail-padding duplicate
     lanes start dead so they never inflate the Stats counters."""
     n = pixel_id.shape[0]
-    view = make_view(scene)
+    view = make_view(scene, config)
     origin, direction = camera.generate_rays(pixel_id, sample,
                                              config.nx, config.ny)
     # inits derived from inputs: carry varyance matches under shard_map

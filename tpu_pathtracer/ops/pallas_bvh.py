@@ -1,0 +1,484 @@
+"""Pallas TPU packet BVH traversal for large meshes.
+
+The reference's hottest core is per-thread stack BVH traversal
+(``hitBvh``, kernels.cu:154–224 — ~99% of kernel time, README.md:48).
+Per-thread traversal needs per-lane gathers, which TPUs lack (measured:
+Mosaic has no per-lane VMEM gather; XLA row-gathers cost ~9 ns/lane).
+This kernel replaces it with *packet* (speculative) traversal, the shape
+that maps to TPU hardware:
+
+  * A packet of ``R×128`` rays shares ONE scalar traversal state
+    (node index + uint32 bitstack, the dual-node scheme of
+    kernels.cu:148–224). Node AABBs live in a VMEM table; one scalar row
+    read + a slab test over the whole lane tile costs ~0.4 µs.
+  * Descent decisions are packet votes: a child is visited if ANY lane's
+    slab entry beats its per-lane closest-t; near-first ordering by
+    majority vote. Lanes that would not have visited a node simply fail
+    its tests — per-lane nearest-hit masking keeps results exactly equal
+    to per-ray traversal; coherence only affects speed.
+  * Leaves are clusters of up to 128 consecutive triangles (the builder's
+    leaf order), DMA'd HBM→SMEM (~0.1 µs for 8 KB) and tested
+    triangle-by-triangle with scalar broadcasts against the whole lane
+    tile (measured 5.4 µs per 128-tri cluster per 1024-lane packet).
+  * The shadow variant is any-hit: a lane retires on its first hit
+    (kernels.cu:207) by zeroing its closest-t so it stops voting; the
+    packet exits once every lane is retired.
+
+Triangle-hit math and accumulation order mirror ``ops/pallas_tris`` /
+``ops/intersect.triangles_hit`` exactly (intersections.h:54–83) so the
+packet path is bit-compatible with the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pathtracer.models.scene import MeshData
+
+_FLT_MAX = 3.4028235e38
+_BBOX_T_MIN = 0.001  # intersections.h:8,:26
+ROWS = 8             # sublane rows per packet -> packet = ROWS*128 rays
+
+
+class PacketMesh(NamedTuple):
+    """Device data for the packet kernel, derived from MeshData."""
+    nodes: jnp.ndarray    # [n_nodes_pad, 8] f32: minx..maxz,0,0; heap from 1
+    blocks: jnp.ndarray   # [n_clusters, 16, w_pad] f32 cluster blocks
+    cl_first: int         # heap index of the first cluster-level node
+    width: int            # triangles per cluster (= prims_per_leaf << k)
+
+
+def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
+    """Group BVH leaves into ≤128-triangle clusters and pack the node
+    table + SoA cluster blocks the kernel consumes.
+
+    Works for any power-of-two complete tree (our builder and the
+    reference's ``BVH_00.04`` layout, kernels.cu:614): cluster level =
+    leaf level minus k where ``prims_per_leaf << k ≤ 128``; cluster
+    triangles are contiguous because leaves are.
+    """
+    P = mesh.prims_per_leaf
+    first_leaf = mesh.first_leaf
+    if first_leaf & (first_leaf - 1):
+        raise ValueError("packet traversal needs a complete power-of-two "
+                         f"BVH; first_leaf={first_leaf}")
+    k = 0
+    while (P << (k + 1)) <= max_width and (first_leaf >> (k + 1)) >= 1:
+        k += 1
+    width = P << k
+    cl_first = first_leaf >> k
+    n_clusters = cl_first
+    w_pad = ((width + 127) // 128) * 128
+
+    # node table rows 0..2*cl_first (row 0 unused)
+    n_nodes = 2 * cl_first
+    n_pad = ((n_nodes + 7) // 8) * 8
+    nodes = jnp.concatenate(
+        [mesh.bvh_min[:n_nodes], mesh.bvh_max[:n_nodes],
+         jnp.zeros((n_nodes, 2), jnp.float32)], axis=1)
+    nodes = jnp.concatenate(
+        [nodes, jnp.zeros((n_pad - n_nodes, 8), jnp.float32)], axis=0)
+
+    # cluster blocks [C, 16, w_pad]: v0, e1, e2, tc0..tc5, mesh_id
+    sane = jnp.isfinite(mesh.v0).all(axis=1)  # sentinel slots -> zeros
+    z3 = jnp.zeros_like(mesh.v0)
+    v0 = jnp.where(sane[:, None], mesh.v0, z3)
+    e1 = jnp.where(sane[:, None], mesh.v1 - mesh.v0, z3)
+    e2 = jnp.where(sane[:, None], mesh.v2 - mesh.v0, z3)
+    comps = [v0[:, 0], v0[:, 1], v0[:, 2],
+             e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2]]
+    comps += [mesh.tex_coords[:, i] for i in range(6)]
+    comps += [mesh.mesh_id.astype(jnp.float32)]
+    flat = jnp.stack(comps, axis=0)              # [16, C*width]
+    blk = flat.reshape(16, n_clusters, width).transpose(1, 0, 2)
+    if w_pad != width:
+        blk = jnp.concatenate(
+            [blk, jnp.zeros((n_clusters, 16, w_pad - width), jnp.float32)],
+            axis=2)
+    return PacketMesh(nodes=nodes, blocks=blk, cl_first=cl_first,
+                      width=width)
+
+
+def _slab(row, base, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest):
+    """Entry-distance slab test of one node AABB (scalar bounds from a
+    node-table row) against the (R,128) lane tile; FLT_MAX on miss.
+    Mirrors ops/intersect.bbox_hit_dist's where-form (C NaN semantics)."""
+    t0x = (row[base + 0] - o1) * i1
+    t1x = (row[base + 3] - o1) * i1
+    t0y = (row[base + 1] - o2) * i2
+    t1y = (row[base + 4] - o2) * i2
+    t0z = (row[base + 2] - o3) * i3
+    t1z = (row[base + 5] - o3) * i3
+    lox = jnp.where(n1, t1x, t0x)
+    hix = jnp.where(n1, t0x, t1x)
+    loy = jnp.where(n2, t1y, t0y)
+    hiy = jnp.where(n2, t0y, t1y)
+    loz = jnp.where(n3, t1z, t0z)
+    hiz = jnp.where(n3, t0z, t1z)
+    tmin = jnp.full(o1.shape, _BBOX_T_MIN, jnp.float32)
+    tmax = closest
+    tmin = jnp.where(lox > tmin, lox, tmin)
+    tmax = jnp.where(hix < tmax, hix, tmax)
+    tmin = jnp.where(loy > tmin, loy, tmin)
+    tmax = jnp.where(hiy < tmax, hiy, tmax)
+    tmin = jnp.where(loz > tmin, loz, tmin)
+    tmax = jnp.where(hiz < tmax, hiz, tmax)
+    return jnp.where(tmax < tmin, _FLT_MAX, tmin)
+
+
+def _ctz32(x):
+    """Count trailing zeros of a nonzero uint32 scalar (kernels.cu:149).
+
+    Mosaic has neither scalar popcount nor scalar bitcast, so use the
+    branchless binary search (5 select+shift rounds)."""
+    x = x.astype(jnp.uint32)
+    n = jnp.int32(0)
+    for half, mask in ((16, 0xFFFF), (8, 0xFF), (4, 0xF), (2, 0x3),
+                       (1, 0x1)):
+        zero = (x & jnp.uint32(mask)) == 0
+        n = n + jnp.where(zero, half, 0)
+        x = jnp.where(zero, x >> jnp.uint32(half), x)
+    return n
+
+
+def _advance(idx, bs, lhit, rhit, closest, l):
+    """Shared scalar traversal step: votes, near-first choice, bitstack.
+    Returns (new_idx, new_bs)."""
+    trav_l = lhit < closest
+    trav_r = rhit < closest
+    vl = jnp.any(trav_l)
+    vr = jnp.any(trav_r)
+    both_m = trav_l & trav_r
+    # near-first by majority of lanes that hit both (kernels.cu:183-187
+    # per-ray near ordering, lifted to a packet vote)
+    prefer_r = jnp.sum((rhit < lhit) & both_m, dtype=jnp.int32)
+    n_both = jnp.sum(both_m, dtype=jnp.int32)
+    swap = (2 * prefer_r > n_both).astype(jnp.int32)
+
+    both = vl & vr
+    single = vl ^ vr
+    # pop (kernels.cu:148-152)
+    m = jnp.where(bs > 0, _ctz32(bs), 0)
+    bs_p = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
+    idx_p = (idx >> m) ^ 1
+
+    child_both = l + swap
+    child_single = jnp.where(vl, l, l + 1)
+    new_idx = jnp.where(both, child_both,
+                        jnp.where(single, child_single, idx_p))
+    new_bs = jnp.where(both, (bs << jnp.uint32(1)) + jnp.uint32(1),
+                       jnp.where(single, bs << jnp.uint32(1), bs_p))
+    return new_idx, new_bs
+
+
+def _mt_scalar_tri(blk, w, o1, o2, o3, d1, d2, d3, t_min, closest):
+    """Möller–Trumbore of one triangle (scalar comps from the SMEM block)
+    against the lane tile — op-for-op the ops/pallas_tris sequence."""
+    v0x = blk[0, w]
+    v0y = blk[1, w]
+    v0z = blk[2, w]
+    g1x = blk[3, w]
+    g1y = blk[4, w]
+    g1z = blk[5, w]
+    g2x = blk[6, w]
+    g2y = blk[7, w]
+    g2z = blk[8, w]
+    hx = d2 * g2z - d3 * g2y
+    hy = d3 * g2x - d1 * g2z
+    hz = d1 * g2y - d2 * g2x
+    a = g1x * hx + g1y * hy + g1z * hz
+    parallel = jnp.abs(a) < 1e-7  # intersections.h:55
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx = o1 - v0x
+    sy = o2 - v0y
+    sz = o3 - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * g1z - sz * g1y
+    qy = sz * g1x - sx * g1z
+    qz = sx * g1y - sy * g1x
+    v = f * (d1 * qx + d2 * qy + d3 * qz)
+    t = f * (g2x * qx + g2y * qy + g2z * qz)
+    bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+           | jnp.logical_not(t > t_min) | jnp.logical_not(t < closest))
+    return t, u, v, bad
+
+
+def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
+                    tri_out, feat_out, *, cl_first, width, t_min):
+    def scoped(blk, sem):
+        o1 = ox[:, :]
+        o2 = oy[:, :]
+        o3 = oz[:, :]
+        d1 = dx[:, :]
+        d2 = dy[:, :]
+        d3 = dz[:, :]
+        i1 = 1.0 / d1
+        i2 = 1.0 / d2
+        i3 = 1.0 / d3
+        n1 = i1 < 0.0
+        n2 = i2 < 0.0
+        n3 = i3 < 0.0
+        shp = o1.shape
+        zf = jnp.zeros(shp, jnp.float32)
+
+        def node_fn(carry):
+            idx, bs, closest, besti, rest = carry
+            l = idx * 2
+            pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
+            row = pair[0, :]
+            row2 = pair[1, :]
+            lhit = _slab(row, 0, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+            rhit = _slab(row2, 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                         closest)
+            new_idx, new_bs = _advance(idx, bs, lhit, rhit, closest, l)
+            return (new_idx, new_bs, closest, besti, rest)
+
+        def leaf_fn(carry):
+            idx, bs, closest, besti, rest = carry
+            c = idx - cl_first
+            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+            dma.start()
+            dma.wait()
+
+            def tri(w, st):
+                closest, besti, rest = st
+                (bu, bv, bnx, bny, bnz, bmid,
+                 c0, c1, c2, c3, c4, c5) = rest
+                t, u, v, bad = _mt_scalar_tri(
+                    blk, w, o1, o2, o3, d1, d2, d3, t_min, closest)
+                won = jnp.logical_not(bad)
+                closest = jnp.where(won, t, closest)
+                besti = jnp.where(won, c * width + w, besti)
+                bu = jnp.where(won, u, bu)
+                bv = jnp.where(won, v, bv)
+                # face normal e1 x e2 from the same f32 edges
+                # (kernels.cu:336)
+                g1x = blk[3, w]
+                g1y = blk[4, w]
+                g1z = blk[5, w]
+                g2x = blk[6, w]
+                g2y = blk[7, w]
+                g2z = blk[8, w]
+                bnx = jnp.where(won, g1y * g2z - g1z * g2y, bnx)
+                bny = jnp.where(won, g1z * g2x - g1x * g2z, bny)
+                bnz = jnp.where(won, g1x * g2y - g1y * g2x, bnz)
+                bmid = jnp.where(won, blk[15, w], bmid)
+                c0 = jnp.where(won, blk[9, w], c0)
+                c1 = jnp.where(won, blk[10, w], c1)
+                c2 = jnp.where(won, blk[11, w], c2)
+                c3 = jnp.where(won, blk[12, w], c3)
+                c4 = jnp.where(won, blk[13, w], c4)
+                c5 = jnp.where(won, blk[14, w], c5)
+                return (closest, besti,
+                        (bu, bv, bnx, bny, bnz, bmid, c0, c1, c2, c3, c4,
+                         c5))
+
+            closest, besti, rest = jax.lax.fori_loop(
+                0, width, tri, (closest, besti, rest))
+            m = jnp.where(bs > 0, _ctz32(bs), 0)
+            new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
+            new_idx = (idx >> m) ^ 1
+            return (new_idx, new_bs, closest, besti, rest)
+
+        def body(carry):
+            return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
+                                carry)
+
+        def cond(carry):
+            return carry[0] > 0
+
+        rest0 = (zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf)
+        init = (jnp.int32(1), jnp.uint32(1), tmax[:, :],
+                jnp.full(shp, -1, jnp.int32), rest0)
+        _, _, closest, besti, rest = jax.lax.while_loop(cond, body, init)
+        (bu, bv, bnx, bny, bnz, bmid, c0, c1, c2, c3, c4, c5) = rest
+        # barycentric texcoord interpolation (kernels.cu:337-338), same
+        # op order as the feat path in engine/wavefront.py
+        w0 = 1.0 - bu - bv
+        tu = bu * c2 + bv * c4 + w0 * c0
+        tv = bu * c3 + bv * c5 + w0 * c1
+
+        tri_out[:, :] = besti
+        feat_out[0, :, :] = closest
+        feat_out[1, :, :] = bu
+        feat_out[2, :, :] = bv
+        feat_out[3, :, :] = bnx
+        feat_out[4, :, :] = bny
+        feat_out[5, :, :] = bnz
+        feat_out[6, :, :] = tu
+        feat_out[7, :, :] = tv
+        feat_out[8, :, :] = bmid
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM((16, blocks.shape[2]), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()))
+
+
+def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
+                   *, cl_first, width, t_min):
+    def scoped(blk, sem):
+        o1 = ox[:, :]
+        o2 = oy[:, :]
+        o3 = oz[:, :]
+        d1 = dx[:, :]
+        d2 = dy[:, :]
+        d3 = dz[:, :]
+        i1 = 1.0 / d1
+        i2 = 1.0 / d2
+        i3 = 1.0 / d3
+        n1 = i1 < 0.0
+        n2 = i2 < 0.0
+        n3 = i3 < 0.0
+
+        def node_fn(carry):
+            idx, bs, closest, occ, ndone = carry
+            l = idx * 2
+            pair = nodes[pl.ds(l, 2), :]
+            lhit = _slab(pair[0, :], 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                         closest)
+            rhit = _slab(pair[1, :], 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                         closest)
+            new_idx, new_bs = _advance(idx, bs, lhit, rhit, closest, l)
+            return (new_idx, new_bs, closest, occ, ndone)
+
+        def leaf_fn(carry):
+            idx, bs, closest, occ, ndone = carry
+            c = idx - cl_first
+            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+            dma.start()
+            dma.wait()
+
+            def tri(w, st):
+                closest, occ = st
+                t, u, v, bad = _mt_scalar_tri(
+                    blk, w, o1, o2, o3, d1, d2, d3, t_min, closest)
+                hit = jnp.logical_not(bad)
+                occ = jnp.where(hit, jnp.int32(1), occ)
+                # any-hit early-out (kernels.cu:207): retire the lane so
+                # it stops voting for nodes
+                closest = jnp.where(hit, jnp.float32(-1e30), closest)
+                return closest, occ
+
+            closest, occ = jax.lax.fori_loop(0, width, tri, (closest, occ))
+            # retired == closest < 0 (covers inert padding lanes too)
+            ndone = jnp.all(closest < 0.0).astype(jnp.int32)
+            m = jnp.where(bs > 0, _ctz32(bs), 0)
+            new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
+            new_idx = (idx >> m) ^ 1
+            return (new_idx, new_bs, closest, occ, ndone)
+
+        def body(carry):
+            return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
+                                carry)
+
+        def cond(carry):
+            return (carry[0] > 0) & (carry[4] == 0)
+
+        shp = o1.shape
+        init = (jnp.int32(1), jnp.uint32(1), tmax[:, :],
+                jnp.zeros(shp, jnp.int32), jnp.int32(0))
+        _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
+        occ_out[:, :] = occ
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM((16, blocks.shape[2]), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()))
+
+
+def _pad_rays(a, fill, n_pad):
+    n = a.shape[0]
+    if n_pad != n:
+        a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
+    return a.reshape(-1, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
+                                             "interpret"))
+def packet_trace(origin, direction, t_max, nodes, blocks, cl_first: int,
+                 width: int, t_min: float, interpret: bool = False):
+    """Nearest-hit packet traversal over the whole ray batch.
+
+    origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
+    scalar. Returns (t, tri_id, u, v, nx, ny, nz, tu, tv, mid) dense [N]
+    arrays; tri_id = -1 and t = t_max on miss.
+    """
+    n = origin.x.shape[0]
+    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
+        _pad_rays(origin.z, 0.0, n_pad),
+        _pad_rays(direction.x, 1.0, n_pad),
+        _pad_rays(direction.y, 0.0, n_pad),
+        _pad_rays(direction.z, 0.0, n_pad),
+        _pad_rays(t_max_b, 0.0, n_pad),  # pad lanes: closest=0 -> inert
+        nodes, blocks,
+    ]
+    n_packets = n_pad // (ROWS * 128)
+    ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    tri, feat = pl.pallas_call(
+        functools.partial(_kernel_nearest, cl_first=cl_first, width=width,
+                          t_min=float(t_min)),
+        grid=(n_packets,),
+        in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
+        out_specs=(ray_spec,
+                   pl.BlockSpec((9, ROWS, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((9, n_pad // 128, 128),
+                                        jnp.float32)),
+        interpret=interpret,
+    )(*args)
+    tri = tri.reshape(-1)[:n]
+    f = feat.reshape(9, -1)[:, :n]
+    return (f[0], tri, f[1], f[2], f[3], f[4], f[5], f[6], f[7],
+            f[8].astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
+                                             "interpret"))
+def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
+                    width: int, t_min: float, interpret: bool = False):
+    """Any-hit packet traversal: [N] bool, True where a triangle occludes
+    the segment (t_min, t_max)."""
+    n = origin.x.shape[0]
+    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
+        _pad_rays(origin.z, 0.0, n_pad),
+        _pad_rays(direction.x, 1.0, n_pad),
+        _pad_rays(direction.y, 0.0, n_pad),
+        _pad_rays(direction.z, 0.0, n_pad),
+        # pad lanes: closest<0 -> retired immediately, vote all-done
+        _pad_rays(t_max_b, -1.0, n_pad),
+        nodes, blocks,
+    ]
+    n_packets = n_pad // (ROWS * 128)
+    ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    occ = pl.pallas_call(
+        functools.partial(_kernel_shadow, cl_first=cl_first, width=width,
+                          t_min=float(t_min)),
+        grid=(n_packets,),
+        in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(*args)
+    return occ.reshape(-1)[:n] != 0
