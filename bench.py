@@ -5,48 +5,131 @@ max depth 50 — the reference's final README state ran it in 6.48 s on a
 GTX 1050 (README.md:94). ``vs_baseline`` is baseline_time / our_time
 (>1 = faster than the reference).
 
-The render is issued in sample batches (shorter device dispatches — the
-axon tunnel intermittently kills very long ones) and the whole
-measurement retries once on a worker crash.
+The single JSON line also carries the other BASELINE configs and the
+Mrays/sec/chip metric under ``extra``:
+  * config 2 — random-spheres 1200×800 @ 10 spp (README.md:70: 2.1 s)
+  * config 4 — staircase mesh + BVH + textures 1200×800 @ 100 spp
+  * large-mesh zoo — 131k-tri torus knot 512×512 @ 16 spp via the
+    packet-BVH kernel (dragon-class stand-in; see PERFORMANCE.md)
+
+Renders are issued in sample batches (shorter device dispatches — the
+axon tunnel intermittently kills very long ones) and each measurement
+retries on a worker crash.
 """
 
 import json
 import sys
 import time
 
-BASELINE_SECONDS = 6.48  # README.md:94, GTX 1050
+BASELINE_100SPP = 6.48   # README.md:94, GTX 1050
+BASELINE_10SPP = 2.1     # README.md:70, GTX 1050
 BATCH = 25
 
 
-def run_once(batched: bool):
+def _render_batched(scene, cam, cfg, ns, batch):
+    """Timed render of `ns` samples in `batch`-spp dispatches; returns
+    (seconds, mean image). Timing matches the reference driver, which
+    times runRenderer only (main.cpp:96-101). batch == ns is a single
+    dispatch (no tail repetition); smaller batches keep dispatches under
+    the tunnel's crash horizon for long renders.
+
+    The warmup call uses the SAME static signature (normalize=False) as
+    the timed calls — a different static arg would compile a second
+    executable inside the timed region.
+    """
     import jax.numpy as jnp
     import numpy as np
 
-    from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.engine.regen import _render_regen_jit
+
+    np.asarray(_render_regen_jit(scene, cam, cfg, jnp.uint32(1),
+                                 jnp.uint32(0), normalize=False))
+    t0 = time.perf_counter()
+    tot = None
+    for s0 in range(0, ns, batch):
+        take = min(batch, ns - s0)
+        fb = _render_regen_jit(scene, cam, cfg, jnp.uint32(take),
+                               jnp.uint32(s0), normalize=False)
+        if batch >= ns:
+            fb.block_until_ready()  # single dispatch: time kernel only
+            elapsed = time.perf_counter() - t0
+            return elapsed, np.asarray(fb) / ns
+        a = np.asarray(fb)
+        tot = a if tot is None else tot + a
+    elapsed = time.perf_counter() - t0
+    return elapsed, tot / ns
+
+
+def _rays_per_path(scene, cam, cfg):
+    """Measured rays per camera path (primary+secondary+shadow) from a
+    short stats-enabled run — converts Mpaths/s to Mrays/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.engine.regen import render_regen
+
+    scfg = cfg.replace(stats=True, nx=cfg.nx // 4, ny=cfg.ny // 4)
+    _, stats = jax.jit(
+        lambda s, c: render_regen(s, c, scfg, ns=jnp.uint32(4)))(scene, cam)
+    rays = int(stats.primary) + int(stats.secondary) + int(stats.shadows)
+    return rays / max(int(stats.primary), 1)
+
+
+def _retry(fn, attempts=3):
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # tunnel/worker crash — retry
+            last = e
+            print(f"attempt {i} failed: {e!r}"[:300], file=sys.stderr)
+            time.sleep(30)
+    raise last
+
+
+def bench_headline():
+    from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.spheres import random_spheres_scene
 
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=50)
     scene, cam = random_spheres_scene(cfg.nx, cfg.ny)
+    elapsed, img = _render_batched(scene, cam, cfg, 100, 100)
+    rpp = _rays_per_path(scene, cam, cfg)
+    paths = cfg.num_pixels * cfg.ns
+    mrays = paths * rpp / elapsed / 1e6
+    print(f"random-spheres 1200x800@100spp: {elapsed:.3f} s "
+          f"({paths / elapsed / 1e6:.1f} Mpaths/s, {mrays:.1f} Mrays/s, "
+          f"mean={img.mean():.4f})", file=sys.stderr)
 
-    # warmup / compile (the sample count is a dynamic scalar: the warm
-    # executable is exactly the measured one)
-    _render_regen_jit(scene, cam, cfg, jnp.uint32(1)).block_until_ready()
+    # config 2 on the same warm executable (ns is dynamic)
+    t2, _ = _render_batched(scene, cam, cfg, 10, 10)
+    print(f"random-spheres 1200x800@10spp: {t2:.3f} s", file=sys.stderr)
+    return elapsed, mrays, t2
 
-    # Timing matches the reference driver, which times runRenderer only —
-    # kernel completion, not framebuffer readback (main.cpp:96–101).
-    t0 = time.perf_counter()
-    if batched:  # fallback: shorter dispatches for a flaky tunnel
-        parts = [_render_regen_jit(scene, cam, cfg, jnp.uint32(BATCH),
-                                   jnp.uint32(s0), normalize=False)
-                 for s0 in range(0, cfg.ns, BATCH)]
-        fb = sum(parts) / cfg.ns
-    else:
-        fb = _render_regen_jit(scene, cam, cfg, jnp.uint32(cfg.ns))
-    fb.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    img = np.asarray(fb).reshape(cfg.ny, cfg.nx, 3)
-    return cfg, elapsed, img
+
+def bench_staircase():
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.mesh import procedural_staircase_scene
+
+    cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=64)
+    scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
+    elapsed, img = _render_batched(scene, cam, cfg, 100, BATCH)  # ~6 s/batch
+    print(f"staircase 1200x800@100spp: {elapsed:.3f} s "
+          f"(mean={img.mean():.4f})", file=sys.stderr)
+    return elapsed
+
+
+def bench_knot():
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+
+    cfg = RenderConfig(nx=512, ny=512, ns=16, max_depth=50, textures=False,
+                       rays_per_chunk=65536)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)
+    elapsed, img = _render_batched(scene, cam, cfg, 16, 16)
+    print(f"knot-131k 512x512@16spp (packet BVH): {elapsed:.3f} s "
+          f"(mean={img.mean():.4f})", file=sys.stderr)
+    return elapsed
 
 
 def main():
@@ -54,30 +137,28 @@ def main():
     enable_compilation_cache()
 
     import jax
-
-    last_err = None
-    for attempt in range(3):
-        try:
-            cfg, elapsed, img = run_once(batched=attempt > 0)
-            break
-        except Exception as e:  # tunnel/worker crash — retry, then batched
-            last_err = e
-            print(f"attempt {attempt} failed: {e!r}"[:300], file=sys.stderr)
-            time.sleep(30)
-    else:
-        raise last_err
-
-    paths = cfg.num_pixels * cfg.ns
-    mpaths = paths / elapsed / 1e6
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    print(f"random-spheres 1200x800@100spp: {elapsed:.3f} s "
-          f"({mpaths:.1f} Mpaths/s, mean={img.mean():.4f})", file=sys.stderr)
+
+    headline, mrays, t10 = _retry(bench_headline)
+    extra = {"config2_random_spheres_10spp_s": round(t10, 4),
+             "config2_vs_baseline": round(BASELINE_10SPP / t10, 3)}
+    try:
+        extra["config4_staircase_100spp_s"] = round(_retry(bench_staircase),
+                                                    4)
+    except Exception as e:
+        print(f"staircase bench failed: {e!r}"[:200], file=sys.stderr)
+    try:
+        extra["zoo_knot_131k_512_16spp_s"] = round(_retry(bench_knot), 4)
+    except Exception as e:
+        print(f"knot bench failed: {e!r}"[:200], file=sys.stderr)
 
     print(json.dumps({
         "metric": "random_spheres_1200x800_100spp_wall_clock",
-        "value": round(elapsed, 4),
+        "value": round(headline, 4),
         "unit": "seconds",
-        "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+        "vs_baseline": round(BASELINE_100SPP / headline, 3),
+        "mrays_per_sec": round(mrays, 2),
+        "extra": extra,
     }))
 
 

@@ -41,9 +41,11 @@ def test_packet_trace_exact_vs_brute_force():
     pm = build_packet_mesh(mesh)
     o, d, ov, dv = _rays(600)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
-    t, tri, u, v, nx, ny, nz, tu, tv, mid = packet_trace(
+    (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg) = packet_trace(
         ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
         interpret=True)
+    assert int(nb) > 0  # node-step telemetry fires (single may be 0:
+    # a 600-ray packet hits both children of nearly every node)
 
     rt, ri = np.asarray(ref.t), np.asarray(ref.tri_id)
     np.testing.assert_array_equal(ri >= 0, np.asarray(tri) >= 0)
@@ -83,8 +85,9 @@ def test_packet_occluded_matches_nearest():
     o, d, ov, dv = _rays(600, seed=4)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     tmax = 15.0
-    occ = packet_occluded(ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first,
-                          pm.width, 1e-3, interpret=True)
+    occ, _counts = packet_occluded(ov, dv, tmax, pm.nodes, pm.blocks,
+                                   pm.cl_first, pm.width, 1e-3,
+                                   interpret=True)
     truth = (np.asarray(ref.tri_id) >= 0) & (np.asarray(ref.t) < tmax)
     np.testing.assert_array_equal(np.asarray(occ), truth)
 
@@ -97,8 +100,9 @@ def test_packet_grouping_of_small_leaves():
     assert pm.width == 80 and pm.blocks.shape[2] == 128
     o, d, ov, dv = _rays(300, seed=6)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
-    t, tri, *_ = packet_trace(ov, dv, FLT_MAX, pm.nodes, pm.blocks,
-                              pm.cl_first, pm.width, 1e-3, interpret=True)
+    (t, tri, *_), _counts = packet_trace(
+        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
+        interpret=True)
     hit = np.asarray(ref.tri_id) >= 0
     np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
                                   np.asarray(tri)[hit])

@@ -66,3 +66,24 @@ def test_tiled_stats_psum():
     img, stats = render_image_tiled(scene, cam, cfg, report_stats=True)
     assert stats["primary"] if isinstance(stats, dict) else stats.primary \
         == 16 * 16 * 2
+
+
+def test_config5_dress_rehearsal_tiled_checkpointed_resume(tmp_path):
+    """BASELINE config 5 at dryrun scale: a tiled (8 virtual devices) +
+    checkpointed + interrupted + resumed render equals a straight
+    single-device run exactly (up to fp summation order)."""
+    from tpu_pathtracer.engine.regen import render_image_regen
+    from tpu_pathtracer.utils import checkpoint as ck
+
+    cfg = RenderConfig(nx=48, ny=24, ns=6, max_depth=5, rays_per_chunk=128)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    straight = render_image_regen(scene, cam, cfg)
+
+    p = str(tmp_path / "c5.ckpt")
+    # interrupted run: 4 of 6 samples, tiled over all 8 devices
+    ck.render_with_checkpoints(scene, cam, cfg.replace(ns=4), p, batch=2,
+                               devices=jax.devices())
+    # resume to completion, still tiled
+    img = ck.render_with_checkpoints(scene, cam, cfg, p, batch=2,
+                                     devices=jax.devices())
+    np.testing.assert_allclose(img, straight, atol=1e-5)

@@ -63,6 +63,44 @@ def test_regen_stats():
         assert int(getattr(stats, k)) == int(getattr(plain, k)), k
 
 
+def test_full_stats_matrix_mesh_scene():
+    """The 18-counter matrix (kernels.cu:48–66) on a mesh+NEE scene:
+    regen == plain for every counter, and the mesh-specific counters
+    actually fire."""
+    import jax
+    from tpu_pathtracer.engine.regen import render_regen
+
+    cfg = RenderConfig(nx=24, ny=16, ns=2, max_depth=6, stats=True,
+                       check_nans=True, rays_per_chunk=128)
+    scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
+    _, plain = render_image(scene, cam, cfg, report_stats=True)
+    _, stats = jax.jit(lambda s, c: render_regen(s, c, cfg))(scene, cam)
+    for k in stats._fields:
+        assert int(getattr(stats, k)) == int(getattr(plain, k)), k
+    assert int(plain.primary) == 24 * 16 * 2
+    assert int(plain.primary_hit_mesh) > 0
+    assert int(plain.secondary_mesh) > 0
+    assert int(plain.shadows) > 0
+    # reference quirk: primary_nohit includes primary non-mesh hits
+    assert (int(plain.primary_nohit) + int(plain.primary_hit_mesh)
+            >= int(plain.primary))
+
+
+def test_nodes_counters_on_traversal_path():
+    """nodes_both/nodes_single fire on the jnp BVH traversal (the CPU
+    large-mesh path)."""
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+
+    cfg = RenderConfig(nx=12, ny=8, ns=1, max_depth=3, stats=True,
+                       rays_per_chunk=96, textures=False)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=48, nv=12,
+                                prims_per_leaf=8)
+    _, stats = render_image(scene, cam, cfg, report_stats=True)
+    assert int(stats.nodes_both) > 0
+    assert int(stats.nodes_single) > 0
+    assert int(stats.primary_bbox_nohit) > 0  # rays that miss the knot
+
+
 def test_preset_materials_render_vs_oracle():
     """Scene using the reference's preset BSDF families (coat, tinted
     glass, subsurface, checker) end-to-end vs the oracle."""

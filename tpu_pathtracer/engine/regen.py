@@ -124,6 +124,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
             specular=jnp.where(start, False, state.specular),
             inside=jnp.where(start, False, state.inside),
             alive=state.alive | start,
+            from_mesh=jnp.where(start, False, state.from_mesh),
         )
         bounce = jnp.where(start, 0, bounce)
         cur_sample = jnp.where(start, cur_sample + 1, cur_sample)
@@ -157,7 +158,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
     init_state = BounceState(
         origin=zv, direction=V3(zf, zf, zf + 1.0),
         color=zv, attenuation=V3(zf + 1, zf + 1, zf + 1),
-        specular=zb, inside=zb, alive=zb)
+        specular=zb, inside=zb, alive=zb, from_mesh=zb)
     zstat = jnp.sum(zf).astype(jnp.int32)  # varying scalar zero
     carry = (zeros_rm, zeros_rm, zeros_rm, init_state, zv,
              zf.astype(jnp.uint32), zf.astype(jnp.int32),

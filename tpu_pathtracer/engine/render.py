@@ -129,11 +129,33 @@ class Renderer:
         return self._fb
 
     def print_stats(self) -> None:
-        """printStats (kernels.cu:116–137)."""
+        """printStats — the reference's exact 18-counter report
+        (kernels.cu:116–137)."""
         if self.stats is None:
             return
-        for k, v in self.stats._asdict().items():
-            print(f" {k:20s}: {v}")
+        s = self.stats
+        print("num rays:")
+        rows = [("primary", s.primary),
+                ("primary hit mesh", s.primary_hit_mesh),
+                ("primary nohit", s.primary_nohit),
+                ("primary bb nohit", s.primary_bbox_nohit),
+                ("secondary", s.secondary),
+                ("secondary no hit", s.secondary_nohit),
+                ("secondary bb nohit", s.secondary_bbox_nohit),
+                ("secondary mesh", s.secondary_mesh),
+                ("secondary mesh nohit", s.secondary_mesh_nohit),
+                ("shadows", s.shadows),
+                ("shadows nohit", s.shadows_nohit),
+                ("shadows bb nohit", s.shadows_bbox_nohit),
+                ("power < 0.01", s.low_power),
+                ("exceeded max bounce", s.exceed_max_bounce),
+                ("russian roulette", s.roulette_kill),
+                ("both nodes hit", s.nodes_both),
+                ("single node hit", s.nodes_single)]
+        for name, v in rows:
+            print(f" {name:20s}: {v}")
+        if int(s.nans) > 0:
+            print(f"*** {s.nans} NaNs detected")
 
     def cleanup(self) -> None:
         """cleanupRenderer (kernels.cu:666–680): drop device references."""

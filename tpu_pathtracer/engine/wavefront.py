@@ -128,7 +128,7 @@ class SceneView(NamedTuple):
     tri_e1: Optional[V3]
     tri_e2: Optional[V3]
     tri_feat: Optional[jnp.ndarray]  # [T, 26] e1,e2,tc + material cols
-    atlas: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]  # [K,H,W] ×3
+    atlas: Optional[jnp.ndarray]     # [K*H*W, 3] row-packed texel table
     packet: Optional[object] = None   # ops.pallas_bvh.PacketMesh (big mesh)
     mat_rows: Optional[jnp.ndarray] = None  # [n_mats, 14] material columns
 
@@ -173,8 +173,12 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
             jnp.arange(scene.materials.count, dtype=jnp.int32))
     atlas = None
     if scene.has_textures:
+        # [K,H,W,3] -> [K*H*W, 3]: the texel fetch becomes ONE row
+        # gather per lane instead of 3 element gathers (~1.3 ms each at
+        # 131k lanes — measured rows up to 320 B gather at the same cost
+        # as one element)
         a = scene.tex_atlas
-        atlas = (a[..., 0], a[..., 1], a[..., 2])
+        atlas = a.reshape(-1, 3)
     return SceneView(sph_c, sph_r, sph_feat, tri_v0, tri_e1, tri_e2,
                      tri_feat, atlas, packet, mat_rows)
 
@@ -191,21 +195,37 @@ class Intersection(NamedTuple):
 
 
 class Stats(NamedTuple):
-    """Ray-accounting counters (kernels.cu:48–66) as masked sums."""
+    """The reference's full 18-counter ray-accounting matrix
+    (kernels.cu:48–66) as masked sums. Semantics follow the as-built
+    rayStat call sites exactly, including the quirk that a primary ray
+    hitting a non-mesh surface ALSO counts into primary_nohit
+    (kernels.cu:430). nodes_both/nodes_single (kernels.cu:220–221) count
+    traversal steps — per ray on the jnp traversal, per packet on the
+    packet-BVH kernel (the refactor-validation signal either way); the
+    brute-force paths visit no nodes."""
     primary: jnp.ndarray
+    primary_hit_mesh: jnp.ndarray
     primary_nohit: jnp.ndarray
+    primary_bbox_nohit: jnp.ndarray
     secondary: jnp.ndarray
+    secondary_mesh: jnp.ndarray
     secondary_nohit: jnp.ndarray
+    secondary_mesh_nohit: jnp.ndarray
+    secondary_bbox_nohit: jnp.ndarray
     shadows: jnp.ndarray
+    shadows_bbox_nohit: jnp.ndarray
     shadows_nohit: jnp.ndarray
-    roulette_kill: jnp.ndarray
+    low_power: jnp.ndarray
     exceed_max_bounce: jnp.ndarray
+    roulette_kill: jnp.ndarray
     nans: jnp.ndarray
+    nodes_both: jnp.ndarray
+    nodes_single: jnp.ndarray
 
     @staticmethod
     def zeros() -> "Stats":
         z = jnp.zeros((), jnp.int32)
-        return Stats(z, z, z, z, z, z, z, z, z)
+        return Stats(*([z] * 18))
 
 
 # ---------------------------------------------------------------------------
@@ -258,13 +278,14 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
     else:
         back = None
         o_s, d_s, tm = origin, direction, t_max_b
-    outs = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks, pk.cl_first,
-                        pk.width, t_min, interpret=_interp(config))
+    outs, node_counts = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks,
+                                     pk.cl_first, pk.width, t_min,
+                                     interpret=_interp(config))
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
     t, tri, u, v, nx, ny, nz, tu, tv, mid = outs
-    return t, tri, u, v, V3(nx, ny, nz), tu, tv, mid
+    return (t, tri, u, v, V3(nx, ny, nz), tu, tv, mid), node_counts
 
 
 def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
@@ -283,11 +304,11 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
         (_, back, ox, oy, oz, dx, dy, dz, tm) = jax.lax.sort(
             (key, iota, origin.x, origin.y, origin.z,
              direction.x, direction.y, direction.z, t_max_b), num_keys=1)
-        occ = packet_occluded(V3(ox, oy, oz), V3(dx, dy, dz), tm,
-                              pk.nodes, pk.blocks, pk.cl_first, pk.width,
-                              t_min, interpret=_interp(config))
+        occ, node_counts = packet_occluded(
+            V3(ox, oy, oz), V3(dx, dy, dz), tm, pk.nodes, pk.blocks,
+            pk.cl_first, pk.width, t_min, interpret=_interp(config))
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
-        return occ != 0
+        return occ != 0, node_counts
     return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
                            pk.cl_first, pk.width, t_min,
                            interpret=_interp(config))
@@ -342,6 +363,33 @@ def _mesh_nearest(scene: Scene, view: SceneView, config: RenderConfig,
     return _bvh.brute_force(mesh, o, d, t_min, t_max)
 
 
+def _mesh_bbox_hit(scene: Scene, origin: V3, direction: V3,
+                   t_max) -> jnp.ndarray:
+    """Global mesh-bbox slab test (hit_bbox at hitMesh, kernels.cu:298) —
+    used for the *_bbox_nohit stats counters. As an execution early-out it
+    cannot help the TPU paths (the brute kernels test all triangles
+    densely; the traversals reject at the root node), so it is accounting
+    only — see PERFORMANCE.md's negative-results section."""
+    from tpu_pathtracer.ops.intersect import BBOX_T_MIN
+
+    bmin = scene.mesh.bounds_min
+    bmax = scene.mesh.bounds_max
+    tmin_acc = jnp.full(origin.x.shape, BBOX_T_MIN, jnp.float32)
+    tmax_acc = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                origin.x.shape)
+    for o, d, a in ((origin.x, direction.x, 0), (origin.y, direction.y, 1),
+                    (origin.z, direction.z, 2)):
+        inv = 1.0 / d
+        t0 = (bmin[a] - o) * inv
+        t1 = (bmax[a] - o) * inv
+        neg = inv < 0.0
+        lo = jnp.where(neg, t1, t0)
+        hi = jnp.where(neg, t0, t1)
+        tmin_acc = jnp.where(lo > tmin_acc, lo, tmin_acc)
+        tmax_acc = jnp.where(hi < tmax_acc, hi, tmax_acc)
+    return tmax_acc >= tmin_acc
+
+
 def _sphere_hit_one(origin: V3, direction: V3, center, radius,
                     t_min, t_max) -> jnp.ndarray:
     """Single-sphere test (the light, kernels.cu:346)."""
@@ -373,14 +421,18 @@ def _plane_hit(scene: Scene, origin: V3, direction: V3, t_min,
 
 
 def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
-                    origin: V3, direction: V3,
-                    specular: jnp.ndarray) -> Intersection:
+                    origin: V3, direction: V3, specular: jnp.ndarray,
+                    alive: Optional[jnp.ndarray] = None):
     """Top-level `hit()` (kernels.cu:325–360) over a ray batch.
 
     Surface geometry (mesh / spheres / plane) competes by nearest t; the
     light sphere is only tested for specular lanes and only when no
     surface was hit (the reference's else-branch ordering,
     kernels.cu:339–349).
+
+    Returns (Intersection, (nodes_both, nodes_single)) — the scalar BVH
+    step telemetry feeding NUM_NODES_BOTH/SINGLE (kernels.cu:220–221);
+    zeros on the non-traversal paths.
     """
     n = origin.x.shape[0]
     eps = config.epsilon
@@ -390,6 +442,12 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
     cols = MatCols.zeros(n)
     tex_u = jnp.zeros((n,))
     tex_v = jnp.zeros((n,))
+    node_counts = (jnp.int32(0), jnp.int32(0))
+    # dead lanes trace with t_max = -1: instantly inert on every mesh
+    # path (no traversal work, no node-count pollution); their outputs
+    # are masked downstream anyway
+    t_ray_max = (FLT_MAX if alive is None
+                 else jnp.where(alive, FLT_MAX, -1.0))
 
     if scene.has_mesh:
         mesh = scene.mesh
@@ -397,8 +455,9 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             # large-mesh packet BVH path: normal/texcoords/mesh-id are
             # captured in-kernel at win time; material columns come from
             # one row-gather of the tiny per-material table.
-            tt, tri_id, u, vv, nrm_raw, tu, tv, mid = _packet_nearest(
-                scene, view, config, origin, direction, eps, FLT_MAX)
+            (tt, tri_id, u, vv, nrm_raw, tu, tv,
+             mid), node_counts = _packet_nearest(
+                scene, view, config, origin, direction, eps, t_ray_max)
             hit = tri_id >= 0
             mid_c = jnp.clip(mid, 0, scene.materials.count - 1)
             mcols = _cols_from_rows(view.mat_rows[mid_c])
@@ -411,7 +470,7 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             from tpu_pathtracer.ops.pallas_tris import tris_hit_feat
             tt, tri_id, u, vv, f = tris_hit_feat(
                 origin, direction, view.tri_v0, view.tri_e1, view.tri_e2,
-                view.tri_feat, eps, FLT_MAX, interpret=_interp(config))
+                view.tri_feat, eps, t_ray_max, interpret=_interp(config))
             hit = tri_id >= 0
             e1 = V3(f[0], f[1], f[2])
             e2 = V3(f[3], f[4], f[5])
@@ -423,7 +482,8 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             res_t = tt
         else:
             res = _mesh_nearest(scene, view, config, origin, direction, eps,
-                                FLT_MAX)
+                                t_ray_max)
+            node_counts = (res.nodes_both, res.nodes_single)
             hit = res.tri_id >= 0
             tri = jnp.maximum(res.tri_id, 0)
             e1 = V3(view.tri_e1.x[tri], view.tri_e1.y[tri],
@@ -498,29 +558,48 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
     flip = direction.dot(normal) > 0.0
     normal = vwhere(flip, -normal, normal)
     return Intersection(obj=obj, t=t, normal=normal, cols=cols,
-                        tex_u=tex_u, tex_v=tex_v)
+                        tex_u=tex_u, tex_v=tex_v), node_counts
 
 
 def occluded(scene: Scene, view: SceneView, config: RenderConfig,
              origin: V3, direction: V3, t_max: jnp.ndarray) -> jnp.ndarray:
     """Shadow-ray occlusion (any-hit). The reference occludes only against
     the triangle mesh (kernels.cu:340); analytic scenes use their spheres
-    as the occluder set."""
+    as the occluder set. Returns (occluded, (nodes_both, nodes_single))."""
     n = origin.x.shape[0]
     occ = jnp.zeros((n,), bool)
+    node_counts = (jnp.int32(0), jnp.int32(0))
     if scene.has_mesh:
         if view.packet is not None:
-            occ = occ | _packet_shadow(scene, view, config, origin,
-                                       direction, config.epsilon, t_max)
+            mesh_occ, node_counts = _packet_shadow(
+                scene, view, config, origin, direction, config.epsilon,
+                t_max)
+            occ = occ | mesh_occ
+        elif (_on_tpu(config) and config.use_bvh
+                and scene.mesh.num_tris <= TRI_BRUTE_MAX):
+            # any-hit fast kernel: no argmin/u/v/feature work
+            # (early-out semantics of kernels.cu:207)
+            from tpu_pathtracer.ops.pallas_tris import tris_anyhit_soa
+            occ = occ | tris_anyhit_soa(origin, direction, view.tri_v0,
+                                        view.tri_e1, view.tri_e2,
+                                        config.epsilon, t_max,
+                                        interpret=_interp(config))
         else:
             res = _mesh_nearest(scene, view, config, origin, direction,
                                 config.epsilon, t_max, is_shadow=True)
+            node_counts = (res.nodes_both, res.nodes_single)
             occ = occ | (res.tri_id >= 0)
     if scene.has_spheres:
-        st, _ = _spheres_nearest(view, config, origin, direction,
-                                 config.epsilon, t_max)
-        occ = occ | (st < t_max)
-    return occ
+        if _on_tpu(config):
+            from tpu_pathtracer.ops.pallas_spheres import spheres_anyhit_soa
+            occ = occ | spheres_anyhit_soa(origin, direction, view.sph_c,
+                                           view.sph_r, config.epsilon,
+                                           t_max, interpret=_interp(config))
+        else:
+            st, _ = _spheres_nearest(view, config, origin, direction,
+                                     config.epsilon, t_max)
+            occ = occ | (st < t_max)
+    return occ, node_counts
 
 
 def sky_radiance(scene: Scene, direction: V3) -> V3:
@@ -536,7 +615,9 @@ def sky_radiance(scene: Scene, direction: V3) -> V3:
 def resolve_albedo(scene: Scene, view: SceneView, config: RenderConfig,
                    cols: MatCols, tex_u: jnp.ndarray,
                    tex_v: jnp.ndarray, use_tex: jnp.ndarray) -> V3:
-    """Texture-or-color albedo (kernels.cu:456–476)."""
+    """Texture-or-color albedo (kernels.cu:456–476): nearest-neighbor
+    wrap-mode lookup as a single row gather from the flat texel table
+    (one ~1.3 ms gather for all three channels instead of three)."""
     base = cols.color
     if not (scene.has_textures and config.textures):
         return base
@@ -548,8 +629,11 @@ def resolve_albedo(scene: Scene, view: SceneView, config: RenderConfig,
     fv = tex_v - jnp.floor(tex_v)
     tx = ((w - 1).astype(jnp.float32) * fu).astype(jnp.int32)
     ty = ((h - 1).astype(jnp.float32) * fv).astype(jnp.int32)
-    ar, ag, ab = view.atlas
-    texel = V3(ar[tid_c, ty, tx], ag[tid_c, ty, tx], ab[tid_c, ty, tx])
+    hmax = scene.tex_atlas.shape[1]
+    wmax = scene.tex_atlas.shape[2]
+    flat = (tid_c * hmax + ty) * wmax + tx
+    texel_rows = view.atlas[flat]  # [N, 3] — one gather
+    texel = V3(texel_rows[:, 0], texel_rows[:, 1], texel_rows[:, 2])
     return vwhere(use_tex & (tid >= 0), texel, base)
 
 
@@ -598,6 +682,9 @@ class BounceState(NamedTuple):
     specular: jnp.ndarray
     inside: jnp.ndarray
     alive: jnp.ndarray
+    # previous bounce hit the triangle mesh (STATS `fromMesh`,
+    # kernels.cu:400/:430) — only consumed by the stats counters
+    from_mesh: jnp.ndarray
 
 
 def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
@@ -613,22 +700,54 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
     def count(stat, mask):
         return stat + jnp.sum(mask, dtype=jnp.int32)
 
-    inters = intersect_scene(scene, view, config, state.origin,
-                             state.direction, state.specular)
+    inters, node_counts = intersect_scene(scene, view, config, state.origin,
+                                          state.direction, state.specular,
+                                          alive=alive)
     if stats is not None:
+        # per-bounce counters, kernels.cu:404-407
+        primary_m = alive & (bounce == 0)
+        secondary_m = alive & (bounce > 0)
+        low = alive & (state.attenuation.squared_length() < 1e-4)
         stats = stats._replace(
-            primary=count(stats.primary, alive & (bounce == 0)),
-            secondary=count(stats.secondary, alive & (bounce > 0)))
+            primary=count(stats.primary, primary_m),
+            secondary=count(stats.secondary, secondary_m),
+            secondary_mesh=count(stats.secondary_mesh,
+                                 alive & state.from_mesh),
+            low_power=count(stats.low_power, low),
+            nodes_both=stats.nodes_both + node_counts[0],
+            nodes_single=stats.nodes_single + node_counts[1])
+        if scene.has_mesh:
+            # global mesh-bbox reject accounting (hitMesh,
+            # kernels.cu:298-300)
+            bbhit = _mesh_bbox_hit(scene, state.origin, state.direction,
+                                   FLT_MAX)
+            stats = stats._replace(
+                primary_bbox_nohit=count(stats.primary_bbox_nohit,
+                                         primary_m & ~bbhit),
+                secondary_bbox_nohit=count(stats.secondary_bbox_nohit,
+                                           secondary_m & ~bbhit))
 
     # ---- miss → sky (kernels.cu:424)
     miss = alive & (inters.obj == sc.OBJ_NONE)
     color = state.color + vwhere(
         miss, state.attenuation * sky_radiance(scene, state.direction),
         V3.zeros(miss.shape))
+    is_mesh_hit = inters.obj == sc.OBJ_TRIMESH
     if stats is not None:
+        hit_any = alive & ~miss
         stats = stats._replace(
-            primary_nohit=count(stats.primary_nohit, miss & (bounce == 0)),
-            secondary_nohit=count(stats.secondary_nohit, miss & (bounce > 0)))
+            # the quirk at kernels.cu:430: a primary ray hitting a
+            # non-mesh surface also counts as primary_nohit
+            primary_nohit=count(
+                stats.primary_nohit,
+                (bounce == 0) & (miss | (hit_any & ~is_mesh_hit))),
+            primary_hit_mesh=count(stats.primary_hit_mesh,
+                                   (bounce == 0) & hit_any & is_mesh_hit),
+            secondary_nohit=count(stats.secondary_nohit,
+                                  miss & (bounce > 0) & ~state.from_mesh),
+            secondary_mesh_nohit=count(
+                stats.secondary_mesh_nohit,
+                miss & (bounce > 0) & state.from_mesh))
 
     # ---- light hit by specular path (kernels.cu:433–447)
     light_hit = alive & (inters.obj == sc.OBJ_LIGHT)
@@ -675,14 +794,21 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
         nee_mask = nee_mask & valid
         # non-NEE lanes get t_max = -1: every occluder test fails and the
         # packet-BVH shadow kernel retires them at init (no node votes)
-        occ = occluded(scene, view, config, new_origin, sdir,
-                       jnp.where(nee_mask, ldist, -1.0))
+        occ, sh_counts = occluded(scene, view, config, new_origin, sdir,
+                                  jnp.where(nee_mask, ldist, -1.0))
         lit = nee_mask & ~occ
         color = color + vwhere(lit, contrib, V3.zeros(miss.shape))
         if stats is not None:
             stats = stats._replace(
                 shadows=count(stats.shadows, nee_mask),
-                shadows_nohit=count(stats.shadows_nohit, lit))
+                shadows_nohit=count(stats.shadows_nohit, lit),
+                nodes_both=stats.nodes_both + sh_counts[0],
+                nodes_single=stats.nodes_single + sh_counts[1])
+            if scene.has_mesh:
+                sbb = _mesh_bbox_hit(scene, new_origin, sdir, ldist)
+                stats = stats._replace(
+                    shadows_bbox_nohit=count(stats.shadows_bbox_nohit,
+                                             nee_mask & ~sbb))
 
     # ---- Russian roulette (kernels.cu:512–527)
     if config.russian_roulette:
@@ -696,9 +822,13 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
             stats = stats._replace(roulette_kill=count(stats.roulette_kill,
                                                        kill))
 
+    # fromMesh for the next bounce (kernels.cu:430): only surf lanes
+    # continue, so non-surf lanes' value is never consumed
+    new_from_mesh = surf & is_mesh_hit
     return BounceState(origin=new_origin, direction=new_dir, color=color,
                        attenuation=new_att, specular=new_specular,
-                       inside=new_inside, alive=alive), stats
+                       inside=new_inside, alive=alive,
+                       from_mesh=new_from_mesh), stats
 
 
 def trace(scene: Scene, camera: Camera, config: RenderConfig,
@@ -722,6 +852,7 @@ def trace(scene: Scene, camera: Camera, config: RenderConfig,
         color=V3(zf, zf, zf), attenuation=V3(zf + 1, zf + 1, zf + 1),
         specular=zb, inside=zb,
         alive=~zb if valid is None else valid & ~zb,
+        from_mesh=zb,
     )
 
     def cond(carry):

@@ -260,6 +260,11 @@ class TraceResult(NamedTuple):
     tri_id: jnp.ndarray  # [N] int32, -1 = miss
     u: jnp.ndarray       # [N] barycentric u
     v: jnp.ndarray       # [N] barycentric v
+    # traversal telemetry (NUM_NODES_BOTH/SINGLE, kernels.cu:220-221):
+    # total steps that descended into both / a single child. 0 on
+    # non-traversal paths (brute force has no nodes).
+    nodes_both: jnp.ndarray = jnp.int32(0)
+    nodes_single: jnp.ndarray = jnp.int32(0)
 
 
 def _ctz(x: jnp.ndarray) -> jnp.ndarray:
@@ -299,7 +304,7 @@ def traverse(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
         return jnp.any(idx > 0)
 
     def body(state):
-        idx, bs, closest, tri_id, uu, vv = state
+        idx, bs, closest, tri_id, uu, vv, nb, nsg = state
         active = idx > 0
         is_leaf = active & (idx >= first_leaf)
         is_int = active & ~is_leaf
@@ -345,11 +350,14 @@ def traverse(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
         if is_shadow:
             # any-hit early-out: kernels.cu:207
             new_idx = jnp.where(hit_any, 0, new_idx)
-        return (new_idx, new_bs, closest, tri_id, uu, vv)
+        nb = nb + jnp.sum(both, dtype=jnp.int32)
+        nsg = nsg + jnp.sum(single, dtype=jnp.int32)
+        return (new_idx, new_bs, closest, tri_id, uu, vv, nb, nsg)
 
     # inits derived from the input so carry varyance matches under shard_map
     zf = origin[:, 0] * 0.0
     zi = zf.astype(jnp.int32)
+    zs = jnp.sum(zf).astype(jnp.int32)  # varying scalar zero
     init = (
         zi + 1,                          # idx = 1, kernels.cu:155
         zi.astype(_U32) + _U32(1),       # bitStack = 1, kernels.cu:157
@@ -357,9 +365,13 @@ def traverse(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
         zi - 1,
         zf,
         zf,
+        zs,
+        zs,
     )
-    _, _, closest, tri_id, uu, vv = jax.lax.while_loop(cond, body, init)
-    return TraceResult(t=closest, tri_id=tri_id, u=uu, v=vv)
+    (_, _, closest, tri_id, uu, vv, nb, nsg) = jax.lax.while_loop(
+        cond, body, init)
+    return TraceResult(t=closest, tri_id=tri_id, u=uu, v=vv,
+                       nodes_both=nb, nodes_single=nsg)
 
 
 def brute_force(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,

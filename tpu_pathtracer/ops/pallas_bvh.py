@@ -176,7 +176,7 @@ def _advance(idx, bs, lhit, rhit, closest, l):
                         jnp.where(single, child_single, idx_p))
     new_bs = jnp.where(both, (bs << jnp.uint32(1)) + jnp.uint32(1),
                        jnp.where(single, bs << jnp.uint32(1), bs_p))
-    return new_idx, new_bs
+    return new_idx, new_bs, both, single
 
 
 def _mt_scalar_tri(blk, w, o1, o2, o3, d1, d2, d3, t_min, closest):
@@ -212,7 +212,7 @@ def _mt_scalar_tri(blk, w, o1, o2, o3, d1, d2, d3, t_min, closest):
 
 
 def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
-                    tri_out, feat_out, *, cl_first, width, t_min):
+                    tri_out, feat_out, cnt_out, *, cl_first, width, t_min):
     def scoped(blk, sem):
         o1 = ox[:, :]
         o2 = oy[:, :]
@@ -230,7 +230,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         zf = jnp.zeros(shp, jnp.float32)
 
         def node_fn(carry):
-            idx, bs, closest, besti, rest = carry
+            idx, bs, nb, nsg, closest, besti, rest = carry
             l = idx * 2
             pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
             row = pair[0, :]
@@ -238,11 +238,14 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
             lhit = _slab(row, 0, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
             rhit = _slab(row2, 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
-            new_idx, new_bs = _advance(idx, bs, lhit, rhit, closest, l)
-            return (new_idx, new_bs, closest, besti, rest)
+            new_idx, new_bs, both, single = _advance(idx, bs, lhit, rhit,
+                                                     closest, l)
+            nb = nb + both.astype(jnp.int32)
+            nsg = nsg + single.astype(jnp.int32)
+            return (new_idx, new_bs, nb, nsg, closest, besti, rest)
 
         def leaf_fn(carry):
-            idx, bs, closest, besti, rest = carry
+            idx, bs, nb, nsg, closest, besti, rest = carry
             c = idx - cl_first
             dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
             dma.start()
@@ -286,7 +289,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, closest, besti, rest)
+            return (new_idx, new_bs, nb, nsg, closest, besti, rest)
 
         def body(carry):
             return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
@@ -296,9 +299,16 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
             return carry[0] > 0
 
         rest0 = (zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf)
-        init = (jnp.int32(1), jnp.uint32(1), tmax[:, :],
-                jnp.full(shp, -1, jnp.int32), rest0)
-        _, _, closest, besti, rest = jax.lax.while_loop(cond, body, init)
+        init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
+                tmax[:, :], jnp.full(shp, -1, jnp.int32), rest0)
+        _, _, nb, nsg, closest, besti, rest = jax.lax.while_loop(
+            cond, body, init)
+        # per-packet node-step telemetry at [0, 0] / [0, 1]
+        ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg, 0))
         (bu, bv, bnx, bny, bnz, bmid, c0, c1, c2, c3, c4, c5) = rest
         # barycentric texcoord interpolation (kernels.cu:337-338), same
         # op order as the feat path in engine/wavefront.py
@@ -323,7 +333,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
 
 
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
-                   *, cl_first, width, t_min):
+                   cnt_out, *, cl_first, width, t_min):
     def scoped(blk, sem):
         o1 = ox[:, :]
         o2 = oy[:, :]
@@ -339,18 +349,21 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
         n3 = i3 < 0.0
 
         def node_fn(carry):
-            idx, bs, closest, occ, ndone = carry
+            idx, bs, nb, nsg, closest, occ, ndone = carry
             l = idx * 2
             pair = nodes[pl.ds(l, 2), :]
             lhit = _slab(pair[0, :], 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
             rhit = _slab(pair[1, :], 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
-            new_idx, new_bs = _advance(idx, bs, lhit, rhit, closest, l)
-            return (new_idx, new_bs, closest, occ, ndone)
+            new_idx, new_bs, both, single = _advance(idx, bs, lhit, rhit,
+                                                     closest, l)
+            nb = nb + both.astype(jnp.int32)
+            nsg = nsg + single.astype(jnp.int32)
+            return (new_idx, new_bs, nb, nsg, closest, occ, ndone)
 
         def leaf_fn(carry):
-            idx, bs, closest, occ, ndone = carry
+            idx, bs, nb, nsg, closest, occ, ndone = carry
             c = idx - cl_first
             dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
             dma.start()
@@ -373,20 +386,25 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, closest, occ, ndone)
+            return (new_idx, new_bs, nb, nsg, closest, occ, ndone)
 
         def body(carry):
             return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
                                 carry)
 
         def cond(carry):
-            return (carry[0] > 0) & (carry[4] == 0)
+            return (carry[0] > 0) & (carry[6] == 0)
 
         shp = o1.shape
-        init = (jnp.int32(1), jnp.uint32(1), tmax[:, :],
-                jnp.zeros(shp, jnp.int32), jnp.int32(0))
-        _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
+        init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
+                tmax[:, :], jnp.zeros(shp, jnp.int32), jnp.int32(0))
+        _, _, nb, nsg, _, occ, _ = jax.lax.while_loop(cond, body, init)
         occ_out[:, :] = occ
+        ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg, 0))
 
     pl.run_scoped(scoped,
                   blk=pltpu.SMEM((16, blocks.shape[2]), jnp.float32),
@@ -407,8 +425,9 @@ def packet_trace(origin, direction, t_max, nodes, blocks, cl_first: int,
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
-    scalar. Returns (t, tri_id, u, v, nx, ny, nz, tu, tv, mid) dense [N]
-    arrays; tri_id = -1 and t = t_max on miss.
+    scalar. Returns ((t, tri_id, u, v, nx, ny, nz, tu, tv, mid) dense [N]
+    arrays, (nodes_both, nodes_single) scalar step telemetry); tri_id = -1
+    and t = t_max on miss.
     """
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
@@ -428,31 +447,35 @@ def packet_trace(origin, direction, t_max, nodes, blocks, cl_first: int,
     node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    tri, feat = pl.pallas_call(
+    tri, feat, cnt = pl.pallas_call(
         functools.partial(_kernel_nearest, cl_first=cl_first, width=width,
                           t_min=float(t_min)),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
         out_specs=(ray_spec,
                    pl.BlockSpec((9, ROWS, 128), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)),
+                                memory_space=pltpu.VMEM),
+                   ray_spec),
         out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
                    jax.ShapeDtypeStruct((9, n_pad // 128, 128),
-                                        jnp.float32)),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
         interpret=interpret,
     )(*args)
     tri = tri.reshape(-1)[:n]
     f = feat.reshape(9, -1)[:, :n]
-    return (f[0], tri, f[1], f[2], f[3], f[4], f[5], f[6], f[7],
-            f[8].astype(jnp.int32))
+    nodes_both = cnt[::ROWS, 0].sum()
+    nodes_single = cnt[::ROWS, 1].sum()
+    return ((f[0], tri, f[1], f[2], f[3], f[4], f[5], f[6], f[7],
+             f[8].astype(jnp.int32)), (nodes_both, nodes_single))
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False):
-    """Any-hit packet traversal: [N] bool, True where a triangle occludes
-    the segment (t_min, t_max)."""
+    """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
+    nodes_single) scalar step telemetry)."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -472,13 +495,15 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
     node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    occ = pl.pallas_call(
+    occ, cnt = pl.pallas_call(
         functools.partial(_kernel_shadow, cl_first=cl_first, width=width,
                           t_min=float(t_min)),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
         interpret=interpret,
     )(*args)
-    return occ.reshape(-1)[:n] != 0
+    return (occ.reshape(-1)[:n] != 0,
+            (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum()))

@@ -226,6 +226,85 @@ def spheres_hit_feat(origin, direction, centers, radii,
     return t, idx, feats
 
 
+def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, occ_out,
+                *, t_min: float, s_pad: int):
+    """Shadow any-hit over the sphere set: no argmin/min-reduce — just
+    "did any sphere intersect before t_max"."""
+    o1 = ox[0, :][:, None]
+    o2 = oy[0, :][:, None]
+    o3 = oz[0, :][:, None]
+    d1 = dx[0, :][:, None]
+    d2 = dy[0, :][:, None]
+    d3 = dz[0, :][:, None]
+    tmax_v = tmax[0, :][:, None]
+
+    occ = jnp.zeros((TILE, 1), jnp.int32)
+    for k in range(s_pad // S_CHUNK):
+        sl = slice(k * S_CHUNK, (k + 1) * S_CHUNK)
+        ccx = cx[0, sl][None, :]
+        ccy = cy[0, sl][None, :]
+        ccz = cz[0, sl][None, :]
+        rr2 = r2[0, sl][None, :]
+        ocx = o1 - ccx
+        ocy = o2 - ccy
+        ocz = o3 - ccz
+        b = ocx * d1 + ocy * d2 + ocz * d3
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
+        disc = b * b - c
+        ok = (disc > 0.0) & (rr2 > 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = -b - sq
+        t2 = -b + sq
+        hit = ok & (((t1 > t_min) & (t1 < tmax_v))
+                    | ((t2 > t_min) & (t2 < tmax_v)))
+        occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+    occ_out[0, :] = occ[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def spheres_anyhit_soa(origin, direction, centers, radii, t_min: float,
+                       t_max, interpret: bool = False) -> jnp.ndarray:
+    """[N] bool: any sphere hit in (t_min, t_max) — shadow fast path."""
+    n = origin.x.shape[0]
+    s = centers.x.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    s_pad = ((s + S_CHUNK - 1) // S_CHUNK) * S_CHUNK
+
+    def pad_n(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((n_pad - n,), fill, a.dtype)]).reshape(1, n_pad) \
+            if n_pad != n else a.reshape(1, n_pad)
+
+    def pad_s(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((s_pad - s,), fill, a.dtype)]).reshape(1, s_pad) \
+            if s_pad != s else a.reshape(1, s_pad)
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
+        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
+        pad_n(direction.z, 0.0),
+        pad_n(t_max_b, 0.0),
+        pad_s(centers.x, 0.0), pad_s(centers.y, 0.0), pad_s(centers.z, 0.0),
+        pad_s(radii * radii * jnp.where(radii > 0, 1.0, -1.0), -1.0),
+    ]
+    grid = (n_pad // TILE,)
+    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    sph_spec = pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        functools.partial(_kernel_any, t_min=float(t_min), s_pad=s_pad),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [sph_spec] * 4,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        interpret=interpret,
+    )(*args)
+    return occ[0, :n] != 0
+
+
 def spheres_hit_soa(origin, direction, centers, radii, t_min: float, t_max,
                     interpret: bool = False):
     """Component-SoA entry: origin/direction/centers are V3 of [N]/[S]

@@ -208,6 +208,104 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
     feat_out[:, :] = acc_t
 
 
+def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
+                e2x, e2y, e2z, occ_out, *, t_min: float, t_pad: int,
+                chunk: int):
+    """Shadow any-hit: the ~same MT test but NO argmin/u/v/feature
+    selection — occlusion only needs "did anything hit before t_max"
+    (the early-out semantics of kernels.cu:207)."""
+    o1 = ox[0, :][:, None]
+    o2 = oy[0, :][:, None]
+    o3 = oz[0, :][:, None]
+    d1 = dx[0, :][:, None]
+    d2 = dy[0, :][:, None]
+    d3 = dz[0, :][:, None]
+    tmax_v = tmax[0, :][:, None]
+
+    def chunk_body(k, occ):
+        base = k * chunk
+        sl = pl.ds(base, chunk)
+        v0x = ax[0, sl][None, :]
+        v0y = ay[0, sl][None, :]
+        v0z = az[0, sl][None, :]
+        g1x = e1x[0, sl][None, :]
+        g1y = e1y[0, sl][None, :]
+        g1z = e1z[0, sl][None, :]
+        g2x = e2x[0, sl][None, :]
+        g2y = e2y[0, sl][None, :]
+        g2z = e2z[0, sl][None, :]
+        hx = d2 * g2z - d3 * g2y
+        hy = d3 * g2x - d1 * g2z
+        hz = d1 * g2y - d2 * g2x
+        a = g1x * hx + g1y * hy + g1z * hz
+        parallel = jnp.abs(a) < 1e-7
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx = o1 - v0x
+        sy = o2 - v0y
+        sz = o3 - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * g1z - sz * g1y
+        qy = sz * g1x - sx * g1z
+        qz = sx * g1y - sy * g1x
+        v = f * (d1 * qx + d2 * qy + d3 * qz)
+        t = f * (g2x * qx + g2y * qy + g2z * qz)
+        bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+               | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+        hit = jnp.any(jnp.logical_not(bad), axis=1, keepdims=True)
+        return occ | hit.astype(jnp.int32)
+
+    occ = jax.lax.fori_loop(0, t_pad // chunk, chunk_body,
+                            jnp.zeros((TILE, 1), jnp.int32))
+    occ_out[0, :] = occ[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def tris_anyhit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
+                    interpret: bool = False) -> jnp.ndarray:
+    """[N] bool: any triangle hit in (t_min, t_max) — the shadow-ray
+    fast path (no nearest/argmin/uv work)."""
+    n = origin.x.shape[0]
+    t = v0.x.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    t_pad, chunk = _chunking(t)
+
+    def pad_n(a, fill):
+        if n_pad != n:
+            a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
+        return a.reshape(1, n_pad)
+
+    def pad_t(a):
+        if t_pad != t:
+            a = jnp.concatenate([a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
+        return a.reshape(1, t_pad)
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
+        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
+        pad_n(direction.z, 0.0),
+        pad_n(t_max_b, 0.0),
+        pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
+        pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
+        pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
+    ]
+    grid = (n_pad // TILE,)
+    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        functools.partial(_kernel_any, t_min=float(t_min), t_pad=t_pad,
+                          chunk=chunk),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        interpret=interpret,
+    )(*args)
+    return occ[0, :n] != 0
+
+
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
 def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
                   t_min: float, t_max, interpret: bool = False,

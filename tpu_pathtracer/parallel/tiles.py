@@ -58,31 +58,40 @@ def _render_tiles(scene: Scene, camera: Camera, config: RenderConfig,
     return fn(scene, camera, pixel_ids, valid, s0)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "num_pixels", "mesh"))
+@functools.partial(jax.jit, static_argnames=("config", "num_pixels", "mesh",
+                                             "normalize"))
 def _render_tiles_regen(scene: Scene, camera: Camera, config: RenderConfig,
                         offsets: jnp.ndarray, ns: jnp.ndarray,
-                        num_pixels: int, mesh: Mesh) -> jnp.ndarray:
+                        s0: jnp.ndarray, num_pixels: int, mesh: Mesh,
+                        normalize: bool = True) -> jnp.ndarray:
     from tpu_pathtracer.engine.regen import render_regen
 
-    def per_device(scene, camera, offset, ns):
+    def per_device(scene, camera, offset, ns, s0):
         return render_regen(scene, camera, config, ns=ns,
                             pixel_offset=offset[0],
-                            num_pixels=num_pixels)
+                            num_pixels=num_pixels, s0=s0,
+                            normalize=normalize)
 
     fn = _shard_map(per_device, mesh=mesh,
-                    in_specs=(P(), P(), P(AXIS), P()),
+                    in_specs=(P(), P(), P(AXIS), P(), P()),
                     out_specs=P(AXIS))
-    return fn(scene, camera, offsets, ns)
+    return fn(scene, camera, offsets, ns, s0)
 
 
 def render_image_tiled_regen(scene: Scene, camera: Camera,
                              config: RenderConfig,
                              devices: Optional[Sequence[jax.Device]] = None,
-                             ns: Optional[int] = None) -> np.ndarray:
+                             ns: Optional[int] = None, s0: int = 0,
+                             normalize: bool = True) -> np.ndarray:
     """Tile-sharded render using the regeneration engine: each device owns
     a contiguous pixel stripe and runs its own regen loop to completion —
     zero collectives anywhere, one device→host gather of tiles at the end.
-    Bit-identical per-path radiance to the single-chip regen render."""
+    Bit-identical per-path radiance to the single-chip regen render.
+
+    ``s0``/``normalize=False`` give the tiled sample-range primitive for
+    checkpointed multi-chip renders (BASELINE config 5): sums over
+    disjoint sample ranges partition exactly.
+    """
     mesh = make_tile_mesh(devices)
     d = mesh.devices.size
     n = config.num_pixels
@@ -94,10 +103,10 @@ def render_image_tiled_regen(scene: Scene, camera: Camera,
     camera = jax.device_put(camera, NamedSharding(mesh, P()))
     # NOTE: per_dev*d may exceed n; tail lanes render clamped pixel ids and
     # are dropped below.
-    cfg = config.replace(nx=config.nx, ny=config.ny)
-    fb = _render_tiles_regen(scene, camera, cfg, offsets,
+    fb = _render_tiles_regen(scene, camera, config, offsets,
                              jnp.uint32(config.ns if ns is None else ns),
-                             per_dev, mesh)
+                             jnp.uint32(s0), per_dev, mesh,
+                             normalize=normalize)
     return np.asarray(fb)[:n].reshape(config.ny, config.nx, 3)
 
 

@@ -73,14 +73,18 @@ def load_checkpoint(path: str):
 
 def render_with_checkpoints(scene, camera, config, path: str,
                             batch: int = 16,
-                            progress: Optional[Callable[[int, int], None]] = None
-                            ) -> np.ndarray:
+                            progress: Optional[Callable[[int, int], None]] = None,
+                            devices=None) -> np.ndarray:
     """Progressive render: trace ``batch`` samples at a time, checkpoint
     after each batch, resume automatically if ``path`` exists. Returns the
     final mean-radiance image [ny, nx, 3].
 
     Uses the regeneration engine with dynamic sample offsets — sample
     indices [done, done+batch) are traced exactly as a straight run would.
+    With ``devices`` the frame is image-tile-sharded over that device
+    list per batch (BASELINE config 5: 4K @ 1000 spp = tiled + RNG-exact
+    checkpoint/resume); radiance is bit-identical either way because the
+    counter RNG is keyed by global pixel id.
     """
     from tpu_pathtracer.engine.regen import render_sample_range
 
@@ -104,7 +108,14 @@ def render_with_checkpoints(scene, camera, config, path: str,
 
     while done < config.ns:
         take = min(batch, config.ns - done)
-        part = render_sample_range(scene, camera, config, done, take)
+        if devices is not None:
+            from tpu_pathtracer.parallel.tiles import \
+                render_image_tiled_regen
+            part = render_image_tiled_regen(scene, camera, config,
+                                            devices=devices, ns=take,
+                                            s0=done, normalize=False)
+        else:
+            part = render_sample_range(scene, camera, config, done, take)
         acc = acc + np.asarray(part)  # part is a SUM over `take` samples
         done += take
         save_checkpoint(path, acc, done, fp)
