@@ -34,6 +34,13 @@ def build(args):
         scene, cam = sphere_scenes.three_sphere_scene(cfg.nx, cfg.ny)
     elif args.scene == "staircase":
         scene, cam = mesh_scenes.procedural_staircase_scene(cfg.nx, cfg.ny)
+    elif args.scene == "staircase-hires":
+        # asset-scale tessellation (~154k tris) on the packet-BVH path
+        scene, cam = mesh_scenes.procedural_staircase_scene(
+            cfg.nx, cfg.ny, prims_per_leaf=128, sub=20)
+    elif args.scene == "knot":
+        from tpu_pathtracer.models.shapes import knot_zoo_scene
+        scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)
     elif args.scene.endswith(".bvh"):
         scene, cam = mesh_scenes.load_staircase_scene(
             args.scene, args.texture_dir, cfg.nx, cfg.ny)

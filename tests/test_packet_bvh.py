@@ -42,8 +42,8 @@ def test_packet_trace_exact_vs_brute_force():
     o, d, ov, dv = _rays(600)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg) = packet_trace(
-        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
-        interpret=True)
+        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
+        pm.width, 1e-3, interpret=True)
     assert int(nb) > 0  # node-step telemetry fires (single may be 0:
     # a 600-ray packet hits both children of nearly every node)
 
@@ -101,8 +101,8 @@ def test_packet_grouping_of_small_leaves():
     o, d, ov, dv = _rays(300, seed=6)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     (t, tri, *_), _counts = packet_trace(
-        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
-        interpret=True)
+        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
+        pm.width, 1e-3, interpret=True)
     hit = np.asarray(ref.tri_id) >= 0
     np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
                                   np.asarray(tri)[hit])

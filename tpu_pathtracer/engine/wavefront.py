@@ -279,8 +279,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
         back = None
         o_s, d_s, tm = origin, direction, t_max_b
     outs, node_counts = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks,
-                                     pk.cl_first, pk.width, t_min,
-                                     interpret=_interp(config))
+                                     pk.tri_feat, pk.cl_first, pk.width,
+                                     t_min, interpret=_interp(config))
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]

@@ -63,8 +63,41 @@ STAIRCASE_TEXTURE_NAMES = [
 ]  # staircase_scene.h:126–134
 
 
-def _box(center, size, mesh_id: int, tris: list) -> None:
-    """Append 12 triangles of an axis-aligned box, with planar texcoords."""
+def _face(a, b, c, d, mesh_id: int, tris: list, sub: int) -> None:
+    """Append a quad face as a sub×sub grid of triangle pairs (bilinear
+    positions + uvs). sub=1 reproduces the original two triangles with
+    corner uvs (0,0),(1,0),(1,1),(0,1) exactly."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    d = np.asarray(d, np.float32)
+    t = np.linspace(0.0, 1.0, sub + 1, dtype=np.float32)
+    uu = t[:, None, None]
+    vv = t[None, :, None]
+    # bilinear: corner order a=(0,0) b=(1,0) c=(1,1) d=(0,1)
+    p = ((1 - uu) * (1 - vv) * a + uu * (1 - vv) * b
+         + uu * vv * c + (1 - uu) * vv * d)            # [s+1, s+1, 3]
+    uvg = np.stack(np.broadcast_arrays(uu[..., 0], vv[..., 0]),
+                   axis=-1).astype(np.float32)          # [s+1, s+1, 2]
+
+    p00, p10 = p[:-1, :-1].reshape(-1, 3), p[1:, :-1].reshape(-1, 3)
+    p11, p01 = p[1:, 1:].reshape(-1, 3), p[:-1, 1:].reshape(-1, 3)
+    u00, u10 = uvg[:-1, :-1].reshape(-1, 2), uvg[1:, :-1].reshape(-1, 2)
+    u11, u01 = uvg[1:, 1:].reshape(-1, 2), uvg[:-1, 1:].reshape(-1, 2)
+    # triangles (a,b,c) and (a,c,d) per cell — the original winding
+    v0 = np.concatenate([p00, p00])
+    v1 = np.concatenate([p10, p11])
+    v2 = np.concatenate([p11, p01])
+    tc = np.concatenate(
+        [np.concatenate([u00, u10, u11], axis=1),
+         np.concatenate([u00, u11, u01], axis=1)])
+    mid = np.full(v0.shape[0], mesh_id, np.int32)
+    tris.append((v0, v1, v2, tc, mid))
+
+
+def _box(center, size, mesh_id: int, tris: list, sub: int = 1) -> None:
+    """Append the triangles of an axis-aligned box, each face a sub×sub
+    grid (12 triangles at sub=1), with planar texcoords."""
     cx, cy, cz = center
     sx, sy, sz = size
     x0, x1 = cx - sx / 2, cx + sx / 2
@@ -74,52 +107,56 @@ def _box(center, size, mesh_id: int, tris: list) -> None:
          (x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)]
     quads = [(0, 1, 2, 3), (5, 4, 7, 6), (4, 0, 3, 7),
              (1, 5, 6, 2), (3, 2, 6, 7), (4, 5, 1, 0)]
-    uv = [(0, 0), (1, 0), (1, 1), (0, 1)]
-    for q in quads:
-        a, b, c, d = q
-        tris.append((v[a], v[b], v[c],
-                     uv[0] + uv[1] + uv[2], mesh_id))
-        tris.append((v[a], v[c], v[d],
-                     uv[0] + uv[2] + uv[3], mesh_id))
+    for a, b, c, d in quads:
+        _face(v[a], v[b], v[c], v[d], mesh_id, tris, sub)
 
 
 def procedural_staircase_mesh(num_steps: int = 14,
-                              prims_per_leaf: int = 5):
+                              prims_per_leaf: int = 5,
+                              sub: int = 1):
     """Staircase-like geometry in the reference scene's coordinate frame
     (camera at y≈174 looking down -z, staircase_scene.h:63; light high at
     y≈716, kernels.cu:93). Returns (v0, v1, v2, texcoords, mesh_ids) numpy
-    arrays."""
+    arrays.
+
+    ``sub`` subdivides every face into a sub×sub grid: the surfaces are
+    identical (coplanar subdivision) but the triangle count scales by
+    sub² — sub=16 gives a ~164k-triangle scene at the real staircase
+    asset's scale (reference staircase ≈ 100–200k tris), exercising the
+    packet-BVH path with the exact same radiance as the coarse mesh.
+    """
     tris: list = []
     # floor (woodFloor, meshID 17)
-    _box((0.0, -5.0, 200.0), (800.0, 10.0, 900.0), 17, tris)
+    _box((0.0, -5.0, 200.0), (800.0, 10.0, 900.0), 17, tris, sub)
     # back + side walls (wallpaper 13 / whitePaint 14)
-    _box((0.0, 250.0, -260.0), (800.0, 520.0, 10.0), 13, tris)
-    _box((-400.0, 250.0, 200.0), (10.0, 520.0, 900.0), 14, tris)
-    _box((400.0, 250.0, 200.0), (10.0, 520.0, 900.0), 8, tris)
+    _box((0.0, 250.0, -260.0), (800.0, 520.0, 10.0), 13, tris, sub)
+    _box((-400.0, 250.0, 200.0), (10.0, 520.0, 900.0), 14, tris, sub)
+    _box((400.0, 250.0, 200.0), (10.0, 520.0, 900.0), 8, tris, sub)
     # stairs (woodstairs, meshID 19) climbing toward the back wall
     step_w, step_d, step_h = 180.0, 34.0, 18.0
     for i in range(num_steps):
         _box((-120.0, step_h / 2 + i * step_h, 120.0 - i * step_d),
-             (step_w, step_h, step_d), 19, tris)
+             (step_w, step_h, step_d), 19, tris, sub)
     # banister posts (Brass, meshID 1)
     for i in range(0, num_steps, 2):
         _box((-120.0 + step_w / 2 + 6.0, i * step_h + 40.0, 120.0 - i * step_d),
-             (6.0, 80.0, 6.0), 1, tris)
+             (6.0, 80.0, 6.0), 1, tris, sub)
     # a chair-ish block (WoodChair 16) and a glass block (Glass 5)
-    _box((140.0, 30.0, 260.0), (60.0, 60.0, 60.0), 16, tris)
-    _box((40.0, 40.0, 330.0), (40.0, 80.0, 40.0), 5, tris)
+    _box((140.0, 30.0, 260.0), (60.0, 60.0, 60.0), 16, tris, sub)
+    _box((40.0, 40.0, 330.0), (40.0, 80.0, 40.0), 5, tris, sub)
     # paintings on the back wall (Painting1..3, meshIDs 9–11)
     for k in range(3):
-        _box((-200.0 + 160.0 * k, 280.0, -252.0), (100.0, 130.0, 4.0), 9 + k, tris)
+        _box((-200.0 + 160.0 * k, 280.0, -252.0), (100.0, 130.0, 4.0),
+             9 + k, tris, sub)
     # gold sphere stand-in (Gold 6) and steel block (StainlessSteel 12)
-    _box((220.0, 25.0, 120.0), (50.0, 50.0, 50.0), 6, tris)
-    _box((-280.0, 35.0, 320.0), (70.0, 70.0, 70.0), 12, tris)
+    _box((220.0, 25.0, 120.0), (50.0, 50.0, 50.0), 6, tris, sub)
+    _box((-280.0, 35.0, 320.0), (70.0, 70.0, 70.0), 12, tris, sub)
 
-    v0 = np.asarray([t[0] for t in tris], np.float32)
-    v1 = np.asarray([t[1] for t in tris], np.float32)
-    v2 = np.asarray([t[2] for t in tris], np.float32)
-    tc = np.asarray([t[3] for t in tris], np.float32)
-    mid = np.asarray([t[4] for t in tris], np.int32)
+    v0 = np.concatenate([t[0] for t in tris]).astype(np.float32)
+    v1 = np.concatenate([t[1] for t in tris]).astype(np.float32)
+    v2 = np.concatenate([t[2] for t in tris]).astype(np.float32)
+    tc = np.concatenate([t[3] for t in tris]).astype(np.float32)
+    mid = np.concatenate([t[4] for t in tris]).astype(np.int32)
     return v0, v1, v2, tc, mid
 
 
@@ -141,11 +178,15 @@ def procedural_textures() -> List[np.ndarray]:
 
 def procedural_staircase_scene(nx: int, ny: int,
                                prims_per_leaf: int = 5,
-                               num_steps: int = 14) -> Tuple[Scene, Camera]:
+                               num_steps: int = 14,
+                               sub: int = 1) -> Tuple[Scene, Camera]:
     """Self-contained staircase-style scene: mesh + BVH + textures + NEE
     light + const sky — the full reference pipeline without its private
-    assets."""
-    v0, v1, v2, tc, mid = procedural_staircase_mesh(num_steps, prims_per_leaf)
+    assets. ``sub``>1 tessellates to asset scale (see
+    procedural_staircase_mesh); sub=16 + prims_per_leaf=128 is the
+    packet-BVH configuration at the real asset's triangle count."""
+    v0, v1, v2, tc, mid = procedural_staircase_mesh(num_steps,
+                                                    prims_per_leaf, sub)
     mesh = build_bvh(v0, v1, v2, tc, mid, prims_per_leaf=prims_per_leaf)
     atlas, widths, heights = _tex.build_atlas(procedural_textures())
     scene = make_scene(

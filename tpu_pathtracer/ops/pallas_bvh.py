@@ -51,6 +51,9 @@ class PacketMesh(NamedTuple):
     """Device data for the packet kernel, derived from MeshData."""
     nodes: jnp.ndarray    # [n_nodes_pad, 8] f32: minx..maxz,0,0; heap from 1
     blocks: jnp.ndarray   # [n_clusters, 16, w_pad] f32 cluster blocks
+    tri_feat: jnp.ndarray  # [n_tris_packed, 16] nx,ny,nz,tc0..5,mid rows —
+    # the winner's features come from ONE post-kernel row gather instead
+    # of ~10 masked tile updates per triangle visit in the hot loop
     cl_first: int         # heap index of the first cluster-level node
     width: int            # triangles per cluster (= prims_per_leaf << k)
 
@@ -103,8 +106,19 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
         blk = jnp.concatenate(
             [blk, jnp.zeros((n_clusters, 16, w_pad - width), jnp.float32)],
             axis=2)
-    return PacketMesh(nodes=nodes, blocks=blk, cl_first=cl_first,
-                      width=width)
+    # per-triangle feature rows: face normal e1×e2 (the same f32 edges the
+    # kernel sees — kernels.cu:336), texcoords, mesh id; padded to 16-wide
+    # rows (row width is free for TPU gathers up to 320 B)
+    nx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
+    ny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
+    nz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    tri_feat = jnp.stack(
+        [nx, ny, nz] + [mesh.tex_coords[:, i] for i in range(6)]
+        + [mesh.mesh_id.astype(jnp.float32)], axis=1)
+    tri_feat = jnp.concatenate(
+        [tri_feat, jnp.zeros((tri_feat.shape[0], 6), jnp.float32)], axis=1)
+    return PacketMesh(nodes=nodes, blocks=blk, tri_feat=tri_feat,
+                      cl_first=cl_first, width=width)
 
 
 def _slab(row, base, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest):
@@ -253,8 +267,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
 
             def tri(w, st):
                 closest, besti, rest = st
-                (bu, bv, bnx, bny, bnz, bmid,
-                 c0, c1, c2, c3, c4, c5) = rest
+                bu, bv = rest
                 t, u, v, bad = _mt_scalar_tri(
                     blk, w, o1, o2, o3, d1, d2, d3, t_min, closest)
                 won = jnp.logical_not(bad)
@@ -262,27 +275,10 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
                 besti = jnp.where(won, c * width + w, besti)
                 bu = jnp.where(won, u, bu)
                 bv = jnp.where(won, v, bv)
-                # face normal e1 x e2 from the same f32 edges
-                # (kernels.cu:336)
-                g1x = blk[3, w]
-                g1y = blk[4, w]
-                g1z = blk[5, w]
-                g2x = blk[6, w]
-                g2y = blk[7, w]
-                g2z = blk[8, w]
-                bnx = jnp.where(won, g1y * g2z - g1z * g2y, bnx)
-                bny = jnp.where(won, g1z * g2x - g1x * g2z, bny)
-                bnz = jnp.where(won, g1x * g2y - g1y * g2x, bnz)
-                bmid = jnp.where(won, blk[15, w], bmid)
-                c0 = jnp.where(won, blk[9, w], c0)
-                c1 = jnp.where(won, blk[10, w], c1)
-                c2 = jnp.where(won, blk[11, w], c2)
-                c3 = jnp.where(won, blk[12, w], c3)
-                c4 = jnp.where(won, blk[13, w], c4)
-                c5 = jnp.where(won, blk[14, w], c5)
-                return (closest, besti,
-                        (bu, bv, bnx, bny, bnz, bmid, c0, c1, c2, c3, c4,
-                         c5))
+                # normals/texcoords/mesh-id are NOT captured here: they
+                # are pure functions of the winning tri id, fetched by
+                # one row gather after the kernel (~10 tile-ops/tri saved)
+                return (closest, besti, (bu, bv))
 
             closest, besti, rest = jax.lax.fori_loop(
                 0, width, tri, (closest, besti, rest))
@@ -298,7 +294,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         def cond(carry):
             return carry[0] > 0
 
-        rest0 = (zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf)
+        rest0 = (zf, zf)
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
                 tmax[:, :], jnp.full(shp, -1, jnp.int32), rest0)
         _, _, nb, nsg, closest, besti, rest = jax.lax.while_loop(
@@ -309,23 +305,11 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         cnt_out[:, :] = jnp.where(
             (ii == 0) & (jj == 0), nb,
             jnp.where((ii == 0) & (jj == 1), nsg, 0))
-        (bu, bv, bnx, bny, bnz, bmid, c0, c1, c2, c3, c4, c5) = rest
-        # barycentric texcoord interpolation (kernels.cu:337-338), same
-        # op order as the feat path in engine/wavefront.py
-        w0 = 1.0 - bu - bv
-        tu = bu * c2 + bv * c4 + w0 * c0
-        tv = bu * c3 + bv * c5 + w0 * c1
-
+        bu, bv = rest
         tri_out[:, :] = besti
         feat_out[0, :, :] = closest
         feat_out[1, :, :] = bu
         feat_out[2, :, :] = bv
-        feat_out[3, :, :] = bnx
-        feat_out[4, :, :] = bny
-        feat_out[5, :, :] = bnz
-        feat_out[6, :, :] = tu
-        feat_out[7, :, :] = tv
-        feat_out[8, :, :] = bmid
 
     pl.run_scoped(scoped,
                   blk=pltpu.SMEM((16, blocks.shape[2]), jnp.float32),
@@ -419,18 +403,20 @@ def _pad_rays(a, fill, n_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
-                                             "interpret"))
-def packet_trace(origin, direction, t_max, nodes, blocks, cl_first: int,
-                 width: int, t_min: float, interpret: bool = False):
+                                             "interpret", "rows"))
+def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
+                 cl_first: int, width: int, t_min: float,
+                 interpret: bool = False, rows: int = ROWS):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
-    scalar. Returns ((t, tri_id, u, v, nx, ny, nz, tu, tv, mid) dense [N]
+    scalar; tri_feat the [T,16] per-triangle feature rows (PacketMesh).
+    Returns ((t, tri_id, u, v, nx, ny, nz, tu, tv, mid) dense [N]
     arrays, (nodes_both, nodes_single) scalar step telemetry); tri_id = -1
     and t = t_max on miss.
     """
     n = origin.x.shape[0]
-    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    n_pad = ((n + rows * 128 - 1) // (rows * 128)) * (rows * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     args = [
         _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
@@ -441,8 +427,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, cl_first: int,
         _pad_rays(t_max_b, 0.0, n_pad),  # pad lanes: closest=0 -> inert
         nodes, blocks,
     ]
-    n_packets = n_pad // (ROWS * 128)
-    ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+    n_packets = n_pad // (rows * 128)
+    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -453,31 +439,42 @@ def packet_trace(origin, direction, t_max, nodes, blocks, cl_first: int,
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
         out_specs=(ray_spec,
-                   pl.BlockSpec((9, ROWS, 128), lambda i: (0, i, 0),
+                   pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM),
                    ray_spec),
         out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((9, n_pad // 128, 128),
+                   jax.ShapeDtypeStruct((3, n_pad // 128, 128),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
         interpret=interpret,
     )(*args)
     tri = tri.reshape(-1)[:n]
-    f = feat.reshape(9, -1)[:, :n]
-    nodes_both = cnt[::ROWS, 0].sum()
-    nodes_single = cnt[::ROWS, 1].sum()
-    return ((f[0], tri, f[1], f[2], f[3], f[4], f[5], f[6], f[7],
-             f[8].astype(jnp.int32)), (nodes_both, nodes_single))
+    f = feat.reshape(3, -1)[:, :n]
+    nodes_both = cnt[::rows, 0].sum()
+    nodes_single = cnt[::rows, 1].sum()
+    t, u, v = f[0], f[1], f[2]
+    # winner features: one 16-wide row gather (free width on TPU)
+    fr = tri_feat[jnp.maximum(tri, 0)]
+    nx, ny, nz = fr[:, 0], fr[:, 1], fr[:, 2]
+    mid = fr[:, 9].astype(jnp.int32)
+    # barycentric texcoord interpolation (kernels.cu:337-338), same op
+    # order as the feat path in engine/wavefront.py
+    w0 = 1.0 - u - v
+    tu = u * fr[:, 5] + v * fr[:, 7] + w0 * fr[:, 3]
+    tv = u * fr[:, 6] + v * fr[:, 8] + w0 * fr[:, 4]
+    return ((t, tri, u, v, nx, ny, nz, tu, tv, mid),
+            (nodes_both, nodes_single))
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
-                                             "interpret"))
+                                             "interpret", "rows"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
-                    width: int, t_min: float, interpret: bool = False):
+                    width: int, t_min: float, interpret: bool = False,
+                    rows: int = ROWS):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single) scalar step telemetry)."""
     n = origin.x.shape[0]
-    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    n_pad = ((n + rows * 128 - 1) // (rows * 128)) * (rows * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     args = [
         _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
@@ -489,8 +486,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         _pad_rays(t_max_b, -1.0, n_pad),
         nodes, blocks,
     ]
-    n_packets = n_pad // (ROWS * 128)
-    ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+    n_packets = n_pad // (rows * 128)
+    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -506,4 +503,4 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         interpret=interpret,
     )(*args)
     return (occ.reshape(-1)[:n] != 0,
-            (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum()))
+            (cnt[::rows, 0].sum(), cnt[::rows, 1].sum()))
