@@ -131,3 +131,31 @@ def test_nee_specular_light_quirk():
     # center pixel: camera ray hits mirror, bounces back, hits light sphere
     assert img_on[8, 8].max() == 0.0  # the as-built quirk: no contribution
     assert img_off[8, 8].max() > 1.0  # NEE off: light contributes
+
+
+def test_staircase_committed_golden():
+    """Mesh+BVH+textures+NEE render vs the committed golden .ref — the
+    reference's regression mechanism (main.cpp:117–126) on the mesh
+    pipeline, not just spheres."""
+    from tpu_pathtracer.models.mesh import procedural_staircase_scene
+
+    cfg = RenderConfig(nx=24, ny=16, ns=2, max_depth=6, rays_per_chunk=128)
+    scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
+    img = render_image(scene, cam, cfg)
+    ref = golden.load_reference("assets/staircase_24x16_2spp.ref", 24, 16)
+    assert golden.rmse(img, ref) < 1e-6
+    assert golden.ssim(img, ref) > 0.9999
+
+
+def test_profiling_measure_reports_rays():
+    """utils/profiling.measure: wall timing + exact ray accounting."""
+    from tpu_pathtracer.utils.profiling import measure
+
+    cfg = RenderConfig(nx=16, ny=8, ns=2, max_depth=4, rays_per_chunk=64)
+    scene, cam = three_sphere_scene(cfg.nx, cfg.ny)
+    m = measure(scene, cam, cfg, count_rays=True)
+    assert m.seconds > 0
+    assert m.paths == 16 * 8 * 2
+    assert m.rays >= m.paths  # at least one ray per path
+    assert m.mrays_per_sec is not None and m.mrays_per_sec > 0
+    assert "Mpaths/s" in repr(m)

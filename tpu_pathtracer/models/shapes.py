@@ -56,11 +56,13 @@ MODEL_ZOO_MATERIALS = {
 
 
 def model_zoo_scene(nx: int, ny: int, material: str = "coat",
-                    nu: int = 96, nv: int = 64) -> Tuple[Scene, Camera]:
+                    nu: int = 96, nv: int = 64,
+                    prims_per_leaf: int = 5) -> Tuple[Scene, Camera]:
     """A ~12k-triangle torus (teapot-class) on a diffuse floor plane under
     the NEE sphere light — the reference's model-zoo benchmark recipe."""
     v0, v1, v2, tc = torus_mesh(nu, nv)
-    mesh = build_bvh(v0, v1, v2, tc, np.ones((v0.shape[0],), np.int32))
+    mesh = build_bvh(v0, v1, v2, tc, np.ones((v0.shape[0],), np.int32),
+                     prims_per_leaf=prims_per_leaf)
     mats = make_materials([presets.floor_diffuse(),
                            MODEL_ZOO_MATERIALS[material]()])
     scene = make_scene(
