@@ -106,3 +106,28 @@ def test_traversal_respects_t_max():
                         jnp.asarray(np.where(hit, t * 0.5, 1e30), jnp.float32))
     assert not np.any((np.asarray(capped.tri_id) >= 0) & hit
                       & (np.asarray(capped.t) >= t))
+
+
+def test_builders_render_equivalently():
+    """SAH (native, compiled on demand) and median orders are different
+    trees over the same triangles: traversal results must agree with each
+    other (via each one's brute-force oracle) for every ray."""
+    import pytest
+
+    from tpu_pathtracer import native as nat
+
+    if nat._load() is None:  # pragma: no cover - g++ unavailable
+        pytest.skip("native SAH builder unavailable")
+    v0, v1, v2 = _random_tris(700, seed=7)
+    o, d = _random_rays(512, seed=8)
+    results = []
+    for builder in ("median", "sah"):
+        mesh = B.build_bvh(v0, v1, v2, prims_per_leaf=5, builder=builder)
+        r = B.traverse(mesh, o, d, 1e-3, FLT_MAX)
+        br = B.brute_force(mesh, o, d, 1e-3, FLT_MAX)
+        np.testing.assert_array_equal(np.asarray(r.t), np.asarray(br.t))
+        results.append(np.asarray(r.t))
+    # the two trees order triangles differently -> fp-identical t values
+    # (each triangle's MT math is order-independent; only ties could
+    # differ, and the random soup has none)
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)

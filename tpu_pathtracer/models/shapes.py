@@ -145,10 +145,16 @@ def knot_zoo_scene(nx: int, ny: int, material: str = "coat",
     """Large-mesh model-zoo scene: a torus-knot tube (default ~102k tris,
     dragon-class at nu=1664, nv=262) on a diffuse floor under the NEE
     light — the workload for the packet-BVH TPU path. ``prims_per_leaf``
-    defaults to the packet kernel's native 128-triangle clusters."""
+    defaults to the packet kernel's native 128-triangle clusters.
+
+    builder="median": measured 1.2x FASTER than the SAH order on this
+    tube geometry (9.36 vs 11.22 s at 512^2@16spp — packet visit cost is
+    the per-packet union, and the median order's contiguous spatial runs
+    suit it; the architectural staircase prefers SAH, see PERFORMANCE.md).
+    """
     v0, v1, v2, tc = torus_knot_mesh(nu, nv)
     mesh = build_bvh(v0, v1, v2, tc, np.ones((v0.shape[0],), np.int32),
-                     prims_per_leaf=prims_per_leaf)
+                     prims_per_leaf=prims_per_leaf, builder="median")
     mats = make_materials([presets.floor_diffuse(),
                            MODEL_ZOO_MATERIALS[material]()])
     scene = make_scene(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
@@ -18,13 +19,31 @@ _LIB = None
 _TRIED = False
 
 
+def _build(src_dir: str, path: str) -> bool:
+    """Compile the builder on demand (g++ is a baked-in tool; the build is
+    ~2 s). Quiet no-op on any failure — callers fall back to NumPy."""
+    src = os.path.join(src_dir, "bvh_builder.cpp")
+    try:
+        r = subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
+             "-shared", "-o", path, src],
+            capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.exists(path)
+    except Exception:
+        return False
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "libbvh_builder.so")
-    if not os.path.exists(path):
+    src_dir = os.path.dirname(__file__)
+    path = os.path.join(src_dir, "libbvh_builder.so")
+    src = os.path.join(src_dir, "bvh_builder.cpp")
+    stale = (os.path.exists(path) and os.path.exists(src)
+             and os.path.getmtime(path) < os.path.getmtime(src))
+    if (not os.path.exists(path) or stale) and not _build(src_dir, path):
         return None
     try:
         lib = ctypes.CDLL(path)

@@ -51,19 +51,33 @@ def _next_pow2(x: int) -> int:
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               tex_coords: np.ndarray | None = None,
               mesh_id: np.ndarray | None = None,
-              prims_per_leaf: int = 5) -> MeshData:
+              prims_per_leaf: int = 5,
+              builder: str = "auto") -> MeshData:
     """Build an implicit-heap BVH over triangles (host-side, NumPy).
 
-    Median split on the largest centroid-extent axis; the complete tree is
+    ``builder``: "auto" uses the native binned-SAH builder when available
+    (compiled on demand) and falls back to the NumPy median split; "sah" /
+    "median" force one. Tree quality is scene-dependent on the packet
+    path (visit cost is the per-packet union, not per-ray expected SA):
+    SAH is ~1.2x faster on the architectural staircase, ~1.2x SLOWER on
+    the torus-knot tube — see PERFORMANCE.md. Both orders render
+    identically up to fp tie order.
+
+    Median split: largest centroid-extent axis; the complete tree is
     packed left-first so every leaf except a right-edge tail is full.
     Triangle arrays are reordered and padded to ``num_leaves *
     prims_per_leaf`` with +inf sentinel triangles (the padding convention
     the traversal kernels rely on, kernels.cu:202).
     """
-    try:
-        from tpu_pathtracer.native import native_build_order
-    except Exception:  # pragma: no cover - native lib is optional
-        native_build_order = None
+    native_build_order = None
+    if builder in ("auto", "sah"):
+        try:
+            from tpu_pathtracer.native import native_build_order
+        except Exception:  # pragma: no cover - native lib is optional
+            native_build_order = None
+        if builder == "sah" and native_build_order is None:
+            raise RuntimeError("builder='sah' but the native builder "
+                               "is unavailable")
 
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
