@@ -139,7 +139,7 @@ def test_feat_kernels_match_gather_paths():
     ta, ia, ua, va = tris_hit_pallas(o, d, jnp.asarray(base),
                                      jnp.asarray(w1), jnp.asarray(w2),
                                      1e-3, FLT_MAX, interpret=True)
-    tb, ib, ub, vb, fb = tris_hit_feat(ov, dv, v0, e1, e2,
+    tb, ib, ub, vb, fb = tris_hit_feat(ov, dv, v0, e1, e2, e1.cross(e2),
                                        jnp.asarray(feat_t), 1e-3, FLT_MAX,
                                        interpret=True)
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))

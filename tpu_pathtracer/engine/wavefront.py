@@ -127,6 +127,7 @@ class SceneView(NamedTuple):
     tri_v0: Optional[V3]           # [T] components
     tri_e1: Optional[V3]
     tri_e2: Optional[V3]
+    tri_n: Optional[V3]            # precomputed face normals e1×e2
     tri_feat: Optional[jnp.ndarray]  # [T, 26] e1,e2,tc + material cols
     atlas: Optional[jnp.ndarray]     # [K*H*W, 3] row-packed texel table
     packet: Optional[object] = None   # ops.pallas_bvh.PacketMesh (big mesh)
@@ -151,7 +152,7 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
         sph_feat = jnp.concatenate(
             [scene.sphere_center, sph_r[:, None],
              _material_table(scene.materials, scene.sphere_mat)], axis=1)
-    tri_v0 = tri_e1 = tri_e2 = tri_feat = None
+    tri_v0 = tri_e1 = tri_e2 = tri_n = tri_feat = None
     packet = mat_rows = None
     use_packet = (config is not None and _use_packet(scene, config))
     if scene.has_mesh and not use_packet:
@@ -159,6 +160,7 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
         tri_v0 = V3.from_array(m.v0)
         tri_e1 = V3.from_array(m.v1) - tri_v0
         tri_e2 = V3.from_array(m.v2) - tri_v0
+        tri_n = tri_e1.cross(tri_e2)
         safe_mid = jnp.clip(m.mesh_id, 0, scene.materials.count - 1)
         tri_feat = jnp.concatenate(
             [jnp.nan_to_num(m.v1 - m.v0, posinf=0.0, neginf=0.0),
@@ -180,7 +182,7 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
         a = scene.tex_atlas
         atlas = a.reshape(-1, 3)
     return SceneView(sph_c, sph_r, sph_feat, tri_v0, tri_e1, tri_e2,
-                     tri_feat, atlas, packet, mat_rows)
+                     tri_n, tri_feat, atlas, packet, mat_rows)
 
 
 class Intersection(NamedTuple):
@@ -302,7 +304,13 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
     n = origin.x.shape[0]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if config.sort_rays:
-        key = _ray_sort_key(scene, origin, direction)
+        # validity as the sort MSB: non-NEE lanes (t_max = -1) carry a
+        # STALE coherence key, and scattering them through the packets
+        # dilutes every packet's visit union. Compacted to the tail they
+        # form all-retired packets that exit after ~1 node step, and the
+        # live packets get denser (measured: see PERFORMANCE.md).
+        key = (_ray_sort_key(scene, origin, direction)
+               | ((t_max_b <= 0.0).astype(jnp.uint32) << 18))
         iota = jnp.arange(n, dtype=jnp.uint32)
         (_, back, ox, oy, oz, dx, dy, dz, tm) = jax.lax.sort(
             (key, iota, origin.x, origin.y, origin.z,
@@ -356,7 +364,8 @@ def _mesh_nearest(scene: Scene, view: SceneView, config: RenderConfig,
             and mesh.num_tris <= TRI_BRUTE_MAX):
         from tpu_pathtracer.ops.pallas_tris import tris_hit_soa
         t, idx, u, v = tris_hit_soa(origin, direction, view.tri_v0,
-                                    view.tri_e1, view.tri_e2, t_min, t_max,
+                                    view.tri_e1, view.tri_e2, view.tri_n,
+                                    t_min, t_max,
                                     interpret=_interp(config))
         return _bvh.TraceResult(t=t, tri_id=idx, u=u, v=v)
     o = origin.stack()
@@ -473,7 +482,8 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
             from tpu_pathtracer.ops.pallas_tris import tris_hit_feat
             tt, tri_id, u, vv, f = tris_hit_feat(
                 origin, direction, view.tri_v0, view.tri_e1, view.tri_e2,
-                view.tri_feat, eps, t_ray_max, interpret=_interp(config))
+                view.tri_n, view.tri_feat, eps, t_ray_max,
+                interpret=_interp(config))
             hit = tri_id >= 0
             e1 = V3(f[0], f[1], f[2])
             e2 = V3(f[3], f[4], f[5])
@@ -585,7 +595,7 @@ def occluded(scene: Scene, view: SceneView, config: RenderConfig,
             from tpu_pathtracer.ops.pallas_tris import tris_anyhit_soa
             occ = occ | tris_anyhit_soa(origin, direction, view.tri_v0,
                                         view.tri_e1, view.tri_e2,
-                                        config.epsilon, t_max,
+                                        view.tri_n, config.epsilon, t_max,
                                         interpret=_interp(config))
         else:
             res = _mesh_nearest(scene, view, config, origin, direction,

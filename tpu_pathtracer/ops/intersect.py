@@ -172,15 +172,25 @@ def triangles_hit(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     eps = 1e-7  # intersections.h:55
     edge1 = v1 - v0
     edge2 = v2 - v0
-    h = cross(direction, edge2)
-    a = dot(edge1, h)
+    # Restructured MT: one shared cross q = s×d plus the (precomputable)
+    # face normal n = e1×e2 replace the reference's two per-pair crosses
+    # (h = d×e2, q = s×e1). Determinant identities (exact in the reals):
+    #   a = e1·(d×e2) = det[e1,d,e2] = -(d·n)
+    #   u·a = s·(d×e2) = det[s,d,e2] = (s×d)·e2
+    #   v·a = d·(s×e1) = det[d,s,e1] = -((s×d)·e1)
+    #   t·a = e2·(s×e1) = det[e2,s,e1] = det[s,e1,e2] = s·n
+    # ~13% fewer per-pair ops in the Pallas kernels (which take n
+    # precomputed); this jnp reference mirrors the kernel op order so
+    # kernel == jnp stays bit-exact (see tests/test_pallas_kernels.py).
+    nrm = cross(edge1, edge2)
+    a = -dot(direction, nrm)
     parallel = jnp.abs(a) < eps
     f = 1.0 / jnp.where(parallel, 1.0, a)
     s = origin - v0
-    u = f * dot(s, h)
-    q = cross(s, edge1)
-    v = f * dot(direction, q)
-    t = f * dot(edge2, q)
+    q = cross(s, direction)
+    u = f * dot(q, edge2)
+    v = -(f * dot(q, edge1))
+    t = f * dot(s, nrm)
     bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
            | ~(t > t_min) | ~(t < t_max) | ~jnp.isfinite(t))
     return jnp.where(bad, FLT_MAX, t), u, v

@@ -89,17 +89,24 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
     nodes = jnp.concatenate(
         [nodes, jnp.zeros((n_pad - n_nodes, 8), jnp.float32)], axis=0)
 
-    # cluster blocks [C, 16, w_pad]: v0, e1, e2, tc0..tc5, mesh_id
+    # cluster blocks [C, 16, w_pad]: v0, e1, e2, n (tc/mesh-id are NOT in
+    # the hot loop — the winner's features come from one post-kernel row
+    # gather). n = e1×e2 feeds the restructured MT (see
+    # ops/intersect.triangles_hit): zero-area sentinels give n = 0 →
+    # a = 0 → parallel → miss, same as before.
     sane = jnp.isfinite(mesh.v0).all(axis=1)  # sentinel slots -> zeros
     z3 = jnp.zeros_like(mesh.v0)
     v0 = jnp.where(sane[:, None], mesh.v0, z3)
     e1 = jnp.where(sane[:, None], mesh.v1 - mesh.v0, z3)
     e2 = jnp.where(sane[:, None], mesh.v2 - mesh.v0, z3)
+    nx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
+    ny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
+    nz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
     comps = [v0[:, 0], v0[:, 1], v0[:, 2],
              e1[:, 0], e1[:, 1], e1[:, 2],
-             e2[:, 0], e2[:, 1], e2[:, 2]]
-    comps += [mesh.tex_coords[:, i] for i in range(6)]
-    comps += [mesh.mesh_id.astype(jnp.float32)]
+             e2[:, 0], e2[:, 1], e2[:, 2],
+             nx, ny, nz]
+    comps += [jnp.zeros_like(nx)] * 4  # pad to 16 rows (8 KB DMA blocks)
     flat = jnp.stack(comps, axis=0)              # [16, C*width]
     blk = flat.reshape(16, n_clusters, width).transpose(1, 0, 2)
     if w_pad != width:
@@ -109,9 +116,6 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
     # per-triangle feature rows: face normal e1×e2 (the same f32 edges the
     # kernel sees — kernels.cu:336), texcoords, mesh id; padded to 16-wide
     # rows (row width is free for TPU gathers up to 320 B)
-    nx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
-    ny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
-    nz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
     tri_feat = jnp.stack(
         [nx, ny, nz] + [mesh.tex_coords[:, i] for i in range(6)]
         + [mesh.mesh_id.astype(jnp.float32)], axis=1)
@@ -195,7 +199,9 @@ def _advance(idx, bs, lhit, rhit, closest, l):
 
 def _mt_scalar_tri(blk, w, o1, o2, o3, d1, d2, d3, t_min, closest):
     """Möller–Trumbore of one triangle (scalar comps from the SMEM block)
-    against the lane tile — op-for-op the ops/pallas_tris sequence."""
+    against the lane tile — op-for-op the ops/pallas_tris sequence
+    (restructured form: precomputed n = e1×e2 replaces the h = d×e2
+    cross; see ops/intersect.triangles_hit for the identities)."""
     v0x = blk[0, w]
     v0y = blk[1, w]
     v0z = blk[2, w]
@@ -205,21 +211,21 @@ def _mt_scalar_tri(blk, w, o1, o2, o3, d1, d2, d3, t_min, closest):
     g2x = blk[6, w]
     g2y = blk[7, w]
     g2z = blk[8, w]
-    hx = d2 * g2z - d3 * g2y
-    hy = d3 * g2x - d1 * g2z
-    hz = d1 * g2y - d2 * g2x
-    a = g1x * hx + g1y * hy + g1z * hz
+    n1 = blk[9, w]
+    n2 = blk[10, w]
+    n3 = blk[11, w]
+    a = -(d1 * n1 + d2 * n2 + d3 * n3)
     parallel = jnp.abs(a) < 1e-7  # intersections.h:55
     f = 1.0 / jnp.where(parallel, 1.0, a)
     sx = o1 - v0x
     sy = o2 - v0y
     sz = o3 - v0z
-    u = f * (sx * hx + sy * hy + sz * hz)
-    qx = sy * g1z - sz * g1y
-    qy = sz * g1x - sx * g1z
-    qz = sx * g1y - sy * g1x
-    v = f * (d1 * qx + d2 * qy + d3 * qz)
-    t = f * (g2x * qx + g2y * qy + g2z * qz)
+    qx = sy * d3 - sz * d2
+    qy = sz * d1 - sx * d3
+    qz = sx * d2 - sy * d1
+    u = f * (qx * g2x + qy * g2y + qz * g2z)
+    v = -(f * (qx * g1x + qy * g1y + qz * g1z))
+    t = f * (sx * n1 + sy * n2 + sz * n3)
     bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
            | jnp.logical_not(t > t_min) | jnp.logical_not(t < closest))
     return t, u, v, bad

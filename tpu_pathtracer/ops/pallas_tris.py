@@ -39,10 +39,47 @@ def _chunking(t: int):
     return t_pad, T_CHUNK
 
 
+def _mt_chunk(o1, o2, o3, d1, d2, d3, refs, sl, t_min, tmax_v):
+    """Restructured Möller–Trumbore over one (TILE, chunk) tile: one
+    shared cross q = s×d plus the precomputed face normal n = e1×e2
+    replace the two per-pair crosses (see ops/intersect.triangles_hit
+    for the determinant identities — the op order here mirrors it
+    bit-for-bit). Returns (t, u, v, bad)."""
+    (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz) = refs
+    v0x = ax[0, sl][None, :]
+    v0y = ay[0, sl][None, :]
+    v0z = az[0, sl][None, :]
+    g1x = e1x[0, sl][None, :]
+    g1y = e1y[0, sl][None, :]
+    g1z = e1z[0, sl][None, :]
+    g2x = e2x[0, sl][None, :]
+    g2y = e2y[0, sl][None, :]
+    g2z = e2z[0, sl][None, :]
+    n1 = nx[0, sl][None, :]
+    n2 = ny[0, sl][None, :]
+    n3 = nz[0, sl][None, :]
+    a = -(d1 * n1 + d2 * n2 + d3 * n3)
+    parallel = jnp.abs(a) < 1e-7  # intersections.h:55
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx = o1 - v0x
+    sy = o2 - v0y
+    sz = o3 - v0z
+    # q = cross(s, d)
+    qx = sy * d3 - sz * d2
+    qy = sz * d1 - sx * d3
+    qz = sx * d2 - sy * d1
+    u = f * (qx * g2x + qy * g2y + qz * g2z)
+    v = -(f * (qx * g1x + qy * g1y + qz * g1z))
+    t = f * (sx * n1 + sy * n2 + sz * n3)
+    bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+           | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+    return t, u, v, bad
+
+
 def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int,
             chunk: int):
-    (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z,
-     t_out, i_out, u_out, v_out) = refs
+    tri_refs = refs[:12]
+    t_out, i_out, u_out, v_out = refs[12:]
     o1 = ox[0, :][:, None]
     o2 = oy[0, :][:, None]
     o3 = oz[0, :][:, None]
@@ -59,35 +96,8 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int,
     def chunk_body(k, carry):
         t_best, i_best, u_best, v_best = carry
         base = k * chunk
-        sl = pl.ds(base, chunk)
-        v0x = ax[0, sl][None, :]
-        v0y = ay[0, sl][None, :]
-        v0z = az[0, sl][None, :]
-        g1x = e1x[0, sl][None, :]
-        g1y = e1y[0, sl][None, :]
-        g1z = e1z[0, sl][None, :]
-        g2x = e2x[0, sl][None, :]
-        g2y = e2y[0, sl][None, :]
-        g2z = e2z[0, sl][None, :]
-        # h = cross(d, edge2)
-        hx = d2 * g2z - d3 * g2y
-        hy = d3 * g2x - d1 * g2z
-        hz = d1 * g2y - d2 * g2x
-        a = g1x * hx + g1y * hy + g1z * hz
-        parallel = jnp.abs(a) < 1e-7  # intersections.h:55
-        f = 1.0 / jnp.where(parallel, 1.0, a)
-        sx = o1 - v0x
-        sy = o2 - v0y
-        sz = o3 - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        # q = cross(s, edge1)
-        qx = sy * g1z - sz * g1y
-        qy = sz * g1x - sx * g1z
-        qz = sx * g1y - sy * g1x
-        v = f * (d1 * qx + d2 * qy + d3 * qz)
-        t = f * (g2x * qx + g2y * qy + g2z * qz)
-        bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
-               | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+        t, u, v, bad = _mt_chunk(o1, o2, o3, d1, d2, d3, tri_refs,
+                                 pl.ds(base, chunk), t_min, tmax_v)
         ts = jnp.where(bad, _FLT_MAX, t)
         tloc = jnp.min(ts, axis=1, keepdims=True)
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
@@ -112,12 +122,13 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int,
 
 
 def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
-                 e2x, e2y, e2z, feat_t, t_out, i_out, u_out, v_out,
-                 feat_out, *, t_min: float, t_pad: int, num_feats: int,
-                 chunk: int):
+                 e2x, e2y, e2z, nx, ny, nz, feat_t, t_out, i_out, u_out,
+                 v_out, feat_out, *, t_min: float, t_pad: int,
+                 num_feats: int, chunk: int):
     """Hit test + per-lane feature fetch (transposed one-hot MXU
     contraction into a single feature-major output — see
     pallas_spheres._kernel_feat)."""
+    tri_refs = (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz)
     o1 = ox[0, :][:, None]
     o2 = oy[0, :][:, None]
     o3 = oz[0, :][:, None]
@@ -134,33 +145,8 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
     def chunk_body(k, carry):
         t_best, i_best, u_best, v_best = carry
         base = k * chunk
-        sl = pl.ds(base, chunk)
-        v0x = ax[0, sl][None, :]
-        v0y = ay[0, sl][None, :]
-        v0z = az[0, sl][None, :]
-        g1x = e1x[0, sl][None, :]
-        g1y = e1y[0, sl][None, :]
-        g1z = e1z[0, sl][None, :]
-        g2x = e2x[0, sl][None, :]
-        g2y = e2y[0, sl][None, :]
-        g2z = e2z[0, sl][None, :]
-        hx = d2 * g2z - d3 * g2y
-        hy = d3 * g2x - d1 * g2z
-        hz = d1 * g2y - d2 * g2x
-        a = g1x * hx + g1y * hy + g1z * hz
-        parallel = jnp.abs(a) < 1e-7
-        f = 1.0 / jnp.where(parallel, 1.0, a)
-        sx = o1 - v0x
-        sy = o2 - v0y
-        sz = o3 - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * g1z - sz * g1y
-        qy = sz * g1x - sx * g1z
-        qz = sx * g1y - sy * g1x
-        v = f * (d1 * qx + d2 * qy + d3 * qz)
-        t = f * (g2x * qx + g2y * qy + g2z * qz)
-        bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
-               | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+        t, u, v, bad = _mt_chunk(o1, o2, o3, d1, d2, d3, tri_refs,
+                                 pl.ds(base, chunk), t_min, tmax_v)
         ts = jnp.where(bad, _FLT_MAX, t)
         tloc = jnp.min(ts, axis=1, keepdims=True)
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
@@ -209,11 +195,12 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
 
 
 def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
-                e2x, e2y, e2z, occ_out, *, t_min: float, t_pad: int,
-                chunk: int):
+                e2x, e2y, e2z, nx, ny, nz, occ_out, *, t_min: float,
+                t_pad: int, chunk: int):
     """Shadow any-hit: the ~same MT test but NO argmin/u/v/feature
     selection — occlusion only needs "did anything hit before t_max"
     (the early-out semantics of kernels.cu:207)."""
+    tri_refs = (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz)
     o1 = ox[0, :][:, None]
     o2 = oy[0, :][:, None]
     o3 = oz[0, :][:, None]
@@ -224,33 +211,8 @@ def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
 
     def chunk_body(k, occ):
         base = k * chunk
-        sl = pl.ds(base, chunk)
-        v0x = ax[0, sl][None, :]
-        v0y = ay[0, sl][None, :]
-        v0z = az[0, sl][None, :]
-        g1x = e1x[0, sl][None, :]
-        g1y = e1y[0, sl][None, :]
-        g1z = e1z[0, sl][None, :]
-        g2x = e2x[0, sl][None, :]
-        g2y = e2y[0, sl][None, :]
-        g2z = e2z[0, sl][None, :]
-        hx = d2 * g2z - d3 * g2y
-        hy = d3 * g2x - d1 * g2z
-        hz = d1 * g2y - d2 * g2x
-        a = g1x * hx + g1y * hy + g1z * hz
-        parallel = jnp.abs(a) < 1e-7
-        f = 1.0 / jnp.where(parallel, 1.0, a)
-        sx = o1 - v0x
-        sy = o2 - v0y
-        sz = o3 - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * g1z - sz * g1y
-        qy = sz * g1x - sx * g1z
-        qz = sx * g1y - sy * g1x
-        v = f * (d1 * qx + d2 * qy + d3 * qz)
-        t = f * (g2x * qx + g2y * qy + g2z * qz)
-        bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
-               | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+        _, _, _, bad = _mt_chunk(o1, o2, o3, d1, d2, d3, tri_refs,
+                                 pl.ds(base, chunk), t_min, tmax_v)
         hit = jnp.any(jnp.logical_not(bad), axis=1, keepdims=True)
         return occ | hit.astype(jnp.int32)
 
@@ -260,10 +222,11 @@ def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
-def tris_anyhit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
+def tris_anyhit_soa(origin, direction, v0, e1, e2, nrm, t_min: float, t_max,
                     interpret: bool = False) -> jnp.ndarray:
     """[N] bool: any triangle hit in (t_min, t_max) — the shadow-ray
-    fast path (no nearest/argmin/uv work)."""
+    fast path (no nearest/argmin/uv work). ``nrm``: precomputed face
+    normals e1×e2 (V3 of [T])."""
     n = origin.x.shape[0]
     t = v0.x.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -288,6 +251,7 @@ def tris_anyhit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
         pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
         pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
         pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
+        pad_t(nrm.x), pad_t(nrm.y), pad_t(nrm.z),
     ]
     grid = (n_pad // TILE,)
     ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
@@ -298,7 +262,7 @@ def tris_anyhit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
         functools.partial(_kernel_any, t_min=float(t_min), t_pad=t_pad,
                           chunk=chunk),
         grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        in_specs=[ray_spec] * 7 + [tri_spec] * 12,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         interpret=interpret,
@@ -307,11 +271,12 @@ def tris_anyhit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
-def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
+def tris_hit_feat(origin, direction, v0, e1, e2, nrm, feat: jnp.ndarray,
                   t_min: float, t_max, interpret: bool = False,
                   num_feats: int = 26):
     """Nearest triangle hit + fused per-triangle feature fetch.
 
+    nrm: precomputed face normals e1×e2 (V3 of [T]).
     feat [T, C] (edges, texcoords, material columns pre-joined).
     Returns (t, tri_idx, u, v, feats tuple of C dense [N] arrays).
     """
@@ -344,6 +309,7 @@ def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
         pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
         pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
         pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
+        pad_t(nrm.x), pad_t(nrm.y), pad_t(nrm.z),
         feat_t,
     ]
     grid = (n_pad // TILE,)
@@ -359,7 +325,7 @@ def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
         functools.partial(_kernel_feat, t_min=float(t_min), t_pad=t_pad,
                           num_feats=c, chunk=chunk),
         grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 9 + [feat_spec],
+        in_specs=[ray_spec] * 7 + [tri_spec] * 12 + [feat_spec],
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec, fout_spec),
         out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
@@ -373,14 +339,15 @@ def tris_hit_feat(origin, direction, v0, e1, e2, feat: jnp.ndarray,
             tuple(fo[i, :n] for i in range(c)))
 
 
-def tris_hit_soa(origin, direction, v0, e1, e2, t_min: float, t_max,
+def tris_hit_soa(origin, direction, v0, e1, e2, nrm, t_min: float, t_max,
                  interpret: bool = False):
-    """Component-SoA entry: origin/direction are V3 of [N]; v0/e1/e2 are V3
-    of [T] (e1/e2 = precomputed edges)."""
+    """Component-SoA entry: origin/direction are V3 of [N]; v0/e1/e2/nrm
+    are V3 of [T] (e1/e2 = precomputed edges, nrm = e1×e2)."""
     return _tris_hit_impl(origin.x, origin.y, origin.z,
                           direction.x, direction.y, direction.z,
                           v0.x, v0.y, v0.z, e1.x, e1.y, e1.z,
-                          e2.x, e2.y, e2.z, t_min, t_max, interpret)
+                          e2.x, e2.y, e2.z, nrm.x, nrm.y, nrm.z,
+                          t_min, t_max, interpret)
 
 
 def tris_hit_pallas(origin: jnp.ndarray, direction: jnp.ndarray,
@@ -390,16 +357,20 @@ def tris_hit_pallas(origin: jnp.ndarray, direction: jnp.ndarray,
     """[N,3]-interface convenience wrapper. Returns (t, tri_idx, u, v)."""
     e1 = v1 - v0
     e2 = v2 - v0
+    nx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
+    ny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
+    nz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
     return _tris_hit_impl(
         origin[:, 0], origin[:, 1], origin[:, 2],
         direction[:, 0], direction[:, 1], direction[:, 2],
         v0[:, 0], v0[:, 1], v0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
-        e2[:, 0], e2[:, 1], e2[:, 2], t_min, t_max, interpret)
+        e2[:, 0], e2[:, 1], e2[:, 2], nx, ny, nz, t_min, t_max, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
                    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                   nx, ny, nz,
                    t_min: float, t_max, interpret: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest triangle hit for N rays. Returns (t, tri_idx, u, v)."""
@@ -427,6 +398,7 @@ def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
         pad_t(v0x), pad_t(v0y), pad_t(v0z),
         pad_t(e1x), pad_t(e1y), pad_t(e1z),
         pad_t(e2x), pad_t(e2y), pad_t(e2z),
+        pad_t(nx), pad_t(ny), pad_t(nz),
     ]
 
     grid = (n_pad // TILE,)
@@ -438,7 +410,7 @@ def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
         functools.partial(_kernel, t_min=float(t_min), t_pad=t_pad,
                           chunk=chunk),
         grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        in_specs=[ray_spec] * 7 + [tri_spec] * 12,
         out_specs=(ray_spec,) * 4,
         out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_pad), jnp.int32),

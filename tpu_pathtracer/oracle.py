@@ -161,15 +161,17 @@ def hit_tris(o, d, v0, v1, v2, t_min, t_max):
             e2 = a2 - a0
             dd = d[:, None, :]
             oo = o[:, None, :]
-            h = np.cross(dd, e2)
-            a = dot(e1, h)
+            # restructured MT, mirroring ops/intersect.triangles_hit:
+            # precomputed face normal + one shared cross q = s×d
+            nrm = np.cross(e1, e2)
+            a = -dot(dd, nrm)
             par = np.abs(a) < 1e-7
             f = 1.0 / np.where(par, 1.0, a)
             s = oo - a0
-            u = f * dot(s, h)
-            q = np.cross(s, e1)
-            v = f * dot(dd, q)
-            t = f * dot(e2, q)
+            q = np.cross(s, dd)
+            u = f * dot(q, e2)
+            v = -(f * dot(q, e1))
+            t = f * dot(s, nrm)
             bad = (par | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
                    | ~(t > t_min) | ~(t < best_t[:, None]) | ~np.isfinite(t))
         t = np.where(bad, FLT_MAX, t)
