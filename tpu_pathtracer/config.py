@@ -70,6 +70,8 @@ class RenderConfig:
     sort_rays: bool = True  # coherence sort around packet-BVH traversal
     packet_threshold: int = 0  # tris above which the packet BVH kernel is
     # used on the TPU path (0 = TRI_BRUTE_MAX); tests set 1 to force it
+    packet_width: int = 128  # triangles per packet-BVH leaf cluster
+    # (width sweep: PERFORMANCE.md)
 
     @property
     def num_pixels(self) -> int:

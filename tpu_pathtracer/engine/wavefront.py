@@ -169,7 +169,8 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
              _material_table(scene.materials, safe_mid)], axis=1)
     if use_packet:
         from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh
-        packet = build_packet_mesh(scene.mesh)
+        packet = build_packet_mesh(scene.mesh,
+                                   max_width=config.packet_width)
         mat_rows = _material_table(
             scene.materials,
             jnp.arange(scene.materials.count, dtype=jnp.int32))

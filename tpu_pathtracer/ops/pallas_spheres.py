@@ -56,13 +56,18 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, t_out, idx_out,
         b = ocx * d1 + ocy * d2 + ocz * d3
         c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
         disc = b * b - c
-        ok = (disc > 0.0) & (rr2 > 0.0)
+        # padding spheres carry r2 = -1 → disc < 0 by Cauchy–Schwarz
+        ok = disc > 0.0
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = -b - sq
         t2 = -b + sq
-        t1v = jnp.where(ok & (t1 > t_min) & (t1 < tmax_v), t1, _FLT_MAX)
-        t2v = jnp.where(ok & (t2 > t_min) & (t2 < tmax_v), t2, _FLT_MAX)
-        ts = jnp.minimum(t1v, t2v)  # t1 <= t2 → prefer-near (ref order)
+        # t1 <= t2 always, so the near-preferring valid-min collapses to
+        # one select + one validity chain (bit-identical to the
+        # min(where, where) form — t1 invalid-low → t2, invalid-high →
+        # both invalid):
+        ts0 = jnp.where(t1 > t_min, t1, t2)
+        valid = ok & (ts0 > t_min) & (ts0 < tmax_v)
+        ts = jnp.where(valid, ts0, _FLT_MAX)
         tloc = jnp.min(ts, axis=1, keepdims=True)
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
@@ -117,9 +122,10 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat_t,
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = -b - sq
         t2 = -b + sq
-        t1v = jnp.where(ok & (t1 > t_min) & (t1 < tmax_v), t1, _FLT_MAX)
-        t2v = jnp.where(ok & (t2 > t_min) & (t2 < tmax_v), t2, _FLT_MAX)
-        ts = jnp.minimum(t1v, t2v)
+        # near-preferring valid-min in one select (see _kernel)
+        ts0 = jnp.where(t1 > t_min, t1, t2)
+        valid = ok & (ts0 > t_min) & (ts0 < tmax_v)
+        ts = jnp.where(valid, ts0, _FLT_MAX)
         tloc = jnp.min(ts, axis=1, keepdims=True)
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
@@ -251,12 +257,12 @@ def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, occ_out,
         b = ocx * d1 + ocy * d2 + ocz * d3
         c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
         disc = b * b - c
-        ok = (disc > 0.0) & (rr2 > 0.0)
+        ok = disc > 0.0  # r2 = -1 padding → disc < 0 (Cauchy–Schwarz)
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = -b - sq
         t2 = -b + sq
-        hit = ok & (((t1 > t_min) & (t1 < tmax_v))
-                    | ((t2 > t_min) & (t2 < tmax_v)))
+        ts0 = jnp.where(t1 > t_min, t1, t2)
+        hit = ok & (ts0 > t_min) & (ts0 < tmax_v)
         occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
     occ_out[0, :] = occ[:, 0]
 
