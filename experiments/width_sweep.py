@@ -6,7 +6,7 @@ work, is the wall. Narrower clusters cull finer (fewer triangles tested)
 at the price of more node steps and half-empty 8 KB DMA blocks. This
 sweeps prims_per_leaf/packet_width together on one scene.
 
-Usage: python experiments/width_sweep.py [spp] [width ...]
+Usage: python experiments/width_sweep.py [--knot] [spp] [width ...]
 """
 
 import sys
@@ -16,15 +16,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(width, spp):
+def run(width, spp, scene_kind):
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.engine.regen import _render_regen_jit
-    from tpu_pathtracer.models.mesh import procedural_staircase_scene
 
-    cfg = RenderConfig(nx=1200, ny=800, ns=spp, max_depth=64,
-                       rays_per_chunk=65536, packet_width=width)
-    scene, cam = procedural_staircase_scene(1200, 800,
-                                            prims_per_leaf=width, sub=20)
+    if scene_kind == "knot":
+        from tpu_pathtracer.models.shapes import knot_zoo_scene
+        cfg = RenderConfig(nx=512, ny=512, ns=spp, max_depth=50,
+                           textures=False, rays_per_chunk=65536,
+                           packet_width=width)
+        scene, cam = knot_zoo_scene(512, 512, prims_per_leaf=width)
+    else:
+        from tpu_pathtracer.models.mesh import procedural_staircase_scene
+        cfg = RenderConfig(nx=1200, ny=800, ns=spp, max_depth=64,
+                           rays_per_chunk=65536, packet_width=width)
+        scene, cam = procedural_staircase_scene(1200, 800,
+                                                prims_per_leaf=width,
+                                                sub=20)
     np.asarray(_render_regen_jit(scene, cam, cfg, jnp.uint32(1),
                                  jnp.uint32(0), normalize=False))
     t0 = time.perf_counter()
@@ -33,15 +41,20 @@ def run(width, spp):
     fb.block_until_ready()
     a = np.asarray(fb)
     el = time.perf_counter() - t0
-    print(f"width={width:4d}: {el:7.3f} s ({el/spp*1e3:5.0f} ms/spp) "
-          f"mean={a.mean()/spp:.6f}", flush=True)
+    print(f"{scene_kind} width={width:4d}: {el:7.3f} s "
+          f"({el/spp*1e3:5.0f} ms/spp) mean={a.mean()/spp:.6f}", flush=True)
 
 
 def main():
-    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    widths = [int(w) for w in sys.argv[2:]] or [128, 64, 32]
+    argv = sys.argv[1:]
+    kind = "stairs"
+    if argv and argv[0] == "--knot":
+        kind = "knot"
+        argv = argv[1:]
+    spp = int(argv[0]) if argv else 2
+    widths = [int(w) for w in argv[1:]] or [128, 64, 32]
     for w in widths:
-        run(w, spp)
+        run(w, spp, kind)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ def build(args):
     elif args.scene == "staircase-hires":
         # asset-scale tessellation (~154k tris) on the packet-BVH path
         scene, cam = mesh_scenes.procedural_staircase_scene(
-            cfg.nx, cfg.ny, prims_per_leaf=128, sub=20)
+            cfg.nx, cfg.ny, prims_per_leaf=32, sub=20)
     elif args.scene == "knot":
         from tpu_pathtracer.models.shapes import knot_zoo_scene
         scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)

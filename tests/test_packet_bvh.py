@@ -43,7 +43,7 @@ def test_packet_trace_exact_vs_brute_force():
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg) = packet_trace(
         ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
-        pm.width, 1e-3, interpret=True)
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb)
     assert int(nb) > 0  # node-step telemetry fires (single may be 0:
     # a 600-ray packet hits both children of nearly every node)
 
@@ -87,7 +87,8 @@ def test_packet_occluded_matches_nearest():
     tmax = 15.0
     occ, _counts = packet_occluded(ov, dv, tmax, pm.nodes, pm.blocks,
                                    pm.cl_first, pm.width, 1e-3,
-                                   interpret=True)
+                                   interpret=True, stride=pm.stride,
+                                   cpb=pm.cpb)
     truth = (np.asarray(ref.tri_id) >= 0) & (np.asarray(ref.t) < tmax)
     np.testing.assert_array_equal(np.asarray(occ), truth)
 
@@ -97,12 +98,12 @@ def test_packet_grouping_of_small_leaves():
     clusters; results stay exact."""
     mesh = _mesh(t=900, seed=5, ppl=5)
     pm = build_packet_mesh(mesh)
-    assert pm.width == 80 and pm.blocks.shape[2] == 128
+    assert pm.width == 80 and pm.stride == 128 and pm.cpb == 1
     o, d, ov, dv = _rays(300, seed=6)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     (t, tri, *_), _counts = packet_trace(
         ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
-        pm.width, 1e-3, interpret=True)
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb)
     hit = np.asarray(ref.tri_id) >= 0
     np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
                                   np.asarray(tri)[hit])
@@ -126,3 +127,28 @@ def test_packet_render_end_to_end():
     forced = cfg.replace(force_feat_kernels=True, packet_threshold=1)
     img = render_image(scene, cam, forced)
     assert rmse(ref, img) < 1e-5
+
+
+def test_packet_narrow_width_packed_layout():
+    """Power-of-two narrow clusters (width 32 -> cpb 2 siblings per DMA
+    block) stay exactly equal to brute force."""
+    mesh = _mesh(t=3000, seed=7, ppl=32)
+    pm = build_packet_mesh(mesh, max_width=32, packed=True)
+    assert pm.width == 32 and pm.stride == 32 and pm.cpb == 2
+    assert pm.blocks.shape[1:] == (8, 128)
+    o, d, ov, dv = _rays(500, seed=8)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    (t, tri, *_), _counts = packet_trace(
+        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb)
+    hit = np.asarray(ref.tri_id) >= 0
+    np.testing.assert_array_equal(hit, np.asarray(tri) >= 0)
+    np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
+                                  np.asarray(tri)[hit])
+    np.testing.assert_allclose(np.asarray(ref.t)[hit],
+                               np.asarray(t)[hit], rtol=2e-6)
+    occ, _c = packet_occluded(ov, dv, 12.0, pm.nodes, pm.blocks,
+                              pm.cl_first, pm.width, 1e-3, interpret=True,
+                              stride=pm.stride, cpb=pm.cpb)
+    truth = hit & (np.asarray(ref.t) < 12.0)
+    np.testing.assert_array_equal(np.asarray(occ), truth)

@@ -70,8 +70,10 @@ class RenderConfig:
     sort_rays: bool = True  # coherence sort around packet-BVH traversal
     packet_threshold: int = 0  # tris above which the packet BVH kernel is
     # used on the TPU path (0 = TRI_BRUTE_MAX); tests set 1 to force it
-    packet_width: int = 128  # triangles per packet-BVH leaf cluster
-    # (width sweep: PERFORMANCE.md)
+    packet_width: int = 32  # triangles per packet-BVH leaf cluster —
+    # 32 beats 128 by 1.2-1.3x on both staircase-hires and the knot
+    # (finer leaf culling shrinks the packet visit union; sweep in
+    # PERFORMANCE.md). Scenes built with larger prims_per_leaf cap here.
 
     @property
     def num_pixels(self) -> int:

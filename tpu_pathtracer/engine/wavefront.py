@@ -286,7 +286,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
         o_s, d_s, tm = origin, direction, t_max_b
     outs, node_counts = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks,
                                      pk.tri_feat, pk.cl_first, pk.width,
-                                     t_min, interpret=_interp(config))
+                                     t_min, interpret=_interp(config),
+                                     stride=pk.stride, cpb=pk.cpb)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -318,12 +319,14 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
              direction.x, direction.y, direction.z, t_max_b), num_keys=1)
         occ, node_counts = packet_occluded(
             V3(ox, oy, oz), V3(dx, dy, dz), tm, pk.nodes, pk.blocks,
-            pk.cl_first, pk.width, t_min, interpret=_interp(config))
+            pk.cl_first, pk.width, t_min, interpret=_interp(config),
+            stride=pk.stride, cpb=pk.cpb)
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
         return occ != 0, node_counts
     return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
                            pk.cl_first, pk.width, t_min,
-                           interpret=_interp(config))
+                           interpret=_interp(config),
+                           stride=pk.stride, cpb=pk.cpb)
 
 
 def _cols_from_rows(rows: jnp.ndarray) -> MatCols:

@@ -141,11 +141,12 @@ def torus_knot_mesh(nu: int = 512, nv: int = 100, p: int = 2, q: int = 3,
 
 def knot_zoo_scene(nx: int, ny: int, material: str = "coat",
                    nu: int = 512, nv: int = 100,
-                   prims_per_leaf: int = 128) -> Tuple[Scene, Camera]:
+                   prims_per_leaf: int = 32) -> Tuple[Scene, Camera]:
     """Large-mesh model-zoo scene: a torus-knot tube (default ~102k tris,
     dragon-class at nu=1664, nv=262) on a diffuse floor under the NEE
     light — the workload for the packet-BVH TPU path. ``prims_per_leaf``
-    defaults to the packet kernel's native 128-triangle clusters.
+    defaults to 32-triangle clusters (width sweep: 428 ms/spp vs 528 at
+    128 on this scene — finer leaf culling shrinks the visit union).
 
     builder="median": measured 1.2x FASTER than the SAH order on this
     tube geometry (9.36 vs 11.22 s at 512^2@16spp — packet visit cost is

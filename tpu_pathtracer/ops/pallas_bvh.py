@@ -50,15 +50,21 @@ ROWS = 8             # sublane rows per packet -> packet = ROWS*128 rays
 class PacketMesh(NamedTuple):
     """Device data for the packet kernel, derived from MeshData."""
     nodes: jnp.ndarray    # [n_nodes_pad, 8] f32: minx..maxz,0,0; heap from 1
-    blocks: jnp.ndarray   # [n_clusters, 16, w_pad] f32 cluster blocks
+    blocks: jnp.ndarray   # [n_blocks, brows, 128] f32 DMA blocks; each
+    # packs cpb sibling clusters of 16*stride floats (brows >= 8 —
+    # Mosaic tiles the last two dims (8,128), dim-0 slices are free)
     tri_feat: jnp.ndarray  # [n_tris_packed, 16] nx,ny,nz,tc0..5,mid rows —
     # the winner's features come from ONE post-kernel row gather instead
     # of ~10 masked tile updates per triangle visit in the hot loop
     cl_first: int         # heap index of the first cluster-level node
     width: int            # triangles per cluster (= prims_per_leaf << k)
+    stride: int           # component stride within a cluster (= width for
+    # power-of-two widths; 128 for the legacy padded layout)
+    cpb: int              # clusters per DMA block (power of two)
 
 
-def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
+def build_packet_mesh(mesh: MeshData, max_width: int = 128,
+                      packed: bool = False) -> PacketMesh:
     """Group BVH leaves into ≤128-triangle clusters and pack the node
     table + SoA cluster blocks the kernel consumes.
 
@@ -78,7 +84,11 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
     width = P << k
     cl_first = first_leaf >> k
     n_clusters = cl_first
-    w_pad = ((width + 127) // 128) * 128
+    # packed layout (cpb>1 clusters per DMA block) halves DMA bytes for
+    # narrow clusters but costs ~12% on TPU: the dynamic sub-cluster row
+    # offset turns 12 static SMEM row indices per triangle into scalar
+    # adds. Off by default — DMA is ~2% of leaf time (PERFORMANCE.md).
+    packed = packed and width >= 8 and not (width & (width - 1))
 
     # node table rows 0..2*cl_first (row 0 unused)
     n_nodes = 2 * cl_first
@@ -89,7 +99,7 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
     nodes = jnp.concatenate(
         [nodes, jnp.zeros((n_pad - n_nodes, 8), jnp.float32)], axis=0)
 
-    # cluster blocks [C, 16, w_pad]: v0, e1, e2, n (tc/mesh-id are NOT in
+    # cluster components (16 rows of width): v0, e1, e2, n (tc/mesh-id are NOT in
     # the hot loop — the winner's features come from one post-kernel row
     # gather). n = e1×e2 feeds the restructured MT (see
     # ops/intersect.triangles_hit): zero-area sentinels give n = 0 →
@@ -106,12 +116,29 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
              e1[:, 0], e1[:, 1], e1[:, 2],
              e2[:, 0], e2[:, 1], e2[:, 2],
              nx, ny, nz]
-    comps += [jnp.zeros_like(nx)] * 4  # pad to 16 rows (8 KB DMA blocks)
+    comps += [jnp.zeros_like(nx)] * 4  # pad to 16 comps (aligned rows)
     flat = jnp.stack(comps, axis=0)              # [16, C*width]
-    blk = flat.reshape(16, n_clusters, width).transpose(1, 0, 2)
-    if w_pad != width:
+    cl = flat.reshape(16, n_clusters, width).transpose(1, 0, 2)
+    if packed:
+        # zero-waste DMA blocks: a cluster is 16*width contiguous floats;
+        # pack cpb sibling clusters per (brows,128) block so narrow
+        # clusters don't pad each component row to 128 lanes (8x DMA +
+        # HBM waste at width 16). Siblings share a DMA -> free prefetch.
+        stride = width
+        cl_floats = 16 * width
+        brows = max(8, cl_floats // 128)
+        cpb = brows * 128 // cl_floats
+        if n_clusters % cpb:
+            pad = cpb - n_clusters % cpb
+            cl = jnp.concatenate(
+                [cl, jnp.zeros((pad, 16, width), jnp.float32)], axis=0)
+        blk = cl.reshape(-1, brows, 128)
+    else:
+        # legacy padded layout for odd widths (e.g. prims_per_leaf=5
+        # grouping to 80): component rows padded to 128 lanes
+        stride, cpb = 128, 1
         blk = jnp.concatenate(
-            [blk, jnp.zeros((n_clusters, 16, w_pad - width), jnp.float32)],
+            [cl, jnp.zeros((cl.shape[0], 16, 128 - width), jnp.float32)],
             axis=2)
     # per-triangle feature rows: face normal e1×e2 (the same f32 edges the
     # kernel sees — kernels.cu:336), texcoords, mesh id; padded to 16-wide
@@ -122,7 +149,8 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128) -> PacketMesh:
     tri_feat = jnp.concatenate(
         [tri_feat, jnp.zeros((tri_feat.shape[0], 6), jnp.float32)], axis=1)
     return PacketMesh(nodes=nodes, blocks=blk, tri_feat=tri_feat,
-                      cl_first=cl_first, width=width)
+                      cl_first=cl_first, width=width, stride=stride,
+                      cpb=cpb)
 
 
 def _slab(row, base, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest):
@@ -197,23 +225,31 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     return new_idx, new_bs, both, single
 
 
-def _mt_scalar_tri(blk, w, o1, o2, o3, d1, d2, d3, t_min, closest):
-    """Möller–Trumbore of one triangle (scalar comps from the SMEM block)
-    against the lane tile — op-for-op the ops/pallas_tris sequence
-    (restructured form: precomputed n = e1×e2 replaces the h = d×e2
-    cross; see ops/intersect.triangles_hit for the identities)."""
-    v0x = blk[0, w]
-    v0y = blk[1, w]
-    v0z = blk[2, w]
-    g1x = blk[3, w]
-    g1y = blk[4, w]
-    g1z = blk[5, w]
-    g2x = blk[6, w]
-    g2y = blk[7, w]
-    g2z = blk[8, w]
-    n1 = blk[9, w]
-    n2 = blk[10, w]
-    n3 = blk[11, w]
+def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
+                   closest):
+    """Möller–Trumbore of one triangle (scalar comps from the SMEM block:
+    component c of the cluster starting at row ``brow`` lives at
+    ``blk[brow + c*stride//128, c*stride%128 + w]`` — both index parts
+    are one scalar add since c*stride%128 + w < 128 for power-of-two
+    strides <= 128) against the lane tile — op-for-op the
+    ops/pallas_tris sequence (restructured form: precomputed n = e1×e2
+    replaces the h = d×e2 cross; see ops/intersect.triangles_hit)."""
+    def rd(c):
+        off = c * stride
+        return blk[brow + off // 128, off % 128 + w]
+
+    v0x = rd(0)
+    v0y = rd(1)
+    v0z = rd(2)
+    g1x = rd(3)
+    g1y = rd(4)
+    g1z = rd(5)
+    g2x = rd(6)
+    g2y = rd(7)
+    g2z = rd(8)
+    n1 = rd(9)
+    n2 = rd(10)
+    n3 = rd(11)
     a = -(d1 * n1 + d2 * n2 + d3 * n3)
     parallel = jnp.abs(a) < 1e-7  # intersections.h:55
     f = 1.0 / jnp.where(parallel, 1.0, a)
@@ -226,13 +262,20 @@ def _mt_scalar_tri(blk, w, o1, o2, o3, d1, d2, d3, t_min, closest):
     u = f * (qx * g2x + qy * g2y + qz * g2z)
     v = -(f * (qx * g1x + qy * g1y + qz * g1z))
     t = f * (sx * n1 + sy * n2 + sz * n3)
-    bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+    # decision-set identity: u<0|u>1|v<0|u+v>1 == min(u,v)<0|u+v>1
+    # (u>1 & v>=0 implies fl(u+v)>=u>1 since fl(y)>=x for representable
+    # x<=y; u>1 & v<0 is caught by the min; NaNs land in `bad` the same
+    # way) — 3 fewer VPU ops per triangle, accept set unchanged.
+    bad = (parallel | (jnp.minimum(u, v) < 0.0) | (u + v > 1.0)
            | jnp.logical_not(t > t_min) | jnp.logical_not(t < closest))
     return t, u, v, bad
 
 
 def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
-                    tri_out, feat_out, cnt_out, *, cl_first, width, t_min):
+                    tri_out, feat_out, cnt_out, *, cl_first, width, stride,
+                    cpb, t_min):
+    rows_per_cluster = 16 * stride // 128
+    log2cpb = cpb.bit_length() - 1
     def scoped(blk, sem):
         o1 = ox[:, :]
         o2 = oy[:, :]
@@ -267,7 +310,11 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         def leaf_fn(carry):
             idx, bs, nb, nsg, closest, besti, rest = carry
             c = idx - cl_first
-            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+            # cpb == 1: keep SMEM row indices compile-time constants
+            # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
+            c_blk = c if cpb == 1 else c >> log2cpb
+            brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
+            dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
             dma.start()
             dma.wait()
 
@@ -275,7 +322,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
                 closest, besti, rest = st
                 bu, bv = rest
                 t, u, v, bad = _mt_scalar_tri(
-                    blk, w, o1, o2, o3, d1, d2, d3, t_min, closest)
+                    blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
+                    closest)
                 won = jnp.logical_not(bad)
                 closest = jnp.where(won, t, closest)
                 besti = jnp.where(won, c * width + w, besti)
@@ -318,12 +366,14 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         feat_out[2, :, :] = bv
 
     pl.run_scoped(scoped,
-                  blk=pltpu.SMEM((16, blocks.shape[2]), jnp.float32),
+                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
                   sem=pltpu.SemaphoreType.DMA(()))
 
 
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
-                   cnt_out, *, cl_first, width, t_min):
+                   cnt_out, *, cl_first, width, stride, cpb, t_min):
+    rows_per_cluster = 16 * stride // 128
+    log2cpb = cpb.bit_length() - 1
     def scoped(blk, sem):
         o1 = ox[:, :]
         o2 = oy[:, :]
@@ -355,14 +405,19 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
         def leaf_fn(carry):
             idx, bs, nb, nsg, closest, occ, ndone = carry
             c = idx - cl_first
-            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+            # cpb == 1: keep SMEM row indices compile-time constants
+            # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
+            c_blk = c if cpb == 1 else c >> log2cpb
+            brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
+            dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
             dma.start()
             dma.wait()
 
             def tri(w, st):
                 closest, occ = st
                 t, u, v, bad = _mt_scalar_tri(
-                    blk, w, o1, o2, o3, d1, d2, d3, t_min, closest)
+                    blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
+                    closest)
                 hit = jnp.logical_not(bad)
                 occ = jnp.where(hit, jnp.int32(1), occ)
                 # any-hit early-out (kernels.cu:207): retire the lane so
@@ -397,7 +452,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
             jnp.where((ii == 0) & (jj == 1), nsg, 0))
 
     pl.run_scoped(scoped,
-                  blk=pltpu.SMEM((16, blocks.shape[2]), jnp.float32),
+                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
                   sem=pltpu.SemaphoreType.DMA(()))
 
 
@@ -409,10 +464,12 @@ def _pad_rays(a, fill, n_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
-                                             "interpret", "rows"))
+                                             "interpret", "rows", "stride",
+                                             "cpb"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
-                 interpret: bool = False, rows: int = ROWS):
+                 interpret: bool = False, rows: int = ROWS,
+                 stride: int = 128, cpb: int = 1):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -441,7 +498,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     tri, feat, cnt = pl.pallas_call(
         functools.partial(_kernel_nearest, cl_first=cl_first, width=width,
-                          t_min=float(t_min)),
+                          stride=stride, cpb=cpb, t_min=float(t_min)),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
         out_specs=(ray_spec,
@@ -473,10 +530,11 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
-                                             "interpret", "rows"))
+                                             "interpret", "rows", "stride",
+                                             "cpb"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
-                    rows: int = ROWS):
+                    rows: int = ROWS, stride: int = 128, cpb: int = 1):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single) scalar step telemetry)."""
     n = origin.x.shape[0]
@@ -500,7 +558,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     occ, cnt = pl.pallas_call(
         functools.partial(_kernel_shadow, cl_first=cl_first, width=width,
-                          t_min=float(t_min)),
+                          stride=stride, cpb=cpb, t_min=float(t_min)),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
         out_specs=(ray_spec, ray_spec),

@@ -71,7 +71,9 @@ def _mt_chunk(o1, o2, o3, d1, d2, d3, refs, sl, t_min, tmax_v):
     u = f * (qx * g2x + qy * g2y + qz * g2z)
     v = -(f * (qx * g1x + qy * g1y + qz * g1z))
     t = f * (sx * n1 + sy * n2 + sz * n3)
-    bad = (parallel | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+    # min(u,v)<0 | u+v>1 == the full 4-test chain (see
+    # ops/pallas_bvh._mt_scalar_tri for the identity) — same accept set
+    bad = (parallel | (jnp.minimum(u, v) < 0.0) | (u + v > 1.0)
            | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
     return t, u, v, bad
 
