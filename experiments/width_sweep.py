@@ -20,12 +20,13 @@ def run(width, spp, scene_kind):
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.engine.regen import _render_regen_jit
 
-    if scene_kind == "knot":
+    if scene_kind in ("knot", "dragon"):
         from tpu_pathtracer.models.shapes import knot_zoo_scene
         cfg = RenderConfig(nx=512, ny=512, ns=spp, max_depth=50,
                            textures=False, rays_per_chunk=65536,
                            packet_width=width)
-        scene, cam = knot_zoo_scene(512, 512, prims_per_leaf=width)
+        kw = ({"nu": 1664, "nv": 262} if scene_kind == "dragon" else {})
+        scene, cam = knot_zoo_scene(512, 512, prims_per_leaf=width, **kw)
     else:
         from tpu_pathtracer.models.mesh import procedural_staircase_scene
         cfg = RenderConfig(nx=1200, ny=800, ns=spp, max_depth=64,
@@ -48,8 +49,8 @@ def run(width, spp, scene_kind):
 def main():
     argv = sys.argv[1:]
     kind = "stairs"
-    if argv and argv[0] == "--knot":
-        kind = "knot"
+    if argv and argv[0] in ("--knot", "--dragon"):
+        kind = argv[0][2:]
         argv = argv[1:]
     spp = int(argv[0]) if argv else 2
     widths = [int(w) for w in argv[1:]] or [128, 64, 32]

@@ -510,6 +510,10 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                                         jnp.float32),
                    jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
         interpret=interpret,
+        # the node table is the big VMEM item (2*cl_first rows: 1 MB at
+        # width 16 on a 262k-tri mesh); the default 16 MB scoped limit
+        # sits right at the regen graph's edge — give the kernel room
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     tri = tri.reshape(-1)[:n]
     f = feat.reshape(3, -1)[:, :n]
@@ -565,6 +569,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     return (occ.reshape(-1)[:n] != 0,
             (cnt[::rows, 0].sum(), cnt[::rows, 1].sum()))
