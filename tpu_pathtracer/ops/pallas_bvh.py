@@ -16,10 +16,13 @@ that maps to TPU hardware:
     majority vote. Lanes that would not have visited a node simply fail
     its tests — per-lane nearest-hit masking keeps results exactly equal
     to per-ray traversal; coherence only affects speed.
-  * Leaves are clusters of up to 128 consecutive triangles (the builder's
-    leaf order), DMA'd HBM→SMEM (~0.1 µs for 8 KB) and tested
+  * Leaves are clusters of consecutive triangles (the builder's leaf
+    order; 32 per cluster by default — the width sweep in PERFORMANCE.md
+    shows finer leaves shrink the packet's visit union 1.2–1.3× over
+    128), DMA'd HBM→SMEM (~0.1 µs for 8 KB) and tested
     triangle-by-triangle with scalar broadcasts against the whole lane
-    tile (measured 5.4 µs per 128-tri cluster per 1024-lane packet).
+    tile; the triangle loop is fully unrolled on hardware so every SMEM
+    index is static (1.39× — Mosaic pipelines across triangles).
   * The shadow variant is any-hit: a lane retires on its first hit
     (kernels.cu:207) by zeroing its closest-t so it stops voting; the
     packet exits once every lane is retired.
