@@ -11,6 +11,8 @@ Mrays/sec/chip metric under ``extra``:
   * config 4 — staircase mesh + BVH + textures 1200×800 @ 100 spp
   * large-mesh zoo — 131k-tri torus knot 512×512 @ 16 spp via the
     packet-BVH kernel (dragon-class stand-in; see PERFORMANCE.md)
+  * staircase-hires — asset-scale 262k-tri staircase, s/spp at 1200×800
+    (the reference's own staircase workload at real mesh density)
 
 Renders are issued in sample batches (shorter device dispatches — the
 axon tunnel intermittently kills very long ones) and each measurement
@@ -119,6 +121,21 @@ def bench_staircase():
     return elapsed
 
 
+def bench_staircase_hires():
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.mesh import procedural_staircase_scene
+
+    cfg = RenderConfig(nx=1200, ny=800, ns=2, max_depth=64,
+                       rays_per_chunk=65536)
+    scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=32,
+                                            sub=20)
+    elapsed, img = _render_batched(scene, cam, cfg, 2, 2)
+    print(f"staircase-hires 262k 1200x800@2spp (packet BVH): "
+          f"{elapsed:.3f} s ({elapsed / 2 * 1e3:.0f} ms/spp, "
+          f"mean={img.mean():.4f})", file=sys.stderr)
+    return elapsed / 2
+
+
 def bench_knot():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.shapes import knot_zoo_scene
@@ -151,6 +168,12 @@ def main():
         extra["zoo_knot_131k_512_16spp_s"] = round(_retry(bench_knot), 4)
     except Exception as e:
         print(f"knot bench failed: {e!r}"[:200], file=sys.stderr)
+    try:
+        extra["staircase_hires_262k_s_per_spp"] = round(
+            _retry(bench_staircase_hires), 4)
+    except Exception as e:
+        print(f"staircase-hires bench failed: {e!r}"[:200],
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "random_spheres_1200x800_100spp_wall_clock",
