@@ -68,8 +68,10 @@ class RenderConfig:
     interpret: bool = False
     force_feat_kernels: bool = False
     sort_rays: bool = True  # coherence sort around packet-BVH traversal
-    packet_threshold: int = 0  # tris above which the packet BVH kernel is
-    # used on the TPU path (0 = TRI_BRUTE_MAX); tests set 1 to force it
+    packet_threshold: int = 8192  # tris above which the packet BVH
+    # kernel is used on the TPU path (0 = TRI_BRUTE_MAX = 16384; tests
+    # set 1 to force it). Measured crossover moved below 12k tris after
+    # the width-32 + unroll work: zoo-12k packet 75 vs brute 92 ms/spp.
     packet_width: int = 32  # triangles per packet-BVH leaf cluster —
     # 32 beats 128 by 1.2-1.3x on both staircase-hires and the knot
     # (finer leaf culling shrinks the packet visit union; sweep in

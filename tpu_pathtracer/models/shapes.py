@@ -57,7 +57,7 @@ MODEL_ZOO_MATERIALS = {
 
 def model_zoo_scene(nx: int, ny: int, material: str = "coat",
                     nu: int = 96, nv: int = 64,
-                    prims_per_leaf: int = 5) -> Tuple[Scene, Camera]:
+                    prims_per_leaf: int = 32) -> Tuple[Scene, Camera]:
     """A ~12k-triangle torus (teapot-class) on a diffuse floor plane under
     the NEE sphere light — the reference's model-zoo benchmark recipe."""
     v0, v1, v2, tc = torus_mesh(nu, nv)
