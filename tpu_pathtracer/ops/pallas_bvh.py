@@ -207,14 +207,24 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     Returns (new_idx, new_bs)."""
     trav_l = lhit < closest
     trav_r = rhit < closest
-    vl = jnp.any(trav_l)
-    vr = jnp.any(trav_r)
     both_m = trav_l & trav_r
     # near-first by majority of lanes that hit both (kernels.cu:183-187
-    # per-ray near ordering, lifted to a packet vote)
-    prefer_r = jnp.sum((rhit < lhit) & both_m, dtype=jnp.int32)
-    n_both = jnp.sum(both_m, dtype=jnp.int32)
-    swap = (2 * prefer_r > n_both).astype(jnp.int32)
+    # per-ray near ordering, lifted to a packet vote). The four
+    # vector->scalar reductions (2 any + 2 sum) collapse to TWO packed
+    # sums — reductions are the costly part of a node step: lane counts
+    # are <= 1024 (11 bits) so n_l/n_r share one int32, and the signed
+    # sum over both-lanes of (rhit<lhit ? 1 : -1) equals 2*n_pref -
+    # n_both, so majority == (sum > 0) exactly (ties and equal-hit
+    # lanes count toward the left child, as before).
+    li = trav_l.astype(jnp.int32)
+    ri = trav_r.astype(jnp.int32)
+    pref = jnp.where(both_m,
+                     jnp.where(rhit < lhit, 1, -1), 0)
+    packed = jnp.sum(li + (ri << 11), dtype=jnp.int32)
+    s_pref = jnp.sum(pref, dtype=jnp.int32)
+    vl = (packed & 0x7FF) > 0
+    vr = (packed >> 11) > 0
+    swap = (s_pref > 0).astype(jnp.int32)
 
     both = vl & vr
     single = vl ^ vr
