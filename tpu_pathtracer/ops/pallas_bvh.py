@@ -212,18 +212,20 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     # per-ray near ordering, lifted to a packet vote). The four
     # vector->scalar reductions (2 any + 2 sum) collapse to TWO packed
     # sums — reductions are the costly part of a node step: lane counts
-    # are <= 1024 (11 bits) so n_l/n_r share one int32, and the signed
-    # sum over both-lanes of (rhit<lhit ? 1 : -1) equals 2*n_pref -
-    # n_both, so majority == (sum > 0) exactly (ties and equal-hit
-    # lanes count toward the left child, as before).
+    # fit 16-bit fields of one int32 (valid up to 32768-lane packets —
+    # larger counts would carry into the n_r field and corrupt votes),
+    # and the signed sum over both-lanes of (rhit<lhit ? 1 : -1) equals
+    # 2*n_pref - n_both, so majority == (sum > 0) exactly (ties and
+    # equal-hit lanes count toward the left child, as before).
+    assert lhit.size <= 32768, "packed vote fields overflow"
     li = trav_l.astype(jnp.int32)
     ri = trav_r.astype(jnp.int32)
     pref = jnp.where(both_m,
                      jnp.where(rhit < lhit, 1, -1), 0)
-    packed = jnp.sum(li + (ri << 11), dtype=jnp.int32)
+    packed = jnp.sum(li + (ri << 16), dtype=jnp.int32)
     s_pref = jnp.sum(pref, dtype=jnp.int32)
-    vl = (packed & 0x7FF) > 0
-    vr = (packed >> 11) > 0
+    vl = (packed & 0xFFFF) > 0
+    vr = (packed >> 16) > 0
     swap = (s_pref > 0).astype(jnp.int32)
 
     both = vl & vr
