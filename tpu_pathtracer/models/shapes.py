@@ -145,17 +145,17 @@ def knot_zoo_scene(nx: int, ny: int, material: str = "coat",
     """Large-mesh model-zoo scene: a torus-knot tube (default ~102k tris,
     dragon-class at nu=1664, nv=262) on a diffuse floor under the NEE
     light — the workload for the packet-BVH TPU path. ``prims_per_leaf``
-    defaults to 32-triangle clusters (width sweep: 428 ms/spp vs 528 at
-    128 on this scene — finer leaf culling shrinks the visit union).
+    defaults to 32-triangle clusters (width sweep: finer leaf culling
+    shrinks the visit union; PERFORMANCE.md).
 
-    builder="median": measured 1.2x FASTER than the SAH order on this
-    tube geometry (9.36 vs 11.22 s at 512^2@16spp — packet visit cost is
-    the per-packet union, and the median order's contiguous spatial runs
-    suit it; the architectural staircase prefers SAH, see PERFORMANCE.md).
+    Builder is the SAH default: at 128-wide clusters the median order's
+    contiguous tube runs won (0.585 vs 0.70 s/spp), but at width 32 the
+    preference flips — SAH 280 vs median 307 ms/spp — because narrow
+    leaves make tree quality dominate over leaf-run contiguity.
     """
     v0, v1, v2, tc = torus_knot_mesh(nu, nv)
     mesh = build_bvh(v0, v1, v2, tc, np.ones((v0.shape[0],), np.int32),
-                     prims_per_leaf=prims_per_leaf, builder="median")
+                     prims_per_leaf=prims_per_leaf)
     mats = make_materials([presets.floor_diffuse(),
                            MODEL_ZOO_MATERIALS[material]()])
     scene = make_scene(
