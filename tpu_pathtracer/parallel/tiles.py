@@ -52,9 +52,12 @@ def _render_tiles(scene: Scene, camera: Camera, config: RenderConfig,
         stats = jax.lax.psum(stats, AXIS)
         return acc / jnp.float32(ns), stats
 
+    # check_vma=False: pallas_call outputs inside shard_map carry no
+    # varying-mesh-axes annotation (the packet-BVH kernels would trip
+    # the vma check); tiles share nothing, so the check buys nothing.
     fn = _shard_map(per_device, mesh=mesh,
                     in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
-                    out_specs=(P(AXIS), P()))
+                    out_specs=(P(AXIS), P()), check_vma=False)
     return fn(scene, camera, pixel_ids, valid, s0)
 
 
@@ -74,7 +77,7 @@ def _render_tiles_regen(scene: Scene, camera: Camera, config: RenderConfig,
 
     fn = _shard_map(per_device, mesh=mesh,
                     in_specs=(P(), P(), P(AXIS), P(), P()),
-                    out_specs=P(AXIS))
+                    out_specs=P(AXIS), check_vma=False)
     return fn(scene, camera, offsets, ns, s0)
 
 
