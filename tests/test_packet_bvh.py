@@ -43,7 +43,7 @@ def test_packet_trace_exact_vs_brute_force():
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg) = packet_trace(
         ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
-        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb)
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes)
     assert int(nb) > 0  # node-step telemetry fires (single may be 0:
     # a 600-ray packet hits both children of nearly every node)
 
@@ -88,7 +88,7 @@ def test_packet_occluded_matches_nearest():
     occ, _counts = packet_occluded(ov, dv, tmax, pm.nodes, pm.blocks,
                                    pm.cl_first, pm.width, 1e-3,
                                    interpret=True, stride=pm.stride,
-                                   cpb=pm.cpb)
+                                   cpb=pm.cpb, smem_nodes=pm.smem_nodes)
     truth = (np.asarray(ref.tri_id) >= 0) & (np.asarray(ref.t) < tmax)
     np.testing.assert_array_equal(np.asarray(occ), truth)
 
@@ -103,7 +103,7 @@ def test_packet_grouping_of_small_leaves():
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     (t, tri, *_), _counts = packet_trace(
         ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
-        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb)
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes)
     hit = np.asarray(ref.tri_id) >= 0
     np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
                                   np.asarray(tri)[hit])
@@ -140,7 +140,7 @@ def test_packet_narrow_width_packed_layout():
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
     (t, tri, *_), _counts = packet_trace(
         ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
-        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb)
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes)
     hit = np.asarray(ref.tri_id) >= 0
     np.testing.assert_array_equal(hit, np.asarray(tri) >= 0)
     np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
@@ -149,6 +149,6 @@ def test_packet_narrow_width_packed_layout():
                                np.asarray(t)[hit], rtol=2e-6)
     occ, _c = packet_occluded(ov, dv, 12.0, pm.nodes, pm.blocks,
                               pm.cl_first, pm.width, 1e-3, interpret=True,
-                              stride=pm.stride, cpb=pm.cpb)
+                              stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes)
     truth = hit & (np.asarray(ref.t) < 12.0)
     np.testing.assert_array_equal(np.asarray(occ), truth)

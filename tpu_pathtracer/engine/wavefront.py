@@ -287,7 +287,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
     outs, node_counts = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks,
                                      pk.tri_feat, pk.cl_first, pk.width,
                                      t_min, interpret=_interp(config),
-                                     stride=pk.stride, cpb=pk.cpb)
+                                     stride=pk.stride, cpb=pk.cpb,
+                                     smem_nodes=pk.smem_nodes)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -320,13 +321,14 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
         occ, node_counts = packet_occluded(
             V3(ox, oy, oz), V3(dx, dy, dz), tm, pk.nodes, pk.blocks,
             pk.cl_first, pk.width, t_min, interpret=_interp(config),
-            stride=pk.stride, cpb=pk.cpb)
+            stride=pk.stride, cpb=pk.cpb, smem_nodes=pk.smem_nodes)
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
         return occ != 0, node_counts
     return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
                            pk.cl_first, pk.width, t_min,
                            interpret=_interp(config),
-                           stride=pk.stride, cpb=pk.cpb)
+                           stride=pk.stride, cpb=pk.cpb,
+                           smem_nodes=pk.smem_nodes)
 
 
 def _cols_from_rows(rows: jnp.ndarray) -> MatCols:

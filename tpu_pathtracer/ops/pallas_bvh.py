@@ -46,6 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_pathtracer.models.scene import MeshData
 
 _FLT_MAX = 3.4028235e38
+MAX_SMEM_NODE_FLOATS = 128 * 1024  # 512 KB SMEM node-table budget
+# (probed: 768 KB scratch still compiles on v5e, 1 MB does not; 512 KB
+# leaves margin for the cluster block + program scalars)
 _BBOX_T_MIN = 0.001  # intersections.h:8,:26
 ROWS = 8             # sublane rows per packet -> packet = ROWS*128 rays
 # Fully unroll the leaf MT loop on hardware (Mosaic supports only full
@@ -68,6 +71,9 @@ class PacketMesh(NamedTuple):
     stride: int           # component stride within a cluster (= width for
     # power-of-two widths; 128 for the legacy padded layout)
     cpb: int              # clusters per DMA block (power of two)
+    smem_nodes: bool = False  # nodes is a flat [n*6] array DMA'd to SMEM
+    # at packet start (scalar loads are 1.67x faster per node step than
+    # VMEM extracts); False -> [n_pad, 8] VMEM-resident table
 
 
 def build_packet_mesh(mesh: MeshData, max_width: int = 128,
@@ -97,14 +103,24 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
     # adds. Off by default — DMA is ~2% of leaf time (PERFORMANCE.md).
     packed = packed and width >= 8 and not (width & (width - 1))
 
-    # node table rows 0..2*cl_first (row 0 unused)
+    # node table rows 0..2*cl_first (row 0 unused). Tables up to
+    # MAX_SMEM_NODE_FLOATS (8192 nodes = 192 KB packed 6-wide) ride in
+    # SMEM inside the kernel — native scalar loads beat VMEM extracts
+    # 1.67x per node step (microbench; PERFORMANCE.md). Larger tables
+    # stay VMEM-resident 8-wide.
     n_nodes = 2 * cl_first
-    n_pad = ((n_nodes + 7) // 8) * 8
-    nodes = jnp.concatenate(
-        [mesh.bvh_min[:n_nodes], mesh.bvh_max[:n_nodes],
-         jnp.zeros((n_nodes, 2), jnp.float32)], axis=1)
-    nodes = jnp.concatenate(
-        [nodes, jnp.zeros((n_pad - n_nodes, 8), jnp.float32)], axis=0)
+    smem_nodes = n_nodes * 6 <= MAX_SMEM_NODE_FLOATS
+    if smem_nodes:
+        nodes = jnp.concatenate(
+            [mesh.bvh_min[:n_nodes], mesh.bvh_max[:n_nodes]],
+            axis=1).reshape(-1)
+    else:
+        n_pad = ((n_nodes + 7) // 8) * 8
+        nodes = jnp.concatenate(
+            [mesh.bvh_min[:n_nodes], mesh.bvh_max[:n_nodes],
+             jnp.zeros((n_nodes, 2), jnp.float32)], axis=1)
+        nodes = jnp.concatenate(
+            [nodes, jnp.zeros((n_pad - n_nodes, 8), jnp.float32)], axis=0)
 
     # cluster components (16 rows of width): v0, e1, e2, n (tc/mesh-id are NOT in
     # the hot loop — the winner's features come from one post-kernel row
@@ -157,19 +173,20 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
         [tri_feat, jnp.zeros((tri_feat.shape[0], 6), jnp.float32)], axis=1)
     return PacketMesh(nodes=nodes, blocks=blk, tri_feat=tri_feat,
                       cl_first=cl_first, width=width, stride=stride,
-                      cpb=cpb)
+                      cpb=cpb, smem_nodes=smem_nodes)
 
 
-def _slab(row, base, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest):
-    """Entry-distance slab test of one node AABB (scalar bounds from a
-    node-table row) against the (R,128) lane tile; FLT_MAX on miss.
-    Mirrors ops/intersect.bbox_hit_dist's where-form (C NaN semantics)."""
-    t0x = (row[base + 0] - o1) * i1
-    t1x = (row[base + 3] - o1) * i1
-    t0y = (row[base + 1] - o2) * i2
-    t1y = (row[base + 4] - o2) * i2
-    t0z = (row[base + 2] - o3) * i3
-    t1z = (row[base + 5] - o3) * i3
+def _slab(b, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest):
+    """Entry-distance slab test of one node AABB (``b``: 6 scalar bounds
+    minx,miny,minz,maxx,maxy,maxz) against the (R,128) lane tile;
+    FLT_MAX on miss. Mirrors ops/intersect.bbox_hit_dist's where-form
+    (C NaN semantics)."""
+    t0x = (b[0] - o1) * i1
+    t1x = (b[3] - o1) * i1
+    t0y = (b[1] - o2) * i2
+    t1y = (b[4] - o2) * i2
+    t0z = (b[2] - o3) * i3
+    t1z = (b[5] - o3) * i3
     lox = jnp.where(n1, t1x, t0x)
     hix = jnp.where(n1, t0x, t1x)
     loy = jnp.where(n2, t1y, t0y)
@@ -292,10 +309,16 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
 
 def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
                     tri_out, feat_out, cnt_out, *, cl_first, width, stride,
-                    cpb, t_min, unroll):
+                    cpb, t_min, unroll, smem_nodes):
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
-    def scoped(blk, sem):
+    def scoped(blk, sem, ntab=None):
+        if smem_nodes:
+            # node table -> SMEM once per packet: scalar loads beat VMEM
+            # extracts 1.67x per node step (PERFORMANCE.md microbench)
+            nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -314,11 +337,16 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         def node_fn(carry):
             idx, bs, nb, nsg, closest, besti, rest = carry
             l = idx * 2
-            pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
-            row = pair[0, :]
-            row2 = pair[1, :]
-            lhit = _slab(row, 0, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
-            rhit = _slab(row2, 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+            if smem_nodes:
+                b = l * 6
+                bl = tuple(ntab[b + i] for i in range(6))
+                br = tuple(ntab[b + 6 + i] for i in range(6))
+            else:
+                pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
+                bl = tuple(pair[0, i] for i in range(6))
+                br = tuple(pair[1, i] for i in range(6))
+            lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+            rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
             new_idx, new_bs, both, single = _advance(idx, bs, lhit, rhit,
                                                      closest, l)
@@ -392,17 +420,27 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         feat_out[1, :, :] = bu
         feat_out[2, :, :] = bv
 
-    pl.run_scoped(scoped,
-                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                  sem=pltpu.SemaphoreType.DMA(()))
+    if smem_nodes:
+        pl.run_scoped(scoped,
+                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+                      sem=pltpu.SemaphoreType.DMA(()),
+                      ntab=pltpu.SMEM(nodes.shape, jnp.float32))
+    else:
+        pl.run_scoped(scoped,
+                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+                      sem=pltpu.SemaphoreType.DMA(()))
 
 
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
                    cnt_out, *, cl_first, width, stride, cpb, t_min,
-                   unroll):
+                   unroll, smem_nodes):
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
-    def scoped(blk, sem):
+    def scoped(blk, sem, ntab=None):
+        if smem_nodes:
+            nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -419,10 +457,16 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
         def node_fn(carry):
             idx, bs, nb, nsg, closest, occ, ndone = carry
             l = idx * 2
-            pair = nodes[pl.ds(l, 2), :]
-            lhit = _slab(pair[0, :], 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
-                         closest)
-            rhit = _slab(pair[1, :], 0, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+            if smem_nodes:
+                b = l * 6
+                bl = tuple(ntab[b + i] for i in range(6))
+                br = tuple(ntab[b + 6 + i] for i in range(6))
+            else:
+                pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
+                bl = tuple(pair[0, i] for i in range(6))
+                br = tuple(pair[1, i] for i in range(6))
+            lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+            rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
             new_idx, new_bs, both, single = _advance(idx, bs, lhit, rhit,
                                                      closest, l)
@@ -485,9 +529,15 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
             (ii == 0) & (jj == 0), nb,
             jnp.where((ii == 0) & (jj == 1), nsg, 0))
 
-    pl.run_scoped(scoped,
-                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                  sem=pltpu.SemaphoreType.DMA(()))
+    if smem_nodes:
+        pl.run_scoped(scoped,
+                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+                      sem=pltpu.SemaphoreType.DMA(()),
+                      ntab=pltpu.SMEM(nodes.shape, jnp.float32))
+    else:
+        pl.run_scoped(scoped,
+                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+                      sem=pltpu.SemaphoreType.DMA(()))
 
 
 def _pad_rays(a, fill, n_pad):
@@ -499,11 +549,12 @@ def _pad_rays(a, fill, n_pad):
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "rows", "stride",
-                                             "cpb"))
+                                             "cpb", "smem_nodes"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
-                 stride: int = 128, cpb: int = 1):
+                 stride: int = 128, cpb: int = 1,
+                 smem_nodes: bool = False):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -527,13 +578,16 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     n_packets = n_pad // (rows * 128)
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+    if smem_nodes:
+        node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    else:
+        node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     tri, feat, cnt = pl.pallas_call(
         functools.partial(_kernel_nearest, cl_first=cl_first, width=width,
                           stride=stride, cpb=cpb, t_min=float(t_min),
-                          unroll=not interpret),
+                          unroll=not interpret, smem_nodes=smem_nodes),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
         out_specs=(ray_spec,
@@ -570,10 +624,11 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "rows", "stride",
-                                             "cpb"))
+                                             "cpb", "smem_nodes"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
-                    rows: int = ROWS, stride: int = 128, cpb: int = 1):
+                    rows: int = ROWS, stride: int = 128, cpb: int = 1,
+                    smem_nodes: bool = False):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single) scalar step telemetry)."""
     n = origin.x.shape[0]
@@ -592,13 +647,16 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
     n_packets = n_pad // (rows * 128)
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+    if smem_nodes:
+        node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    else:
+        node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     occ, cnt = pl.pallas_call(
         functools.partial(_kernel_shadow, cl_first=cl_first, width=width,
                           stride=stride, cpb=cpb, t_min=float(t_min),
-                          unroll=not interpret),
+                          unroll=not interpret, smem_nodes=smem_nodes),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
         out_specs=(ray_spec, ray_spec),
