@@ -104,10 +104,10 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
     packed = packed and width >= 8 and not (width & (width - 1))
 
     # node table rows 0..2*cl_first (row 0 unused). Tables up to
-    # MAX_SMEM_NODE_FLOATS (8192 nodes = 192 KB packed 6-wide) ride in
-    # SMEM inside the kernel — native scalar loads beat VMEM extracts
-    # 1.67x per node step (microbench; PERFORMANCE.md). Larger tables
-    # stay VMEM-resident 8-wide.
+    # MAX_SMEM_NODE_FLOATS (21845 nodes packed 6-wide) ride in SMEM
+    # inside the kernel — native scalar loads beat VMEM extracts 1.67x
+    # per node step (microbench; PERFORMANCE.md). Larger tables (e.g.
+    # the 872k-tri dragon's 65k nodes) stay VMEM-resident 8-wide.
     n_nodes = 2 * cl_first
     smem_nodes = n_nodes * 6 <= MAX_SMEM_NODE_FLOATS
     if smem_nodes:
