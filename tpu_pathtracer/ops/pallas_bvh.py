@@ -9,8 +9,10 @@ that maps to TPU hardware:
 
   * A packet of ``R×128`` rays shares ONE scalar traversal state
     (node index + uint32 bitstack, the dual-node scheme of
-    kernels.cu:148–224). Node AABBs live in a VMEM table; one scalar row
-    read + a slab test over the whole lane tile costs ~0.4 µs.
+    kernels.cu:148–224). Node AABBs ride in SMEM (packed 6 floats/node,
+    DMA'd once per packet; native scalar loads are 1.67× faster per
+    step than VMEM lane extracts) — tables over 512 KB fall back to a
+    VMEM-resident table.
   * Descent decisions are packet votes: a child is visited if ANY lane's
     slab entry beats its per-lane closest-t; near-first ordering by
     majority vote. Lanes that would not have visited a node simply fail
