@@ -9,10 +9,11 @@ The single JSON line also carries the other BASELINE configs and the
 Mrays/sec/chip metric under ``extra``:
   * config 2 — random-spheres 1200×800 @ 10 spp (README.md:70: 2.1 s)
   * config 4 — staircase mesh + BVH + textures 1200×800 @ 100 spp
-  * large-mesh zoo — 131k-tri torus knot 512×512 @ 16 spp via the
-    packet-BVH kernel (dragon-class stand-in; see PERFORMANCE.md)
-  * staircase-hires — asset-scale 262k-tri staircase, s/spp at 1200×800
-    (the reference's own staircase workload at real mesh density)
+  * large-mesh zoo — 102k-tri torus knot (131k padded slots) 512×512
+    @ 16 spp via the packet-BVH kernel (see PERFORMANCE.md)
+  * staircase-hires — asset-scale 154k-tri staircase (262k padded BVH
+    slots), s/spp at 1200×800 — the reference's own staircase workload
+    at real mesh density
 
 Renders are issued in sample batches (shorter device dispatches — the
 axon tunnel intermittently kills very long ones) and each measurement
@@ -130,7 +131,7 @@ def bench_staircase_hires():
     scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=32,
                                             sub=20)
     elapsed, img = _render_batched(scene, cam, cfg, 2, 2)
-    print(f"staircase-hires 262k 1200x800@2spp (packet BVH): "
+    print(f"staircase-hires 154k 1200x800@2spp (packet BVH): "
           f"{elapsed:.3f} s ({elapsed / 2 * 1e3:.0f} ms/spp, "
           f"mean={img.mean():.4f})", file=sys.stderr)
     return elapsed / 2
@@ -144,7 +145,7 @@ def bench_knot():
                        rays_per_chunk=65536)
     scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 16, 16)
-    print(f"knot-131k 512x512@16spp (packet BVH): {elapsed:.3f} s "
+    print(f"knot-102k 512x512@16spp (packet BVH): {elapsed:.3f} s "
           f"(mean={img.mean():.4f})", file=sys.stderr)
     return elapsed
 
@@ -165,11 +166,11 @@ def main():
     except Exception as e:
         print(f"staircase bench failed: {e!r}"[:200], file=sys.stderr)
     try:
-        extra["zoo_knot_131k_512_16spp_s"] = round(_retry(bench_knot), 4)
+        extra["zoo_knot_102k_512_16spp_s"] = round(_retry(bench_knot), 4)
     except Exception as e:
         print(f"knot bench failed: {e!r}"[:200], file=sys.stderr)
     try:
-        extra["staircase_hires_262k_s_per_spp"] = round(
+        extra["staircase_hires_154k_s_per_spp"] = round(
             _retry(bench_staircase_hires), 4)
     except Exception as e:
         print(f"staircase-hires bench failed: {e!r}"[:200],

@@ -32,17 +32,24 @@ def main():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.shapes import model_zoo_scene
 
+    # Both arms share ONE mesh (ppl=32 -> 16384 padded slots, exactly
+    # the VMEM brute kernel's capacity). packet_threshold=0 resolves to
+    # TRI_BRUTE_MAX=16384 and 16384 > 16384 is False -> true brute;
+    # packet_threshold=1 forces the packet kernel. (An earlier version
+    # of this script left the default threshold in place, so its "brute"
+    # arm silently ran the width-80 packet path — see the review note in
+    # PERFORMANCE.md.)
+    scene, cam = model_zoo_scene(512, 512, nu=96, nv=64,
+                                 prims_per_leaf=32)  # 12288 real tris
     base = RenderConfig(nx=512, ny=512, ns=spp, max_depth=50,
-                        textures=False, rays_per_chunk=65536)
-    scene, cam = model_zoo_scene(512, 512, nu=96, nv=64)  # 12288 tris
+                        textures=False, rays_per_chunk=65536,
+                        packet_threshold=0)
     el, mean = timed(scene, cam, base, spp)
     print(f"zoo-12k brute    : {el:7.3f} s ({el/spp*1e3:5.0f} ms/spp) "
           f"mean={mean:.6f}", flush=True)
 
-    scene32, cam32 = model_zoo_scene(512, 512, nu=96, nv=64,
-                                     prims_per_leaf=32)
     forced = base.replace(packet_threshold=1)
-    el, mean = timed(scene32, cam32, forced, spp)
+    el, mean = timed(scene, cam, forced, spp)
     print(f"zoo-12k packet-32: {el:7.3f} s ({el/spp*1e3:5.0f} ms/spp) "
           f"mean={mean:.6f}", flush=True)
 

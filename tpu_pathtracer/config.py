@@ -68,14 +68,17 @@ class RenderConfig:
     interpret: bool = False
     force_feat_kernels: bool = False
     sort_rays: bool = True  # coherence sort around packet-BVH traversal
-    packet_threshold: int = 8192  # tris above which the packet BVH
-    # kernel is used on the TPU path (0 = TRI_BRUTE_MAX = 16384; tests
-    # set 1 to force it). Measured crossover moved below 12k tris after
-    # the width-32 + unroll work: zoo-12k packet 75 vs brute 92 ms/spp.
-    packet_width: int = 32  # triangles per packet-BVH leaf cluster —
+    packet_threshold: int = 8192  # padded tri slots above which the
+    # packet BVH kernel is used on the TPU path (0 = TRI_BRUTE_MAX =
+    # 16384; tests set 1 to force it). Justified by the zoo table:
+    # teapot-class meshes run ~2.2x faster on the packet path than the
+    # VMEM brute kernel (PERFORMANCE.md).
+    packet_width: int = 32  # max triangles per packet-BVH leaf cluster —
     # 32 beats 128 by 1.2-1.3x on both staircase-hires and the knot
     # (finer leaf culling shrinks the packet visit union; sweep in
-    # PERFORMANCE.md). Scenes built with larger prims_per_leaf cap here.
+    # PERFORMANCE.md). NOTE: this only caps leaf GROUPING — a tree built
+    # with prims_per_leaf > packet_width keeps its wider leaves (the
+    # builder can't split); build scenes at the target width.
 
     @property
     def num_pixels(self) -> int:

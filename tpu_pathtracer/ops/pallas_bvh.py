@@ -160,10 +160,11 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
         blk = cl.reshape(-1, brows, 128)
     else:
         # legacy padded layout for odd widths (e.g. prims_per_leaf=5
-        # grouping to 80): component rows padded to 128 lanes
-        stride, cpb = 128, 1
+        # grouping to 80): component rows padded to a lane multiple
+        w_pad = ((width + 127) // 128) * 128
+        stride, cpb = w_pad, 1
         blk = jnp.concatenate(
-            [cl, jnp.zeros((cl.shape[0], 16, 128 - width), jnp.float32)],
+            [cl, jnp.zeros((cl.shape[0], 16, w_pad - width), jnp.float32)],
             axis=2)
     # per-triangle feature rows: face normal e1×e2 (the same f32 edges the
     # kernel sees — kernels.cu:336), texcoords, mesh id; padded to 16-wide
@@ -236,7 +237,7 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     # and the signed sum over both-lanes of (rhit<lhit ? 1 : -1) equals
     # 2*n_pref - n_both, so majority == (sum > 0) exactly (ties and
     # equal-hit lanes count toward the left child, as before).
-    assert lhit.size <= 32768, "packed vote fields overflow"
+    assert lhit.size < 32768, "packed vote fields overflow"
     li = trav_l.astype(jnp.int32)
     ri = trav_r.astype(jnp.int32)
     pref = jnp.where(both_m,
@@ -263,6 +264,27 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     return new_idx, new_bs, both, single
 
 
+def _node_bounds(smem_nodes, nodes, ntab, l):
+    """Both children's 6 scalar bounds for the parent whose children sit
+    at rows ``l``/``l+1``: flat SMEM loads when the table rides in SMEM,
+    row extracts from the VMEM table otherwise."""
+    if smem_nodes:
+        b = l * 6
+        return (tuple(ntab[b + i] for i in range(6)),
+                tuple(ntab[b + 6 + i] for i in range(6)))
+    pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
+    return (tuple(pair[0, i] for i in range(6)),
+            tuple(pair[1, i] for i in range(6)))
+
+
+def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes):
+    kw = dict(blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+              sem=pltpu.SemaphoreType.DMA(()))
+    if smem_nodes:
+        kw["ntab"] = pltpu.SMEM(nodes.shape, jnp.float32)
+    pl.run_scoped(scoped, **kw)
+
+
 def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
                    closest):
     """Möller–Trumbore of one triangle (scalar comps from the SMEM block:
@@ -273,6 +295,8 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
     ops/pallas_tris sequence (restructured form: precomputed n = e1×e2
     replaces the h = d×e2 cross; see ops/intersect.triangles_hit)."""
     def rd(c):
+        if stride >= 128:       # legacy layout: one component per row
+            return blk[c, w]
         off = c * stride
         return blk[brow + off // 128, off % 128 + w]
 
@@ -339,14 +363,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         def node_fn(carry):
             idx, bs, nb, nsg, closest, besti, rest = carry
             l = idx * 2
-            if smem_nodes:
-                b = l * 6
-                bl = tuple(ntab[b + i] for i in range(6))
-                br = tuple(ntab[b + 6 + i] for i in range(6))
-            else:
-                pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
-                bl = tuple(pair[0, i] for i in range(6))
-                br = tuple(pair[1, i] for i in range(6))
+            bl, br = _node_bounds(smem_nodes, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
             rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
@@ -422,15 +439,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         feat_out[1, :, :] = bu
         feat_out[2, :, :] = bv
 
-    if smem_nodes:
-        pl.run_scoped(scoped,
-                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                      sem=pltpu.SemaphoreType.DMA(()),
-                      ntab=pltpu.SMEM(nodes.shape, jnp.float32))
-    else:
-        pl.run_scoped(scoped,
-                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                      sem=pltpu.SemaphoreType.DMA(()))
+    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes)
 
 
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
@@ -459,14 +468,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
         def node_fn(carry):
             idx, bs, nb, nsg, closest, occ, ndone = carry
             l = idx * 2
-            if smem_nodes:
-                b = l * 6
-                bl = tuple(ntab[b + i] for i in range(6))
-                br = tuple(ntab[b + 6 + i] for i in range(6))
-            else:
-                pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
-                bl = tuple(pair[0, i] for i in range(6))
-                br = tuple(pair[1, i] for i in range(6))
+            bl, br = _node_bounds(smem_nodes, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
             rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
@@ -531,15 +533,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
             (ii == 0) & (jj == 0), nb,
             jnp.where((ii == 0) & (jj == 1), nsg, 0))
 
-    if smem_nodes:
-        pl.run_scoped(scoped,
-                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                      sem=pltpu.SemaphoreType.DMA(()),
-                      ntab=pltpu.SMEM(nodes.shape, jnp.float32))
-    else:
-        pl.run_scoped(scoped,
-                      blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                      sem=pltpu.SemaphoreType.DMA(()))
+    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes)
 
 
 def _pad_rays(a, fill, n_pad):

@@ -21,10 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax>=0.6 exposes shard_map at top level
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+from jax import shard_map as _shard_map  # jax>=0.6 (check_vma kwarg)
 
 from tpu_pathtracer.camera import Camera
 from tpu_pathtracer.config import RenderConfig
