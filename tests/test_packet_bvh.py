@@ -152,3 +152,23 @@ def test_packet_narrow_width_packed_layout():
                               stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes)
     truth = hit & (np.asarray(ref.t) < 12.0)
     np.testing.assert_array_equal(np.asarray(occ), truth)
+
+
+def test_packet_wide_legacy_layout():
+    """Cluster widths above 128 (prims_per_leaf=256) use the legacy
+    padded layout with a multi-row lane stride and stay exact."""
+    mesh = _mesh(t=2000, seed=9, ppl=256)
+    pm = build_packet_mesh(mesh, max_width=256)
+    assert pm.width == 256 and pm.stride == 256 and pm.cpb == 1
+    o, d, ov, dv = _rays(400, seed=10)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    (t, tri, *_), _counts = packet_trace(
+        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb,
+        smem_nodes=pm.smem_nodes)
+    hit = np.asarray(ref.tri_id) >= 0
+    np.testing.assert_array_equal(hit, np.asarray(tri) >= 0)
+    np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
+                                  np.asarray(tri)[hit])
+    np.testing.assert_allclose(np.asarray(ref.t)[hit],
+                               np.asarray(t)[hit], rtol=2e-6)
