@@ -461,11 +461,54 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
     tex_u = jnp.zeros((n,))
     tex_v = jnp.zeros((n,))
     node_counts = (jnp.int32(0), jnp.int32(0))
+    # Analytic geometry first (spheres + plane are O(1) per lane), so
+    # their best t SEEDS the expensive mesh traversal: the kernels'
+    # strictly-closer tests then cull every node/leaf beyond the floor
+    # or a sphere from step one. The final winner is unchanged (the mesh
+    # only ever wins strictly-closer hits); only exact-t ties between a
+    # triangle and an analytic surface would flip, and no scene has
+    # coincident geometry (zoo floors are plane-only).
+    if scene.has_spheres:
+        if _on_tpu(config):
+            from tpu_pathtracer.ops.pallas_spheres import spheres_hit_feat
+            st, sidx, f = spheres_hit_feat(origin, direction, view.sph_c,
+                                           view.sph_r, view.sph_feat, eps,
+                                           FLT_MAX, interpret=_interp(config))
+            center = V3(f[0], f[1], f[2])
+            radius = f[3]
+            scols = _cols_from_feats(f, 4)
+        else:
+            st, sidx = _spheres_nearest(view, config, origin, direction,
+                                        eps, FLT_MAX)
+            sidx = jnp.maximum(sidx, 0)
+            center = V3(view.sph_c.x[sidx], view.sph_c.y[sidx],
+                        view.sph_c.z[sidx])
+            radius = view.sph_r[sidx]
+            scols = _gather_cols(scene.materials, scene.sphere_mat[sidx])
+        win = st < t
+        p = origin + direction * st
+        nrm = (p - center) * (1.0 / jnp.maximum(radius, 1e-30))
+        t = jnp.where(win, st, t)
+        obj = jnp.where(win, sc.OBJ_SPHERE, obj)
+        normal = vwhere(win, nrm, normal)
+        cols = _cols_where(win, scols, cols)
+
+    if scene.has_plane:
+        pt = _plane_hit(scene, origin, direction, eps, FLT_MAX)
+        win = pt < t
+        nrm = scene.plane_norm
+        t = jnp.where(win, pt, t)
+        obj = jnp.where(win, sc.OBJ_PLANE, obj)
+        normal = vwhere(win, V3.full((n,), nrm[0], nrm[1], nrm[2]), normal)
+        pcols = _gather_cols(scene.materials,
+                             jnp.broadcast_to(scene.plane_mat, (n,)))
+        cols = _cols_where(win, pcols, cols)
+
     # dead lanes trace with t_max = -1: instantly inert on every mesh
     # path (no traversal work, no node-count pollution); their outputs
     # are masked downstream anyway
-    t_ray_max = (FLT_MAX if alive is None
-                 else jnp.where(alive, FLT_MAX, -1.0))
+    t_ray_max = (t if alive is None
+                 else jnp.where(alive, t, -1.0))
 
     if scene.has_mesh:
         mesh = scene.mesh
@@ -527,42 +570,6 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
         cols = _cols_where(win, mcols, cols)
         tex_u = jnp.where(win, tu, tex_u)
         tex_v = jnp.where(win, tv, tex_v)
-
-    if scene.has_spheres:
-        if _on_tpu(config):
-            from tpu_pathtracer.ops.pallas_spheres import spheres_hit_feat
-            st, sidx, f = spheres_hit_feat(origin, direction, view.sph_c,
-                                           view.sph_r, view.sph_feat, eps,
-                                           FLT_MAX, interpret=_interp(config))
-            center = V3(f[0], f[1], f[2])
-            radius = f[3]
-            scols = _cols_from_feats(f, 4)
-        else:
-            st, sidx = _spheres_nearest(view, config, origin, direction,
-                                        eps, FLT_MAX)
-            sidx = jnp.maximum(sidx, 0)
-            center = V3(view.sph_c.x[sidx], view.sph_c.y[sidx],
-                        view.sph_c.z[sidx])
-            radius = view.sph_r[sidx]
-            scols = _gather_cols(scene.materials, scene.sphere_mat[sidx])
-        win = st < t
-        p = origin + direction * st
-        nrm = (p - center) * (1.0 / jnp.maximum(radius, 1e-30))
-        t = jnp.where(win, st, t)
-        obj = jnp.where(win, sc.OBJ_SPHERE, obj)
-        normal = vwhere(win, nrm, normal)
-        cols = _cols_where(win, scols, cols)
-
-    if scene.has_plane:
-        pt = _plane_hit(scene, origin, direction, eps, FLT_MAX)
-        win = pt < t
-        nrm = scene.plane_norm
-        t = jnp.where(win, pt, t)
-        obj = jnp.where(win, sc.OBJ_PLANE, obj)
-        normal = vwhere(win, V3.full((n,), nrm[0], nrm[1], nrm[2]), normal)
-        pcols = _gather_cols(scene.materials,
-                             jnp.broadcast_to(scene.plane_mat, (n,)))
-        cols = _cols_where(win, pcols, cols)
 
     if scene.use_nee:
         # light sphere only for specular rays with no surface hit
