@@ -172,3 +172,33 @@ def test_packet_wide_legacy_layout():
                                   np.asarray(tri)[hit])
     np.testing.assert_allclose(np.asarray(ref.t)[hit],
                                np.asarray(t)[hit], rtol=2e-6)
+
+
+def test_packet_hybrid_node_table():
+    """Tables over the SMEM budget use the hybrid path (top rows SMEM,
+    deep rows VMEM) and stay exact. A tiny forced budget exercises the
+    per-step branch on a small mesh."""
+    mesh = _mesh(t=3000, seed=11, ppl=8)
+    pm = build_packet_mesh(mesh, max_width=32, smem_budget_floats=200)
+    assert not pm.smem_nodes and pm.top_rows == 16
+    o, d, ov, dv = _rays(500, seed=12)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    (t, tri, *_), _counts = packet_trace(
+        ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
+        pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb,
+        smem_nodes=pm.smem_nodes, top_rows=pm.top_rows,
+        nodes_top=pm.nodes_top)
+    hit = np.asarray(ref.tri_id) >= 0
+    np.testing.assert_array_equal(hit, np.asarray(tri) >= 0)
+    np.testing.assert_array_equal(np.asarray(ref.tri_id)[hit],
+                                  np.asarray(tri)[hit])
+    np.testing.assert_allclose(np.asarray(ref.t)[hit],
+                               np.asarray(t)[hit], rtol=2e-6)
+    occ, _c = packet_occluded(ov, dv, 14.0, pm.nodes, pm.blocks,
+                              pm.cl_first, pm.width, 1e-3, interpret=True,
+                              stride=pm.stride, cpb=pm.cpb,
+                              smem_nodes=pm.smem_nodes,
+                              top_rows=pm.top_rows,
+                              nodes_top=pm.nodes_top)
+    truth = hit & (np.asarray(ref.t) < 14.0)
+    np.testing.assert_array_equal(np.asarray(occ), truth)

@@ -288,7 +288,9 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                      pk.tri_feat, pk.cl_first, pk.width,
                                      t_min, interpret=_interp(config),
                                      stride=pk.stride, cpb=pk.cpb,
-                                     smem_nodes=pk.smem_nodes)
+                                     smem_nodes=pk.smem_nodes,
+                                     top_rows=pk.top_rows,
+                                     nodes_top=pk.nodes_top)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -321,14 +323,16 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
         occ, node_counts = packet_occluded(
             V3(ox, oy, oz), V3(dx, dy, dz), tm, pk.nodes, pk.blocks,
             pk.cl_first, pk.width, t_min, interpret=_interp(config),
-            stride=pk.stride, cpb=pk.cpb, smem_nodes=pk.smem_nodes)
+            stride=pk.stride, cpb=pk.cpb, smem_nodes=pk.smem_nodes,
+            top_rows=pk.top_rows, nodes_top=pk.nodes_top)
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
         return occ != 0, node_counts
     return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
                            pk.cl_first, pk.width, t_min,
                            interpret=_interp(config),
                            stride=pk.stride, cpb=pk.cpb,
-                           smem_nodes=pk.smem_nodes)
+                           smem_nodes=pk.smem_nodes,
+                           top_rows=pk.top_rows, nodes_top=pk.nodes_top)
 
 
 def _cols_from_rows(rows: jnp.ndarray) -> MatCols:

@@ -76,10 +76,17 @@ class PacketMesh(NamedTuple):
     smem_nodes: bool = False  # nodes is a flat [n*6] array DMA'd to SMEM
     # at packet start (scalar loads are 1.67x faster per node step than
     # VMEM extracts); False -> [n_pad, 8] VMEM-resident table
+    top_rows: int = 0     # hybrid mode for tables too big for SMEM: the
+    # top `top_rows` node rows (duplicated flat in `nodes_top`) are
+    # DMA'd HBM->SMEM per packet and the deeper levels read from the
+    # VMEM table (steps distribute ~evenly across levels, so most steps
+    # still get native scalar loads)
+    nodes_top: jnp.ndarray = None  # flat [top_rows*8] copy of the top
 
 
 def build_packet_mesh(mesh: MeshData, max_width: int = 128,
-                      packed: bool = False) -> PacketMesh:
+                      packed: bool = False,
+                      smem_budget_floats: int | None = None) -> PacketMesh:
     """Group BVH leaves into ≤128-triangle clusters and pack the node
     table + SoA cluster blocks the kernel consumes.
 
@@ -111,7 +118,17 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
     # per node step (microbench; PERFORMANCE.md). Larger tables (e.g.
     # the 872k-tri dragon's 65k nodes) stay VMEM-resident 8-wide.
     n_nodes = 2 * cl_first
-    smem_nodes = n_nodes * 6 <= MAX_SMEM_NODE_FLOATS
+    budget = (MAX_SMEM_NODE_FLOATS if smem_budget_floats is None
+              else smem_budget_floats)
+    smem_nodes = n_nodes * 6 <= budget
+    top_rows = 0
+    if not smem_nodes:
+        # hybrid: top of the table in SMEM as (top_rows, 8) rows
+        top_rows = 1
+        while top_rows * 2 * 8 <= budget and top_rows * 2 <= n_nodes:
+            top_rows *= 2
+        if top_rows < 16:
+            top_rows = 0
     if smem_nodes:
         nodes = jnp.concatenate(
             [mesh.bvh_min[:n_nodes], mesh.bvh_max[:n_nodes]],
@@ -174,9 +191,11 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
         + [mesh.mesh_id.astype(jnp.float32)], axis=1)
     tri_feat = jnp.concatenate(
         [tri_feat, jnp.zeros((tri_feat.shape[0], 6), jnp.float32)], axis=1)
+    nodes_top = (nodes[:top_rows].reshape(-1) if top_rows else None)
     return PacketMesh(nodes=nodes, blocks=blk, tri_feat=tri_feat,
                       cl_first=cl_first, width=width, stride=stride,
-                      cpb=cpb, smem_nodes=smem_nodes)
+                      cpb=cpb, smem_nodes=smem_nodes, top_rows=top_rows,
+                      nodes_top=nodes_top)
 
 
 def _slab(b, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest):
@@ -264,24 +283,40 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     return new_idx, new_bs, both, single
 
 
-def _node_bounds(smem_nodes, nodes, ntab, l):
+def _node_bounds(smem_nodes, top_rows, nodes, ntab, l):
     """Both children's 6 scalar bounds for the parent whose children sit
-    at rows ``l``/``l+1``: flat SMEM loads when the table rides in SMEM,
-    row extracts from the VMEM table otherwise."""
+    at rows ``l``/``l+1``: flat SMEM loads when the whole table rides in
+    SMEM; in hybrid mode the top ``top_rows`` rows come from the SMEM
+    copy and deeper rows from the VMEM table; else VMEM row extracts."""
     if smem_nodes:
         b = l * 6
         return (tuple(ntab[b + i] for i in range(6)),
                 tuple(ntab[b + 6 + i] for i in range(6)))
-    pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
-    return (tuple(pair[0, i] for i in range(6)),
-            tuple(pair[1, i] for i in range(6)))
+
+    def vmem_read(_):
+        pair = nodes[pl.ds(l, 2), :]  # (2, 8) children rows
+        return (tuple(pair[0, i] for i in range(6)),
+                tuple(pair[1, i] for i in range(6)))
+
+    if not top_rows:
+        return vmem_read(None)
+
+    def smem_read(_):
+        b = l * 8
+        # l even -> children l/l+1 are both < top_rows together
+        return (tuple(ntab[b + i] for i in range(6)),
+                tuple(ntab[b + 8 + i] for i in range(6)))
+
+    return jax.lax.cond(l < top_rows, smem_read, vmem_read, None)
 
 
-def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes):
+def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows):
     kw = dict(blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()))
     if smem_nodes:
         kw["ntab"] = pltpu.SMEM(nodes.shape, jnp.float32)
+    elif top_rows:
+        kw["ntab"] = pltpu.SMEM((top_rows * 8,), jnp.float32)
     pl.run_scoped(scoped, **kw)
 
 
@@ -333,9 +368,14 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
     return t, u, v, bad
 
 
-def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
-                    tri_out, feat_out, cnt_out, *, cl_first, width, stride,
-                    cpb, t_min, unroll, smem_nodes):
+def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
+                    cl_first, width, stride, cpb, t_min, unroll,
+                    smem_nodes, top_rows):
+    if top_rows:
+        nodes_top, blocks, tri_out, feat_out, cnt_out = rest
+    else:
+        nodes_top = None
+        blocks, tri_out, feat_out, cnt_out = rest
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
     def scoped(blk, sem, ntab=None):
@@ -343,6 +383,12 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
             # node table -> SMEM once per packet: scalar loads beat VMEM
             # extracts 1.67x per node step (PERFORMANCE.md microbench)
             nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
+        elif top_rows:
+            # hybrid: DMA the flat top-slab copy HBM->SMEM; deep levels
+            # read from the VMEM table via a per-step branch
+            nd = pltpu.make_async_copy(nodes_top, ntab, sem)
             nd.start()
             nd.wait()
         o1 = ox[:, :]
@@ -363,7 +409,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         def node_fn(carry):
             idx, bs, nb, nsg, closest, besti, rest = carry
             l = idx * 2
-            bl, br = _node_bounds(smem_nodes, nodes, ntab, l)
+            bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
             rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
@@ -439,17 +485,26 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks,
         feat_out[1, :, :] = bu
         feat_out[2, :, :] = bv
 
-    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes)
+    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows)
 
 
-def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
-                   cnt_out, *, cl_first, width, stride, cpb, t_min,
-                   unroll, smem_nodes):
+def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
+                   cl_first, width, stride, cpb, t_min,
+                   unroll, smem_nodes, top_rows):
+    if top_rows:
+        nodes_top, blocks, occ_out, cnt_out = rest
+    else:
+        nodes_top = None
+        blocks, occ_out, cnt_out = rest
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
     def scoped(blk, sem, ntab=None):
         if smem_nodes:
             nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
+        elif top_rows:
+            nd = pltpu.make_async_copy(nodes_top, ntab, sem)
             nd.start()
             nd.wait()
         o1 = ox[:, :]
@@ -468,7 +523,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
         def node_fn(carry):
             idx, bs, nb, nsg, closest, occ, ndone = carry
             l = idx * 2
-            bl, br = _node_bounds(smem_nodes, nodes, ntab, l)
+            bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
             rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
@@ -533,7 +588,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, blocks, occ_out,
             (ii == 0) & (jj == 0), nb,
             jnp.where((ii == 0) & (jj == 1), nsg, 0))
 
-    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes)
+    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows)
 
 
 def _pad_rays(a, fill, n_pad):
@@ -545,12 +600,14 @@ def _pad_rays(a, fill, n_pad):
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "rows", "stride",
-                                             "cpb", "smem_nodes"))
+                                             "cpb", "smem_nodes",
+                                             "top_rows"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
                  stride: int = 128, cpb: int = 1,
-                 smem_nodes: bool = False):
+                 smem_nodes: bool = False, top_rows: int = 0,
+                 nodes_top=None):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -569,8 +626,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
         _pad_rays(direction.y, 0.0, n_pad),
         _pad_rays(direction.z, 0.0, n_pad),
         _pad_rays(t_max_b, 0.0, n_pad),  # pad lanes: closest=0 -> inert
-        nodes, blocks,
-    ]
+        nodes,
+    ] + ([nodes_top] if top_rows else []) + [blocks]
     n_packets = n_pad // (rows * 128)
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -580,12 +637,14 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
         node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    extra = [pl.BlockSpec(memory_space=pltpu.HBM)] if top_rows else []
     tri, feat, cnt = pl.pallas_call(
         functools.partial(_kernel_nearest, cl_first=cl_first, width=width,
                           stride=stride, cpb=cpb, t_min=float(t_min),
-                          unroll=not interpret, smem_nodes=smem_nodes),
+                          unroll=not interpret, smem_nodes=smem_nodes,
+                          top_rows=top_rows),
         grid=(n_packets,),
-        in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
+        in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec,
                    pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM),
@@ -620,11 +679,13 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "rows", "stride",
-                                             "cpb", "smem_nodes"))
+                                             "cpb", "smem_nodes",
+                                             "top_rows"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
-                    smem_nodes: bool = False):
+                    smem_nodes: bool = False, top_rows: int = 0,
+                    nodes_top=None):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single) scalar step telemetry)."""
     n = origin.x.shape[0]
@@ -638,8 +699,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         _pad_rays(direction.z, 0.0, n_pad),
         # pad lanes: closest<0 -> retired immediately, vote all-done
         _pad_rays(t_max_b, -1.0, n_pad),
-        nodes, blocks,
-    ]
+        nodes,
+    ] + ([nodes_top] if top_rows else []) + [blocks]
     n_packets = n_pad // (rows * 128)
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -649,12 +710,14 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         node_spec = pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    extra = [pl.BlockSpec(memory_space=pltpu.HBM)] if top_rows else []
     occ, cnt = pl.pallas_call(
         functools.partial(_kernel_shadow, cl_first=cl_first, width=width,
                           stride=stride, cpb=cpb, t_min=float(t_min),
-                          unroll=not interpret, smem_nodes=smem_nodes),
+                          unroll=not interpret, smem_nodes=smem_nodes,
+                          top_rows=top_rows),
         grid=(n_packets,),
-        in_specs=[ray_spec] * 7 + [node_spec, blk_spec],
+        in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec, ray_spec),
         out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
