@@ -41,7 +41,8 @@ class RenderConfig:
       rays_per_chunk: pixels*samples are processed in chunks of this many
         lanes to bound peak memory (0 = single chunk).
       check_nans: count NaN radiance samples like NUM_RAYS_NAN
-        (kernels.cu:63, :560).
+        (kernels.cu:63, :560) into Stats.nans — requires ``stats=True``
+        to be collected/reported (both engines agree on this contract).
       interpret: run Pallas kernels in interpreter mode (debugging/CPU).
       force_feat_kernels: dispatch the feature-fetch Pallas kernels even
         off-TPU (interpret mode) so CI exercises the TPU hot path.

@@ -87,7 +87,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
 
         # ---- reap dead lanes: accumulate, maybe flush pixel, restart ----
         dead = ~state.alive & ~done
-        if config.check_nans:
+        if config.check_nans and config.stats:
             # per-path NaN count at reap time (kernels.cu:560); each path
             # is reaped exactly once so this matches the plain engine.
             isnan = dead & (jnp.isnan(state.color.x)

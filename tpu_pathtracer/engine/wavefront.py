@@ -391,7 +391,14 @@ def _mesh_bbox_hit(scene: Scene, origin: V3, direction: V3,
     used for the *_bbox_nohit stats counters. As an execution early-out it
     cannot help the TPU paths (the brute kernels test all triangles
     densely; the traversals reject at the root node), so it is accounting
-    only — see PERFORMANCE.md's negative-results section."""
+    only — see PERFORMANCE.md's negative-results section.
+
+    Deliberately a component-SoA re-expression of
+    ``ops.intersect.bbox_hit`` rather than a call into it: that helper
+    takes interleaved [..., 3] arrays, and stacking the V3 state here
+    would materialize [N, 3] intermediates whose 3-wide minor dim pads
+    to 128 TPU lanes (the exact layout this engine exists to avoid).
+    Same where-form slab semantics; keep the two in sync."""
     from tpu_pathtracer.ops.intersect import BBOX_T_MIN
 
     bmin = scene.mesh.bounds_min

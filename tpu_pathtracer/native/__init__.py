@@ -23,14 +23,26 @@ def _build(src_dir: str, path: str) -> bool:
     """Compile the builder on demand (g++ is a baked-in tool; the build is
     ~2 s). Quiet no-op on any failure — callers fall back to NumPy."""
     src = os.path.join(src_dir, "bvh_builder.cpp")
+    # build to a per-pid temp name + atomic rename: a concurrent process
+    # (parallel tests, test + bench) must never CDLL a half-written .so
+    tmp = f"{path}.{os.getpid()}.tmp"
     try:
         r = subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
-             "-shared", "-o", path, src],
+             "-shared", "-o", tmp, src],
             capture_output=True, timeout=120)
-        return r.returncode == 0 and os.path.exists(path)
+        if r.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, path)
+        return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():

@@ -30,6 +30,32 @@ TILE = 256
 S_CHUNK = 512
 
 
+def _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
+                     ccx, ccy, ccz, rr2):
+    """Quadratic + near-preferring valid-min for one sphere chunk
+    against the lane tile: per-(lane, sphere) candidate t, _FLT_MAX when
+    invalid (sphere.h:10-23 semantics).
+
+    Padding spheres carry r2 = -1, so c = |oc|^2 + 1 > b^2 and disc < 0
+    by Cauchy-Schwarz (unit d) — no explicit validity test needed.
+    t1 <= t2 always, so the near-preferring valid-min collapses to one
+    select + one validity chain (bit-identical to min(where, where):
+    t1 invalid-low -> t2, invalid-high -> both invalid)."""
+    ocx = o1 - ccx
+    ocy = o2 - ccy
+    ocz = o3 - ccz
+    b = ocx * d1 + ocy * d2 + ocz * d3
+    c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
+    disc = b * b - c
+    ok = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - sq
+    t2 = -b + sq
+    ts0 = jnp.where(t1 > t_min, t1, t2)
+    valid = ok & (ts0 > t_min) & (ts0 < tmax_v)
+    return jnp.where(valid, ts0, _FLT_MAX)
+
+
 def _kernel(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, t_out, idx_out,
             *, t_min: float, s_pad: int):
     o1 = ox[0, :][:, None]
@@ -50,24 +76,8 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, t_out, idx_out,
         ccy = cy[0, sl][None, :]
         ccz = cz[0, sl][None, :]
         rr2 = r2[0, sl][None, :]
-        ocx = o1 - ccx
-        ocy = o2 - ccy
-        ocz = o3 - ccz
-        b = ocx * d1 + ocy * d2 + ocz * d3
-        c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
-        disc = b * b - c
-        # padding spheres carry r2 = -1 → disc < 0 by Cauchy–Schwarz
-        ok = disc > 0.0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = -b - sq
-        t2 = -b + sq
-        # t1 <= t2 always, so the near-preferring valid-min collapses to
-        # one select + one validity chain (bit-identical to the
-        # min(where, where) form — t1 invalid-low → t2, invalid-high →
-        # both invalid):
-        ts0 = jnp.where(t1 > t_min, t1, t2)
-        valid = ok & (ts0 > t_min) & (ts0 < tmax_v)
-        ts = jnp.where(valid, ts0, _FLT_MAX)
+        ts = _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
+                              ccx, ccy, ccz, rr2)
         tloc = jnp.min(ts, axis=1, keepdims=True)
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
@@ -110,22 +120,8 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat_t,
         ccy = cy[0, sl][None, :]
         ccz = cz[0, sl][None, :]
         rr2 = r2[0, sl][None, :]
-        ocx = o1 - ccx
-        ocy = o2 - ccy
-        ocz = o3 - ccz
-        b = ocx * d1 + ocy * d2 + ocz * d3
-        c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
-        disc = b * b - c
-        # padding spheres carry r2 = -1, so c = |oc|^2 + 1 > b^2 and
-        # disc < 0 by Cauchy-Schwarz — no explicit validity test needed
-        ok = disc > 0.0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = -b - sq
-        t2 = -b + sq
-        # near-preferring valid-min in one select (see _kernel)
-        ts0 = jnp.where(t1 > t_min, t1, t2)
-        valid = ok & (ts0 > t_min) & (ts0 < tmax_v)
-        ts = jnp.where(valid, ts0, _FLT_MAX)
+        ts = _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
+                              ccx, ccy, ccz, rr2)
         tloc = jnp.min(ts, axis=1, keepdims=True)
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
@@ -251,18 +247,9 @@ def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, occ_out,
         ccy = cy[0, sl][None, :]
         ccz = cz[0, sl][None, :]
         rr2 = r2[0, sl][None, :]
-        ocx = o1 - ccx
-        ocy = o2 - ccy
-        ocz = o3 - ccz
-        b = ocx * d1 + ocy * d2 + ocz * d3
-        c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
-        disc = b * b - c
-        ok = disc > 0.0  # r2 = -1 padding → disc < 0 (Cauchy–Schwarz)
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = -b - sq
-        t2 = -b + sq
-        ts0 = jnp.where(t1 > t_min, t1, t2)
-        hit = ok & (ts0 > t_min) & (ts0 < tmax_v)
+        ts = _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
+                              ccx, ccy, ccz, rr2)
+        hit = ts < _FLT_MAX
         occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
     occ_out[0, :] = occ[:, 0]
 

@@ -161,17 +161,21 @@ def hit_tris(o, d, v0, v1, v2, t_min, t_max):
             e2 = a2 - a0
             dd = d[:, None, :]
             oo = o[:, None, :]
-            # restructured MT, mirroring ops/intersect.triangles_hit:
-            # precomputed face normal + one shared cross q = s×d
-            nrm = np.cross(e1, e2)
-            a = -dot(dd, nrm)
+            # classic two-cross Moller-Trumbore (intersections.h:54-83),
+            # deliberately NOT the restructured determinant form the JAX
+            # kernels use: the oracle is the independent correctness
+            # anchor, so it must not share a potentially-buggy
+            # reformulation with the code it checks (the rmse gates
+            # absorb the fp-form difference)
+            h = np.cross(dd, e2)
+            a = dot(e1, h)
             par = np.abs(a) < 1e-7
             f = 1.0 / np.where(par, 1.0, a)
             s = oo - a0
-            q = np.cross(s, dd)
-            u = f * dot(q, e2)
-            v = -(f * dot(q, e1))
-            t = f * dot(s, nrm)
+            u = f * dot(s, h)
+            q = np.cross(s, e1)
+            v = f * dot(dd, q)
+            t = f * dot(e2, q)
             bad = (par | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
                    | ~(t > t_min) | ~(t < best_t[:, None]) | ~np.isfinite(t))
         t = np.where(bad, FLT_MAX, t)
