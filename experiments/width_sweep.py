@@ -6,7 +6,11 @@ work, is the wall. Narrower clusters cull finer (fewer triangles tested)
 at the price of more node steps and half-empty 8 KB DMA blocks. This
 sweeps prims_per_leaf/packet_width together on one scene.
 
-Usage: python experiments/width_sweep.py [--knot] [spp] [width ...]
+Usage: python experiments/width_sweep.py [--knot|--dragon] [--exact]
+           [spp] [width ...]
+
+``--exact`` flips ``mx_leaf`` off (scalar leaf loop) for an A/B at each
+width; default benches the MXU leaf path.
 """
 
 import sys
@@ -14,6 +18,8 @@ import time
 
 import jax.numpy as jnp
 import numpy as np
+
+MX = True
 
 
 def run(width, spp, scene_kind):
@@ -24,13 +30,14 @@ def run(width, spp, scene_kind):
         from tpu_pathtracer.models.shapes import knot_zoo_scene
         cfg = RenderConfig(nx=512, ny=512, ns=spp, max_depth=50,
                            textures=False, rays_per_chunk=65536,
-                           packet_width=width)
+                           packet_width=width, mx_leaf=MX)
         kw = ({"nu": 1664, "nv": 262} if scene_kind == "dragon" else {})
         scene, cam = knot_zoo_scene(512, 512, prims_per_leaf=width, **kw)
     else:
         from tpu_pathtracer.models.mesh import procedural_staircase_scene
         cfg = RenderConfig(nx=1200, ny=800, ns=spp, max_depth=64,
-                           rays_per_chunk=65536, packet_width=width)
+                           rays_per_chunk=65536, packet_width=width,
+                           mx_leaf=MX)
         scene, cam = procedural_staircase_scene(1200, 800,
                                                 prims_per_leaf=width,
                                                 sub=20)
@@ -47,10 +54,14 @@ def run(width, spp, scene_kind):
 
 
 def main():
+    global MX
     argv = sys.argv[1:]
     kind = "stairs"
-    if argv and argv[0] in ("--knot", "--dragon"):
-        kind = argv[0][2:]
+    while argv and argv[0].startswith("--"):
+        if argv[0] in ("--knot", "--dragon"):
+            kind = argv[0][2:]
+        elif argv[0] == "--exact":
+            MX = False
         argv = argv[1:]
     spp = int(argv[0]) if argv else 2
     widths = [int(w) for w in argv[1:]] or [128, 64, 32]

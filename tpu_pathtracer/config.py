@@ -80,6 +80,14 @@ class RenderConfig:
     # PERFORMANCE.md). NOTE: this only caps leaf GROUPING — a tree built
     # with prims_per_leaf > packet_width keeps its wider leaves (the
     # builder can't split); build scenes at the target width.
+    mx_leaf: bool = True  # MXU leaf tests on the packet path: leaf MT as
+    # a split-bf16 matmul (ops/pallas_bvh_mx.py). Winner t/u/v/features
+    # are recomputed exactly post-kernel; winner *selection* is matmul-
+    # toleranced (gated by RMSE/SSIM tests vs the exact scalar path,
+    # which stays available at mx_leaf=False as the bit-exact anchor).
+    mx_passes: int = 3  # bf16 split passes for the leaf matmul: 3 ~ 2^-18
+    # relative per numerator, 6 ~ f32. 3 matched 6's winners on random
+    # soup to 99.8%+ and is gated by the image-level tests.
 
     @property
     def num_pixels(self) -> int:

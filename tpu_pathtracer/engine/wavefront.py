@@ -168,9 +168,14 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
              m.tex_coords,
              _material_table(scene.materials, safe_mid)], axis=1)
     if use_packet:
-        from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh
-        packet = build_packet_mesh(scene.mesh,
-                                   max_width=config.packet_width)
+        if config.mx_leaf:
+            from tpu_pathtracer.ops.pallas_bvh_mx import build_packet_mx
+            packet = build_packet_mx(scene.mesh,
+                                     max_width=config.packet_width)
+        else:
+            from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh
+            packet = build_packet_mesh(scene.mesh,
+                                       max_width=config.packet_width)
         mat_rows = _material_table(
             scene.materials,
             jnp.arange(scene.materials.count, dtype=jnp.int32))
@@ -284,13 +289,22 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
     else:
         back = None
         o_s, d_s, tm = origin, direction, t_max_b
-    outs, node_counts = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks,
-                                     pk.tri_feat, pk.cl_first, pk.width,
-                                     t_min, interpret=_interp(config),
-                                     stride=pk.stride, cpb=pk.cpb,
-                                     smem_nodes=pk.smem_nodes,
-                                     top_rows=pk.top_rows,
-                                     nodes_top=pk.nodes_top)
+    if hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
+        from tpu_pathtracer.ops.pallas_bvh_mx import packet_trace_mx
+        outs, node_counts = packet_trace_mx(
+            o_s, d_s, tm, pk.pm.nodes, pk.gblocks, pk.tri_geom,
+            pk.pm.cl_first, pk.pm.width, t_min, center=pk.center,
+            passes=config.mx_passes, interpret=_interp(config),
+            smem_nodes=pk.pm.smem_nodes, top_rows=pk.pm.top_rows,
+            nodes_top=pk.pm.nodes_top)
+    else:
+        outs, node_counts = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks,
+                                         pk.tri_feat, pk.cl_first, pk.width,
+                                         t_min, interpret=_interp(config),
+                                         stride=pk.stride, cpb=pk.cpb,
+                                         smem_nodes=pk.smem_nodes,
+                                         top_rows=pk.top_rows,
+                                         nodes_top=pk.nodes_top)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -303,9 +317,22 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                    t_max: jnp.ndarray) -> jnp.ndarray:
     """Large-mesh any-hit occlusion via the shadow packet kernel
     (early-out semantics of kernels.cu:207)."""
-    from tpu_pathtracer.ops.pallas_bvh import packet_occluded
-
     pk = view.packet
+    if hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
+        from tpu_pathtracer.ops.pallas_bvh_mx import packet_occluded_mx
+        mx = pk
+
+        def packet_occluded(o, d, tm, *_a, **_kw):
+            return packet_occluded_mx(
+                o, d, tm, mx.pm.nodes, mx.gblocks, mx.pm.cl_first,
+                mx.pm.width, t_min, center=mx.center,
+                passes=config.mx_passes, interpret=_interp(config),
+                smem_nodes=mx.pm.smem_nodes, top_rows=mx.pm.top_rows,
+                nodes_top=mx.pm.nodes_top)
+        pk = pk.pm
+    else:
+        from tpu_pathtracer.ops.pallas_bvh import packet_occluded
+
     n = origin.x.shape[0]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if config.sort_rays:

@@ -67,18 +67,18 @@ class PacketMX(NamedTuple):
     gblocks: jnp.ndarray   # [C, 16, 4w] f32 per-cluster test columns
     tri_geom: jnp.ndarray  # [T, 20] v0,e1,e2,n,tc0..5,mid,pad — exact
     # winner recompute + features (original, un-recentered coordinates)
-    center: tuple          # (cx, cy, cz) python floats — recentering
-    # applied to G's geometry; rays must be shifted by the same amount
+    center: jnp.ndarray    # [3] f32 — recentering applied to G's
+    # geometry; rays must be shifted by the same amount. Traced (the
+    # view is built inside jit), so computed with jnp ops.
 
 
-def _pow2_center(c: float) -> float:
-    """Round a center coordinate to the nearest power of two (or 0):
+def _pow2_center(c: jnp.ndarray) -> jnp.ndarray:
+    """Round center coordinates to the nearest power of two (or 0):
     subtracting a pow2 near the operand is exact far more often
     (Sterbenz-adjacent), so recentering injects almost no rounding."""
-    a = abs(float(c))
-    if a < 0.5:
-        return 0.0
-    return float(np.copysign(2.0 ** round(np.log2(a)), c))
+    a = jnp.abs(c)
+    p = jnp.sign(c) * jnp.exp2(jnp.round(jnp.log2(jnp.maximum(a, 1e-30))))
+    return jnp.where(a < 0.5, 0.0, p).astype(jnp.float32)
 
 
 def build_packet_mx(mesh: MeshData, max_width: int = 128,
@@ -91,9 +91,10 @@ def build_packet_mx(mesh: MeshData, max_width: int = 128,
     w = pm.width
     C = pm.cl_first
     # recenter about the root bounds (row 1 of the implicit heap)
-    ctr = np.asarray((mesh.bvh_min[1] + mesh.bvh_max[1]) * 0.5)
-    center = tuple(_pow2_center(c) for c in ctr)
-    cvec = jnp.asarray(center, jnp.float32)
+    ctr = jnp.asarray((mesh.bvh_min[1] + mesh.bvh_max[1]) * 0.5,
+                      jnp.float32)
+    cvec = _pow2_center(ctr)
+    center = cvec
 
     sane = jnp.isfinite(mesh.v0).all(axis=1)  # sentinel slots -> zeros
     z3 = jnp.zeros_like(mesh.v0)
@@ -399,6 +400,8 @@ def _kernel_shadow_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
 def _fmat(origin, direction, center, n_pad):
     """Per-ray feature matrix [P, 16, 1024]: rows d, o', o'×d, 1 where
     o' = o - center (the pow2 recentering G was built with)."""
+    if center is None:
+        center = jnp.zeros((3,), jnp.float32)
     n = origin.x.shape[0]
 
     def pad(a, fill):
@@ -460,11 +463,10 @@ def _exact_winner(origin, direction, tri, t_kernel, tri_geom, t_min):
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "passes",
-                                             "smem_nodes", "top_rows",
-                                             "center"))
+                                             "smem_nodes", "top_rows"))
 def packet_trace_mx(origin, direction, t_max, nodes, gblocks, tri_geom,
                     cl_first: int, width: int, t_min: float,
-                    center=(0.0, 0.0, 0.0), passes: int = 3,
+                    center=None, passes: int = 3,
                     interpret: bool = False, smem_nodes: bool = False,
                     top_rows: int = 0, nodes_top=None):
     """Nearest-hit MXU packet traversal. Same output signature as
@@ -521,11 +523,10 @@ def packet_trace_mx(origin, direction, t_max, nodes, gblocks, tri_geom,
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "passes",
-                                             "smem_nodes", "top_rows",
-                                             "center"))
+                                             "smem_nodes", "top_rows"))
 def packet_occluded_mx(origin, direction, t_max, nodes, gblocks,
                        cl_first: int, width: int, t_min: float,
-                       center=(0.0, 0.0, 0.0), passes: int = 3,
+                       center=None, passes: int = 3,
                        interpret: bool = False, smem_nodes: bool = False,
                        top_rows: int = 0, nodes_top=None):
     """Any-hit MXU packet traversal: ([N] bool occluded, telemetry)."""
