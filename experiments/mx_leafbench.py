@@ -51,10 +51,10 @@ def chain(trace_fn):
     def run(steps, perturb):
         def body(_, carry):
             o, acc = carry
-            (t, tri, *_), (nb, ns) = trace_fn(o)
+            (t, tri, *_), cnt = trace_fn(o)
             tt = jnp.where(tri >= 0, t, 0.0)
             o = V3(o.x + tt * 0.0, o.y, o.z)  # data dep, no drift
-            return o, acc + tt.sum() + nb + ns
+            return o, acc + tt.sum() + cnt[0] + cnt[1]
         o = V3(o0.x + perturb * 1e-6, o0.y, o0.z)
         _, acc = jax.lax.fori_loop(0, steps, body,
                                    (o, jnp.float32(0.0)))

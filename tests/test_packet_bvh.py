@@ -41,7 +41,7 @@ def test_packet_trace_exact_vs_brute_force():
     pm = build_packet_mesh(mesh)
     o, d, ov, dv = _rays(600)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
-    (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg) = packet_trace(
+    (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg, _nl) = packet_trace(
         ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
         pm.width, 1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes)
     assert int(nb) > 0  # node-step telemetry fires (single may be 0:

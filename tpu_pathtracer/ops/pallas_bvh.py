@@ -407,7 +407,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         zf = jnp.zeros(shp, jnp.float32)
 
         def node_fn(carry):
-            idx, bs, nb, nsg, closest, besti, rest = carry
+            idx, bs, nb, nsg, nl, closest, besti, rest = carry
             l = idx * 2
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -417,10 +417,11 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                                      closest, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
-            return (new_idx, new_bs, nb, nsg, closest, besti, rest)
+            return (new_idx, new_bs, nb, nsg, nl, closest, besti, rest)
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, closest, besti, rest = carry
+            idx, bs, nb, nsg, nl, closest, besti, rest = carry
+            nl = nl + 1
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
@@ -459,7 +460,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, nb, nsg, closest, besti, rest)
+            return (new_idx, new_bs, nb, nsg, nl, closest, besti, rest)
 
         def body(carry):
             return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
@@ -470,15 +471,18 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
         rest0 = (zf, zf)
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                tmax[:, :], jnp.full(shp, -1, jnp.int32), rest0)
-        _, _, nb, nsg, closest, besti, rest = jax.lax.while_loop(
+                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32),
+                rest0)
+        _, _, nb, nsg, nl, closest, besti, rest = jax.lax.while_loop(
             cond, body, init)
-        # per-packet node-step telemetry at [0, 0] / [0, 1]
+        # per-packet telemetry at [0, 0..2]: both/single node steps and
+        # leaf-cluster visits
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
             (ii == 0) & (jj == 0), nb,
-            jnp.where((ii == 0) & (jj == 1), nsg, 0))
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
         bu, bv = rest
         tri_out[:, :] = besti
         feat_out[0, :, :] = closest
@@ -521,7 +525,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         n3 = i3 < 0.0
 
         def node_fn(carry):
-            idx, bs, nb, nsg, closest, occ, ndone = carry
+            idx, bs, nb, nsg, nl, closest, occ, ndone = carry
             l = idx * 2
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -531,10 +535,11 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                                      closest, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
-            return (new_idx, new_bs, nb, nsg, closest, occ, ndone)
+            return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone)
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, closest, occ, ndone = carry
+            idx, bs, nb, nsg, nl, closest, occ, ndone = carry
+            nl = nl + 1
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
@@ -568,25 +573,27 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, nb, nsg, closest, occ, ndone)
+            return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone)
 
         def body(carry):
             return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
                                 carry)
 
         def cond(carry):
-            return (carry[0] > 0) & (carry[6] == 0)
+            return (carry[0] > 0) & (carry[7] == 0)
 
         shp = o1.shape
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                tmax[:, :], jnp.zeros(shp, jnp.int32), jnp.int32(0))
-        _, _, nb, nsg, _, occ, _ = jax.lax.while_loop(cond, body, init)
+                jnp.int32(0), tmax[:, :], jnp.zeros(shp, jnp.int32),
+                jnp.int32(0))
+        _, _, nb, nsg, nl, _, occ, _ = jax.lax.while_loop(cond, body, init)
         occ_out[:, :] = occ
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
             (ii == 0) & (jj == 0), nb,
-            jnp.where((ii == 0) & (jj == 1), nsg, 0))
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows)
 
@@ -613,8 +620,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
     scalar; tri_feat the [T,16] per-triangle feature rows (PacketMesh).
     Returns ((t, tri_id, u, v, nx, ny, nz, tu, tv, mid) dense [N]
-    arrays, (nodes_both, nodes_single) scalar step telemetry); tri_id = -1
-    and t = t_max on miss.
+    arrays, (nodes_both, nodes_single, leaf_visits) scalar telemetry);
+    tri_id = -1 and t = t_max on miss.
     """
     n = origin.x.shape[0]
     n_pad = ((n + rows * 128 - 1) // (rows * 128)) * (rows * 128)
@@ -663,6 +670,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     f = feat.reshape(3, -1)[:, :n]
     nodes_both = cnt[::rows, 0].sum()
     nodes_single = cnt[::rows, 1].sum()
+    leaf_visits = cnt[::rows, 2].sum()
     t, u, v = f[0], f[1], f[2]
     # winner features: one 16-wide row gather (free width on TPU)
     fr = tri_feat[jnp.maximum(tri, 0)]
@@ -674,7 +682,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     tu = u * fr[:, 5] + v * fr[:, 7] + w0 * fr[:, 3]
     tv = u * fr[:, 6] + v * fr[:, 8] + w0 * fr[:, 4]
     return ((t, tri, u, v, nx, ny, nz, tu, tv, mid),
-            (nodes_both, nodes_single))
+            (nodes_both, nodes_single, leaf_visits))
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
@@ -687,7 +695,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     smem_nodes: bool = False, top_rows: int = 0,
                     nodes_top=None):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
-    nodes_single) scalar step telemetry)."""
+    nodes_single, leaf_visits) scalar telemetry)."""
     n = origin.x.shape[0]
     n_pad = ((n + rows * 128 - 1) // (rows * 128)) * (rows * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -725,4 +733,5 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     return (occ.reshape(-1)[:n] != 0,
-            (cnt[::rows, 0].sum(), cnt[::rows, 1].sum()))
+            (cnt[::rows, 0].sum(), cnt[::rows, 1].sum(),
+             cnt[::rows, 2].sum()))

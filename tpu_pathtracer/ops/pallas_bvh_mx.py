@@ -220,7 +220,7 @@ def _kernel_nearest_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (width, ROWS * 128), 0)
 
         def node_fn(carry):
-            idx, bs, nb, nsg, cl_t, cl_r, best_r = carry
+            idx, bs, nb, nsg, nl, cl_t, cl_r, best_r = carry
             l = idx * 2
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, cl_t)
@@ -229,10 +229,11 @@ def _kernel_nearest_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
                                                      cl_t, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
-            return (new_idx, new_bs, nb, nsg, cl_t, cl_r, best_r)
+            return (new_idx, new_bs, nb, nsg, nl, cl_t, cl_r, best_r)
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, cl_t, cl_r, best_r = carry
+            idx, bs, nb, nsg, nl, cl_t, cl_r, best_r = carry
+            nl = nl + 1
             c = idx - cl_first
             dma = pltpu.make_async_copy(gblocks.at[c], gblk, sem)
             dma.start()
@@ -261,7 +262,7 @@ def _kernel_nearest_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, nb, nsg, cl_t, cl_r, best_r)
+            return (new_idx, new_bs, nb, nsg, nl, cl_t, cl_r, best_r)
 
         def body(carry):
             return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
@@ -271,9 +272,9 @@ def _kernel_nearest_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
             return carry[0] > 0
 
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                tmax[:, :], closest_r0,
+                jnp.int32(0), tmax[:, :], closest_r0,
                 jnp.full((1, ROWS * 128), -1, jnp.int32))
-        _, _, nb, nsg, cl_t, cl_r, best_r = jax.lax.while_loop(
+        _, _, nb, nsg, nl, cl_t, cl_r, best_r = jax.lax.while_loop(
             cond, body, init)
         tri_out[:, :] = _row_to_tile(best_r, ROWS)
         t_out[:, :] = cl_t
@@ -281,7 +282,8 @@ def _kernel_nearest_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
             (ii == 0) & (jj == 0), nb,
-            jnp.where((ii == 0) & (jj == 1), nsg, 0))
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
     kw = dict(gblk=pltpu.VMEM(gblocks.shape[1:], jnp.float32),
               f_hi=pltpu.VMEM((16, ROWS * 128), jnp.bfloat16),
@@ -326,7 +328,7 @@ def _kernel_shadow_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
         f_lo[:, :] = lo
 
         def node_fn(carry):
-            idx, bs, nb, nsg, cl_t, cl_r, occ_r, ndone = carry
+            idx, bs, nb, nsg, nl, cl_t, cl_r, occ_r, ndone = carry
             l = idx * 2
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, cl_t)
@@ -335,10 +337,11 @@ def _kernel_shadow_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
                                                      cl_t, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
-            return (new_idx, new_bs, nb, nsg, cl_t, cl_r, occ_r, ndone)
+            return (new_idx, new_bs, nb, nsg, nl, cl_t, cl_r, occ_r, ndone)
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, cl_t, cl_r, occ_r, ndone = carry
+            idx, bs, nb, nsg, nl, cl_t, cl_r, occ_r, ndone = carry
+            nl = nl + 1
             c = idx - cl_first
             dma = pltpu.make_async_copy(gblocks.at[c], gblk, sem)
             dma.start()
@@ -365,25 +368,27 @@ def _kernel_shadow_mx(ox, oy, oz, dx, dy, dz, tmax, fmat, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, nb, nsg, cl_t, cl_r, occ_r, ndone)
+            return (new_idx, new_bs, nb, nsg, nl, cl_t, cl_r, occ_r, ndone)
 
         def body(carry):
             return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
                                 carry)
 
         def cond(carry):
-            return (carry[0] > 0) & (carry[7] == 0)
+            return (carry[0] > 0) & (carry[8] == 0)
 
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                tmax[:, :], _tile_to_row(tmax[:, :]),
+                jnp.int32(0), tmax[:, :], _tile_to_row(tmax[:, :]),
                 jnp.zeros((1, ROWS * 128), jnp.int32), jnp.int32(0))
-        _, _, nb, nsg, _, _, occ_r, _ = jax.lax.while_loop(cond, body, init)
+        _, _, nb, nsg, nl, _, _, occ_r, _ = jax.lax.while_loop(
+            cond, body, init)
         occ_out[:, :] = _row_to_tile(occ_r, ROWS)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
             (ii == 0) & (jj == 0), nb,
-            jnp.where((ii == 0) & (jj == 1), nsg, 0))
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
     kw = dict(gblk=pltpu.VMEM(gblocks.shape[1:], jnp.float32),
               f_hi=pltpu.VMEM((16, ROWS * 128), jnp.bfloat16),
@@ -471,7 +476,7 @@ def packet_trace_mx(origin, direction, t_max, nodes, gblocks, tri_geom,
                     top_rows: int = 0, nodes_top=None):
     """Nearest-hit MXU packet traversal. Same output signature as
     ``pallas_bvh.packet_trace``: ((t, tri, u, v, nx, ny, nz, tu, tv,
-    mid), (nodes_both, nodes_single))."""
+    mid), (nodes_both, nodes_single, leaf_visits))."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -515,10 +520,11 @@ def packet_trace_mx(origin, direction, t_max, nodes, gblocks, tri_geom,
     t_k = t_k.reshape(-1)[:n]
     nodes_both = cnt[::ROWS, 0].sum()
     nodes_single = cnt[::ROWS, 1].sum()
+    leaf_visits = cnt[::ROWS, 2].sum()
     t, u, v, nx, ny, nz, tu, tv, mid = _exact_winner(
         origin, direction, tri, t_k, tri_geom, t_min)
     return ((t, tri, u, v, nx, ny, nz, tu, tv, mid),
-            (nodes_both, nodes_single))
+            (nodes_both, nodes_single, leaf_visits))
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
@@ -570,4 +576,5 @@ def packet_occluded_mx(origin, direction, t_max, nodes, gblocks,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     return (occ.reshape(-1)[:n] != 0,
-            (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum()))
+            (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum(),
+             cnt[::ROWS, 2].sum()))
