@@ -202,3 +202,51 @@ def test_packet_hybrid_node_table():
                               nodes_top=pm.nodes_top)
     truth = hit & (np.asarray(ref.t) < 14.0)
     np.testing.assert_array_equal(np.asarray(occ), truth)
+
+
+def test_non_pow2_leaf_row_warns_and_falls_back():
+    """An externally loaded .bvh whose leaf row is not a power of two
+    cannot take the packet kernel; the dispatch must warn about the
+    ~75x-slower gather fallback instead of silently regressing
+    (engine/wavefront.py:_use_packet)."""
+    import dataclasses
+    import warnings
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.engine.wavefront import _use_packet
+    from tpu_pathtracer.models.presets import model_coat
+    from tpu_pathtracer.models.scene import make_materials, make_scene
+
+    mesh = _mesh(t=2000, ppl=16)
+    scene = make_scene(make_materials([model_coat()] * 5), mesh=mesh)
+    cfg = RenderConfig(nx=8, ny=8, ns=1, packet_threshold=100,
+                       force_feat_kernels=True)
+    assert _use_packet(scene, cfg)
+
+    bad = dataclasses.replace(scene, mesh=dataclasses.replace(
+        mesh, first_leaf=mesh.first_leaf + 1))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert not _use_packet(bad, cfg)
+    assert any("power-of-two" in str(w.message) for w in caught)
+
+
+def test_auto_pool_size_on_packet_path():
+    """rays_per_chunk=0 auto-selects the 64k lane pool when the packet
+    kernel is active (measured sweep, PERFORMANCE.md) and the 16k pool
+    otherwise."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.engine.regen import _pool_size
+    from tpu_pathtracer.models.presets import model_coat
+    from tpu_pathtracer.models.scene import make_materials, make_scene
+
+    mesh = _mesh(t=2000, ppl=16)
+    scene = make_scene(make_materials([model_coat()] * 5), mesh=mesh)
+    big = RenderConfig(nx=512, ny=512, ns=1, packet_threshold=100,
+                       force_feat_kernels=True)
+    small = RenderConfig(nx=512, ny=512, ns=1, force_feat_kernels=True)
+    assert _pool_size(big, big.num_pixels, scene) == 1 << 16
+    assert _pool_size(small, small.num_pixels, scene) == 1 << 14
+    override = RenderConfig(nx=512, ny=512, ns=1, packet_threshold=100,
+                            force_feat_kernels=True, rays_per_chunk=4096)
+    assert _pool_size(override, override.num_pixels, scene) == 4096

@@ -34,17 +34,29 @@ import numpy as np
 from tpu_pathtracer.camera import Camera
 from tpu_pathtracer.config import RenderConfig
 from tpu_pathtracer.engine.wavefront import (BounceState, Stats,
-                                              bounce_step, make_view)
+                                              _use_packet, bounce_step,
+                                              make_view)
 from tpu_pathtracer.models.scene import Scene
 from tpu_pathtracer.ops.v3 import V3, where as vwhere
 
 
-def _pool_size(config: RenderConfig, num_pixels: int) -> int:
+def _pool_size(config: RenderConfig, num_pixels: int,
+               scene: Scene | None = None) -> int:
     """Lane-pool size. Smaller pools cover more pixels per lane, which
     averages away the heavy-pixel tail (measured: 128k lanes → 67%
     utilization; 8–32k → ~90%, 5.55 s → 4.4 s on the headline bench);
-    per-iteration overheads stay negligible down to ~8k lanes."""
-    m = config.rays_per_chunk or (1 << 14)
+    per-iteration overheads stay negligible down to ~8k lanes.
+
+    On the packet-BVH path the optimum flips: per-dispatch kernel
+    overhead is amortized over whole 1024-ray packets, and the pool
+    sweep (PERFORMANCE.md) measured 64k lanes ~40% faster than 16k, so
+    auto defaults to 64k there."""
+    if config.rays_per_chunk:
+        m = config.rays_per_chunk
+    elif scene is not None and _use_packet(scene, config):
+        m = 1 << 16
+    else:
+        m = 1 << 14
     return int(min(m, num_pixels))
 
 
@@ -64,7 +76,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
     n = num_pixels if num_pixels is not None else config.num_pixels
     ns = jnp.asarray(config.ns if ns is None else ns, jnp.uint32)
     s0 = jnp.asarray(s0, jnp.uint32)
-    m = _pool_size(config, n)
+    m = _pool_size(config, n, scene)
     rounds = (n + m - 1) // m
     inv_ns = (1.0 / ns.astype(jnp.float32)) if normalize else jnp.float32(1.0)
 

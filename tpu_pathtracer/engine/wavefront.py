@@ -140,7 +140,26 @@ def _use_packet(scene: Scene, config: RenderConfig) -> bool:
         return False
     fl = scene.mesh.first_leaf
     thresh = config.packet_threshold or TRI_BRUTE_MAX
-    return scene.mesh.num_tris > thresh and fl & (fl - 1) == 0
+    if scene.mesh.num_tris <= thresh:
+        return False
+    if fl & (fl - 1) != 0:
+        # Our builders always produce implicit-heap trees with a
+        # power-of-two leaf row, but an externally loaded .bvh may not;
+        # the jnp gather fallback it lands on is ~75x slower than the
+        # packet kernel (PERFORMANCE.md). Warn loudly rather than
+        # silently regress.
+        import warnings
+        warnings.warn(
+            f"mesh with {scene.mesh.num_tris} triangles has a "
+            f"non-power-of-two leaf row (first_leaf={fl}): the TPU "
+            "packet-BVH kernel requires an implicit-heap tree with a "
+            "power-of-two leaf count, so this render falls back to the "
+            "gather traversal (~75x slower). Rebuild the BVH with "
+            "tpu_pathtracer.ops.bvh.build_bvh to restore the fast "
+            "path.",
+            RuntimeWarning, stacklevel=3)
+        return False
+    return True
 
 
 def make_view(scene: Scene, config: Optional[RenderConfig] = None
