@@ -56,12 +56,20 @@ def _kernel(steps_ref, rays_ref, tabs_ref, out_ref, *, S):
     cl = rays_ref[6] * 0.0 + 1e30
     n1, n2, n3 = i1 < 0.0, i2 < 0.0, i3 < 0.0
 
-    def fetch(c, sub, lane):
-        tab = tabs_ref[c]
-        z = jnp.take_along_axis(tab, sub, axis=0,
-                                mode="promise_in_bounds")
-        return jnp.take_along_axis(z, lane, axis=1,
-                                   mode="promise_in_bounds")
+    B = S // 8  # (8,128) vreg blocks per component table
+
+    def fetch(c, sub8, lane8, blk8):
+        """tab[idx] for 8 per-row ids spanning B blocks: gather every
+        block (source must fit one vreg), then select by block id."""
+        out = None
+        for b in range(B):
+            tab = tabs_ref[c, b]
+            z = jnp.take_along_axis(tab, sub8, axis=0,
+                                    mode="promise_in_bounds")
+            g = jnp.take_along_axis(z, lane8, axis=1,
+                                    mode="promise_in_bounds")
+            out = g if out is None else jnp.where(blk8 == b, g, out)
+        return out
 
     def slab(bv, closest):
         t0x = (bv[0] - o1) * i1
@@ -83,30 +91,11 @@ def _kernel(steps_ref, rays_ref, tabs_ref, out_ref, *, S):
     def body(_, carry):
         idxv, bsv, acc = carry
         # idxv: (8,1) int32 node-pair ids in [0, S*128)
-        sub8 = jnp.broadcast_to(idxv >> 7, (8, 128))
+        sub8 = jnp.broadcast_to((idxv >> 7) & 7, (8, 128))
         lane8 = jnp.broadcast_to(idxv & 127, (8, 128))
-        # pad the sublane-index operand to the table height
-        subS = jnp.concatenate(
-            [sub8] + [jnp.zeros((S - 8, 128), jnp.int32)] * (S > 8),
-            axis=0) if S > 8 else sub8
-        bl = [None] * 6
-        br = [None] * 6
-        for c in range(6):
-            g = fetch(c, subS, lane8) if S == 8 else None
-            if S > 8:
-                tab = tabs_ref[c]
-                z = jnp.take_along_axis(tab, subS, axis=0,
-                                        mode="promise_in_bounds")[:8]
-                g = jnp.take_along_axis(z, lane8, axis=1,
-                                        mode="promise_in_bounds")
-            bl[c] = g
-            g2 = None
-            tab = tabs_ref[c + 6]
-            z = jnp.take_along_axis(tab, subS, axis=0,
-                                    mode="promise_in_bounds")[:8]
-            g2 = jnp.take_along_axis(z, lane8, axis=1,
-                                     mode="promise_in_bounds")
-            br[c] = g2
+        blk8 = jnp.broadcast_to(idxv >> 10, (8, 128))
+        bl = [fetch(c, sub8, lane8, blk8) for c in range(6)]
+        br = [fetch(c + 6, sub8, lane8, blk8) for c in range(6)]
         lhit = slab(bl, cl)
         rhit = slab(br, cl)
         tl = lhit < cl
@@ -156,7 +145,8 @@ def run(steps, tabs, S):
 
 
 for S in sizes:
-    tabs = jnp.asarray(rng.standard_normal((12, S, 128)), jnp.float32)
+    tabs = jnp.asarray(rng.standard_normal((12, max(S // 8, 1), 8, 128)),
+                       jnp.float32)
     try:
         run(ITERS_LO, tabs, S).block_until_ready()
     except Exception:

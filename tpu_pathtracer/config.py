@@ -80,11 +80,14 @@ class RenderConfig:
     # PERFORMANCE.md). NOTE: this only caps leaf GROUPING — a tree built
     # with prims_per_leaf > packet_width keeps its wider leaves (the
     # builder can't split); build scenes at the target width.
-    mx_leaf: bool = True  # MXU leaf tests on the packet path: leaf MT as
+    mx_leaf: bool = False  # MXU leaf tests on the packet path: leaf MT as
     # a split-bf16 matmul (ops/pallas_bvh_mx.py). Winner t/u/v/features
     # are recomputed exactly post-kernel; winner *selection* is matmul-
     # toleranced (gated by RMSE/SSIM tests vs the exact scalar path,
-    # which stays available at mx_leaf=False as the bit-exact anchor).
+    # which stays the bit-exact anchor). Default OFF: measured SLOWER
+    # than the exact scalar-broadcast kernel (knot 512^2 traversal
+    # 7.85 vs 5.29 ms at w=32, 7.27 vs 4.39 at w=64, phase_probe —
+    # operand staging + winner recompute outweigh the MXU MT win).
     mx_passes: int = 3  # bf16 split passes for the leaf matmul: 3 ~ 2^-18
     # relative per numerator, 6 ~ f32. 3 matched 6's winners on random
     # soup to 99.8%+ and is gated by the image-level tests.
