@@ -139,6 +139,125 @@ def torus_knot_mesh(nu: int = 512, nv: int = 100, p: int = 2, q: int = 3,
             np.ascontiguousarray(v2), np.ascontiguousarray(tc))
 
 
+def terrain_mesh(n: int = 288, octaves: int = 6, struts: int = 600,
+                 seed: int = 7, extent: float = 16.0):
+    """Irregular, non-parametric test mesh: fBm-displaced terrain on a
+    vertex-jittered grid plus a lattice of thin struts (VERDICT r2 item
+    8 — real-world-topology stress: irregular tessellation + thin
+    features, unlike the smooth parametric zoo tubes).
+
+    - heightfield: ``octaves`` of bilinear value noise, amplitude 2^-o;
+      grid xy positions jittered ±0.35 cells so triangle size/aspect
+      varies continuously (no two triangles congruent).
+    - struts: thin 3-sided prisms (radius ~0.02–0.05) between random
+      nearby terrain points, the thin-feature half of the stress.
+
+    Defaults give 2·(n−1)² + 6·struts ≈ 168k triangles.
+    """
+    rng = np.random.default_rng(seed)
+
+    # --- fBm value noise on an n×n grid ------------------------------
+    h = np.zeros((n, n))
+    for o in range(octaves):
+        k = 4 * (1 << o)  # lattice cells per side at this octave
+        g = rng.standard_normal((k + 1, k + 1))
+        # bilinear upsample to n×n
+        t = np.linspace(0, k, n)
+        i0 = np.minimum(t.astype(np.int64), k - 1)
+        f = t - i0
+        gx = g[i0] * (1 - f)[:, None] + g[i0 + 1] * f[:, None]
+        gy = gx[:, i0] * (1 - f)[None, :] + gx[:, i0 + 1] * f[None, :]
+        h += gy * (2.0 ** -o)
+    h = (h - h.min()) * 1.8
+
+    dx = extent / (n - 1)
+    xs = np.linspace(-extent / 2, extent / 2, n)
+    gx, gz = np.meshgrid(xs, xs, indexing="ij")
+    gx = gx + rng.uniform(-0.35, 0.35, (n, n)) * dx
+    gz = gz + rng.uniform(-0.35, 0.35, (n, n)) * dx
+    pts = np.stack([gx, h + 0.05, gz], -1).astype(np.float32)
+    uv = np.stack([(gx + extent / 2) / extent,
+                   (gz + extent / 2) / extent], -1).astype(np.float32)
+
+    p00, p10 = pts[:-1, :-1], pts[1:, :-1]
+    p01, p11 = pts[:-1, 1:], pts[1:, 1:]
+    u00, u10 = uv[:-1, :-1], uv[1:, :-1]
+    u01, u11 = uv[:-1, 1:], uv[1:, 1:]
+
+    def flat(a):
+        return a.reshape(-1, a.shape[-1])
+
+    v0 = np.concatenate([flat(p00), flat(p00)])
+    v1 = np.concatenate([flat(p10), flat(p11)])
+    v2 = np.concatenate([flat(p11), flat(p01)])
+    tc = np.concatenate(
+        [np.concatenate([flat(u00), flat(u10), flat(u11)], axis=1),
+         np.concatenate([flat(u00), flat(u11), flat(u01)], axis=1)])
+
+    # --- thin strut lattice ------------------------------------------
+    if struts:
+        ia = rng.integers(1, n - 1, (struts, 2))
+        off = rng.integers(-24, 25, (struts, 2))
+        ib = np.clip(ia + off, 1, n - 2)
+        a = pts[ia[:, 0], ia[:, 1]].astype(np.float64)
+        b = pts[ib[:, 0], ib[:, 1]].astype(np.float64)
+        b[:, 1] += rng.uniform(0.5, 3.0, struts)  # struts lean upward
+        axis = b - a
+        ln = np.linalg.norm(axis, axis=1, keepdims=True)
+        keep = ln[:, 0] > 0.3
+        a, b, axis, ln = a[keep], b[keep], axis[keep], ln[keep]
+        axis = axis / ln
+        ref = np.where(np.abs(axis[:, 1:2]) < 0.9,
+                       np.array([[0.0, 1.0, 0.0]]),
+                       np.array([[1.0, 0.0, 0.0]]))
+        s1 = np.cross(axis, ref)
+        s1 /= np.linalg.norm(s1, axis=1, keepdims=True)
+        s2 = np.cross(axis, s1)
+        r = rng.uniform(0.02, 0.05, (a.shape[0], 1))
+        sv0, sv1, sv2, suv = [], [], [], []
+        for k in range(3):
+            th0 = 2 * np.pi * k / 3
+            th1 = 2 * np.pi * (k + 1) / 3
+            e0 = s1 * np.cos(th0) + s2 * np.sin(th0)
+            e1 = s1 * np.cos(th1) + s2 * np.sin(th1)
+            a0, a1 = a + r * e0, a + r * e1
+            b0, b1 = b + r * e0, b + r * e1
+            sv0 += [a0, a0]
+            sv1 += [b0, b1]
+            sv2 += [b1, a1]
+        m = a.shape[0] * 6
+        v0 = np.concatenate([v0, np.concatenate(sv0)]).astype(np.float32)
+        v1 = np.concatenate([v1, np.concatenate(sv1)]).astype(np.float32)
+        v2 = np.concatenate([v2, np.concatenate(sv2)]).astype(np.float32)
+        tc = np.concatenate([tc, np.zeros((m, 6), np.float32)])
+    return (np.ascontiguousarray(v0), np.ascontiguousarray(v1),
+            np.ascontiguousarray(v2), np.ascontiguousarray(tc, np.float32))
+
+
+def terrain_zoo_scene(nx: int, ny: int, material: str = "diffuse",
+                      n: int = 288, struts: int = 600,
+                      prims_per_leaf: int = 32,
+                      builder: str = "auto") -> Tuple[Scene, Camera]:
+    """Irregular-mesh zoo scene (~168k tris): noised terrain + thin strut
+    lattice on a floor under the NEE light. Exists to re-check BVH
+    builder conclusions (SAH vs median, leaf width) on non-parametric
+    topology — the smooth zoo tubes may not transfer."""
+    v0, v1, v2, tc = terrain_mesh(n=n, struts=struts)
+    mesh = build_bvh(v0, v1, v2, tc, np.ones((v0.shape[0],), np.int32),
+                     prims_per_leaf=prims_per_leaf, builder=builder)
+    mats = make_materials([presets.floor_diffuse(),
+                           MODEL_ZOO_MATERIALS[material]()])
+    scene = make_scene(
+        mats, mesh=mesh,
+        plane_point=(0.0, 0.0, 0.0), plane_norm=(0.0, 1.0, 0.0), plane_mat=0,
+        light_center=(10.0, 30.0, 15.0), light_radius=4.0,
+        light_color=(20.0, 20.0, 20.0),
+        use_nee=True, sky_mode=SKY_CONST)
+    cam = make_camera((14.0, 10.0, 14.0), (0.0, 2.0, 0.0), (0.0, 1.0, 0.0),
+                      45.0, nx / ny)
+    return scene, cam
+
+
 def knot_zoo_scene(nx: int, ny: int, material: str = "coat",
                    nu: int = 512, nv: int = 100,
                    prims_per_leaf: int = 32) -> Tuple[Scene, Camera]:
