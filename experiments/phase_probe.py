@@ -21,6 +21,7 @@ import numpy as np
 from tpu_pathtracer.engine.wavefront import _ray_sort_key
 from tpu_pathtracer.models.shapes import knot_zoo_scene
 from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh, packet_trace
+from tpu_pathtracer.ops.pallas_bvh_mr import build_packet_mr, packet_trace_mr
 from tpu_pathtracer.ops.pallas_bvh_mx import build_packet_mx, packet_trace_mx
 from tpu_pathtracer.ops.v3 import V3
 from tpu_pathtracer.ops.vec import FLT_MAX
@@ -98,6 +99,15 @@ for w in widths:
         pm.width, 1e-3, stride=pm.stride, cpb=pm.cpb,
         smem_nodes=pm.smem_nodes, top_rows=pm.top_rows,
         nodes_top=pm.nodes_top))
+    try:
+        pmr = build_packet_mr(mesh, max_width=w)
+        bench("multirow", lambda o: packet_trace_mr(
+            o, d0, FLT_MAX, pmr.ntab, pmr.blocks, pmr.tri_feat,
+            pmr.cl_first, pmr.width, pmr.n_blocks, 1e-3))
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        print(f"  multirow: FAILED ({e!r})"[:200], flush=True)
     if pm.width * 4 < 128:  # MX gblock minor dim must fill a lane tile
         continue
     mxm = build_packet_mx(mesh, max_width=w)

@@ -230,6 +230,15 @@ def _kernel_mr(ox, oy, oz, dx, dy, dz, tmax, ntab, blocks,
         n3 = i3 < 0.0
         shp = o1.shape
         lane = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        # Layout-anchored zeros: Mosaic layout inference rejects the
+        # cond join when one branch returns a fresh splat (replicated
+        # vreg) where the other returns computed data ("Invalid
+        # relayout ... replicated in destination but not in source").
+        # Deriving zeros from ray data (x*0.0 is not foldable for
+        # floats) pins every carry to a concrete non-replicated layout.
+        fzero = o1 * 0.0                      # (8,128) f32 zeros
+        izero_f = fzero.astype(jnp.int32)     # (8,128) i32 zeros
+        izero = izero_f[:, :1]                # (8,1)  i32 zeros
 
         def push_leaves(idxv, bsv, qids, qcnt):
             """Rows at a leaf with queue room push the cluster id and
@@ -343,7 +352,7 @@ def _kernel_mr(ox, oy, oz, dx, dy, dz, tmax, ntab, blocks,
                 else:
                     st = jax.lax.fori_loop(0, width, tri, st)
                 closest, aux = st
-            qcnt = jnp.zeros_like(qcnt)
+            qcnt = izero
             if shadow:
                 # a fully retired row stops traversing
                 dead = jnp.all(closest < 0.0, axis=1, keepdims=True)
@@ -372,16 +381,13 @@ def _kernel_mr(ox, oy, oz, dx, dy, dz, tmax, ntab, blocks,
             _, act = fire_and_active(carry)
             return act
 
-        z8 = jnp.zeros((ROWS, 1), jnp.int32)
         if shadow:
-            aux0 = jnp.zeros(shp, jnp.int32)
+            aux0 = izero_f
         else:
-            aux0 = (jnp.full(shp, -1, jnp.int32), jnp.zeros(shp),
-                    jnp.zeros(shp))
-        init = (jnp.full((ROWS, 1), 1, jnp.int32),
-                jnp.full((ROWS, 1), 1, jnp.uint32),
-                jnp.zeros(shp, jnp.int32), z8, tmax[:, :], aux0,
-                z8, z8, z8)
+            aux0 = (izero_f - 1, fzero, fzero)
+        init = (izero + 1, (izero + 1).astype(jnp.uint32),
+                izero_f, izero, tmax[:, :], aux0,
+                izero, izero, izero)
         out = jax.lax.while_loop(cond, body, init)
         _, _, _, _, closest, aux, nb, nsg, nl = out
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
