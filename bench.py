@@ -8,7 +8,10 @@ GTX 1050 (README.md:94). ``vs_baseline`` is baseline_time / our_time
 The single JSON line also carries the other BASELINE configs and the
 Mrays/sec/chip metric under ``extra``:
   * config 2 — random-spheres 1200×800 @ 10 spp (README.md:70: 2.1 s)
-  * config 4 — staircase mesh + BVH + textures 1200×800 @ 100 spp
+  * staircase-toy — 396-tri procedural staircase 1200×800 @ 100 spp
+    (brute-kernel path; NOT config 4 — kept for continuity)
+  * config 4 — reported from the asset-scale 154k-tri staircase
+    (BVH + textures + NEE), extrapolated ×100 from the measured s/spp
   * large-mesh zoo — 102k-tri torus knot (131k padded slots) 512×512
     @ 16 spp via the packet-BVH kernel (see PERFORMANCE.md)
   * staircase-hires — asset-scale 154k-tri staircase (262k padded BVH
@@ -21,12 +24,53 @@ retries on a worker crash.
 """
 
 import json
+import os
 import sys
 import time
 
 BASELINE_100SPP = 6.48   # README.md:94, GTX 1050
 BASELINE_10SPP = 2.1     # README.md:70, GTX 1050
 BATCH = 25
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "assets")
+GOLDEN_RMSE = 1e-3
+
+
+class ImageGateError(AssertionError):
+    """Deterministic radiance mismatch vs a committed golden."""
+
+
+def _gate(name, img):
+    """On-hardware image gate (VERDICT r2 item 7): compare a 128x128
+    center crop of the *linear mean radiance* image against a committed
+    golden (reference mechanism: main.cpp:117-126). A perf change that
+    shifts radiance fails the bench loudly instead of shipping a wrong
+    image under a green timing. Set BENCH_STORE_REF=1 to (re)generate
+    goldens after an intentional radiance change."""
+    import numpy as np
+
+    from tpu_pathtracer.utils.golden import (load_reference, rmse,
+                                             save_reference)
+    ny, nx = img.shape[:2]
+    cy, cx = ny // 2, nx // 2
+    crop = np.ascontiguousarray(
+        img[max(cy - 64, 0):cy + 64, max(cx - 64, 0):cx + 64],
+        np.float32)
+    path = os.path.join(GOLDEN_DIR, f"bench_{name}.ref")
+    if os.environ.get("BENCH_STORE_REF"):
+        save_reference(path, crop)
+        print(f"  stored golden {path}", file=sys.stderr)
+        return
+    if not os.path.exists(path):
+        print(f"  WARNING: no golden for {name} (run with "
+              f"BENCH_STORE_REF=1)", file=sys.stderr)
+        return
+    err = rmse(crop, load_reference(path))
+    if err >= GOLDEN_RMSE:
+        raise ImageGateError(
+            f"image gate FAILED for {name}: rmse {err:.2e} >= "
+            f"{GOLDEN_RMSE:.0e} vs committed golden {path}")
+    print(f"  image gate {name}: rmse {err:.2e} OK", file=sys.stderr)
 
 
 def _render_batched(scene, cam, cfg, ns, batch):
@@ -83,6 +127,8 @@ def _retry(fn, attempts=3):
     for i in range(attempts):
         try:
             return fn()
+        except ImageGateError:
+            raise  # image-gate failure is deterministic — don't retry
         except Exception as e:  # tunnel/worker crash — retry
             last = e
             print(f"attempt {i} failed: {e!r}"[:300], file=sys.stderr)
@@ -97,6 +143,7 @@ def bench_headline():
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=50)
     scene, cam = random_spheres_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 100, 100)
+    _gate("spheres_100spp", img)
     rpp = _rays_per_path(scene, cam, cfg)
     paths = cfg.num_pixels * cfg.ns
     mrays = paths * rpp / elapsed / 1e6
@@ -117,7 +164,8 @@ def bench_staircase():
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=64)
     scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 100, BATCH)  # ~6 s/batch
-    print(f"staircase 1200x800@100spp: {elapsed:.3f} s "
+    _gate("staircase_toy_100spp", img)
+    print(f"staircase-toy 1200x800@100spp: {elapsed:.3f} s "
           f"(mean={img.mean():.4f})", file=sys.stderr)
     return elapsed
 
@@ -131,6 +179,7 @@ def bench_staircase_hires():
     scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=32,
                                             sub=20)
     elapsed, img = _render_batched(scene, cam, cfg, 2, 2)
+    _gate("staircase_hires_2spp", img)
     print(f"staircase-hires 154k 1200x800@2spp (packet BVH): "
           f"{elapsed:.3f} s ({elapsed / 2 * 1e3:.0f} ms/spp, "
           f"mean={img.mean():.4f})", file=sys.stderr)
@@ -145,6 +194,7 @@ def bench_knot():
                        rays_per_chunk=65536)
     scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 16, 16)
+    _gate("knot_16spp", img)
     print(f"knot-102k 512x512@16spp (packet BVH): {elapsed:.3f} s "
           f"(mean={img.mean():.4f})", file=sys.stderr)
     return elapsed
@@ -161,8 +211,7 @@ def main():
     extra = {"config2_random_spheres_10spp_s": round(t10, 4),
              "config2_vs_baseline": round(BASELINE_10SPP / t10, 3)}
     try:
-        extra["config4_staircase_100spp_s"] = round(_retry(bench_staircase),
-                                                    4)
+        extra["staircase_toy_100spp_s"] = round(_retry(bench_staircase), 4)
     except Exception as e:
         print(f"staircase bench failed: {e!r}"[:200], file=sys.stderr)
     try:
@@ -170,8 +219,14 @@ def main():
     except Exception as e:
         print(f"knot bench failed: {e!r}"[:200], file=sys.stderr)
     try:
-        extra["staircase_hires_154k_s_per_spp"] = round(
-            _retry(bench_staircase_hires), 4)
+        s_per_spp = _retry(bench_staircase_hires)
+        extra["staircase_hires_154k_s_per_spp"] = round(s_per_spp, 4)
+        # honest config 4 (VERDICT r2 item 3): the reference's staircase
+        # is ~180k tris w/ BVH + textures + NEE; report it from the
+        # asset-scale 154k-tri mesh, extrapolated from the measured
+        # s/spp of the checkpoint-batched packet-path render above.
+        extra["config4_staircase_100spp_s"] = round(s_per_spp * 100, 2)
+        extra["config4_basis"] = "extrapolated_100x_from_hires_2spp"
     except Exception as e:
         print(f"staircase-hires bench failed: {e!r}"[:200],
               file=sys.stderr)
