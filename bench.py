@@ -176,7 +176,7 @@ def bench_staircase_hires():
 
     cfg = RenderConfig(nx=1200, ny=800, ns=2, max_depth=64,
                        rays_per_chunk=65536)
-    scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=32,
+    scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=64,
                                             sub=20)
     elapsed, img = _render_batched(scene, cam, cfg, 2, 2)
     _gate("staircase_hires_2spp", img)

@@ -312,3 +312,74 @@ def test_multirow_matches_packet_kernel():
                                   np.asarray(u2)[hit])
     np.testing.assert_array_equal(np.asarray(v1)[hit],
                                   np.asarray(v2)[hit])
+
+
+def test_packet_quantized_node_table():
+    """Quantized node tables (uint16 bounds vs the root box, packed 3
+    int32 words/node, rounded outward at build time) must stay EXACT:
+    dequantized boxes contain the true boxes, so only visit counts may
+    change — hits, ids, and t are identical to the f32-table kernel."""
+    mesh = _mesh(t=3000, seed=21, ppl=8)
+    pm32 = build_packet_mesh(mesh, max_width=32, quant_nodes=False)
+    pmq = build_packet_mesh(mesh, max_width=32, quant_nodes=True)
+    assert pmq.quant and pmq.smem_nodes
+    assert pmq.nodes.dtype == jnp.int32
+    assert pmq.nodes.shape == (2 * pmq.cl_first * 3,)
+    o, d, ov, dv = _rays(500, seed=22)
+    (t0, tri0, *_), (nb0, ns0, nl0) = packet_trace(
+        ov, dv, FLT_MAX, pm32.nodes, pm32.blocks, pm32.tri_feat,
+        pm32.cl_first, pm32.width, 1e-3, interpret=True,
+        stride=pm32.stride, cpb=pm32.cpb, smem_nodes=pm32.smem_nodes)
+    (t1, tri1, *_), (nb1, ns1, nl1) = packet_trace(
+        ov, dv, FLT_MAX, pmq.nodes, pmq.blocks, pmq.tri_feat,
+        pmq.cl_first, pmq.width, 1e-3, interpret=True,
+        stride=pmq.stride, cpb=pmq.cpb, smem_nodes=True,
+        quant=True, qparams=pmq.qparams)
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    # conservative boxes: visits may only grow, and only slightly
+    assert int(nl1) >= int(nl0)
+    assert int(nl1) <= int(nl0) * 1.2 + 8
+    occ0, _ = packet_occluded(ov, dv, 14.0, pm32.nodes, pm32.blocks,
+                              pm32.cl_first, pm32.width, 1e-3,
+                              interpret=True, stride=pm32.stride,
+                              cpb=pm32.cpb, smem_nodes=pm32.smem_nodes)
+    occ1, _ = packet_occluded(ov, dv, 14.0, pmq.nodes, pmq.blocks,
+                              pmq.cl_first, pmq.width, 1e-3,
+                              interpret=True, stride=pmq.stride,
+                              cpb=pmq.cpb, smem_nodes=True, quant=True,
+                              qparams=pmq.qparams)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+
+
+def test_quantized_auto_selection_and_sentinels():
+    """auto picks quant only when the f32 table misses the SMEM budget;
+    the builder's empty-subtree sentinels stay inverted after
+    quantization (never spuriously hittable)."""
+    mesh = _mesh(t=3000, seed=23, ppl=8)
+    # small mesh, default budget: f32 SMEM wins
+    assert not build_packet_mesh(mesh, max_width=32).quant
+    # forced budget: f32 misses, quant fits at 3/2 of the budget
+    n_nodes = 2 * build_packet_mesh(mesh, max_width=32).cl_first
+    pm = build_packet_mesh(mesh, max_width=32,
+                           smem_budget_floats=n_nodes * 4)
+    assert pm.quant
+    # sentinel check: decode every node; inverted f32 boxes (empty
+    # subtrees) must decode to inverted quantized boxes
+    words = np.asarray(pm.nodes).view(np.uint32).reshape(-1, 3)
+    qmin = np.stack([words[:, 0] & 0xFFFF, words[:, 0] >> 16,
+                     words[:, 1] & 0xFFFF], 1).astype(np.float64)
+    qmax = np.stack([words[:, 1] >> 16, words[:, 2] & 0xFFFF,
+                     words[:, 2] >> 16], 1).astype(np.float64)
+    s = np.asarray(pm.qparams[:3], np.float64)
+    o = np.asarray(pm.qparams[3:6], np.float64)
+    dmin = (qmin * s + o).astype(np.float32)
+    dmax = (qmax * s + o).astype(np.float32)
+    bmin = np.asarray(mesh.bvh_min[:qmin.shape[0]])
+    bmax = np.asarray(mesh.bvh_max[:qmin.shape[0]])
+    real = bmin[:, 0] <= bmax[:, 0]
+    # real boxes: dequantized bounds contain the true bounds
+    assert (dmin[real] <= bmin[real]).all()
+    assert (dmax[real] >= bmax[real]).all()
+    # sentinel boxes stay inverted in every axis
+    assert (dmin[~real] > dmax[~real]).all()

@@ -74,12 +74,14 @@ class RenderConfig:
     # 16384; tests set 1 to force it). Justified by the zoo table:
     # teapot-class meshes run ~2.2x faster on the packet path than the
     # VMEM brute kernel (PERFORMANCE.md).
-    packet_width: int = 32  # max triangles per packet-BVH leaf cluster —
-    # 32 beats 128 by 1.2-1.3x on both staircase-hires and the knot
-    # (finer leaf culling shrinks the packet visit union; sweep in
-    # PERFORMANCE.md). NOTE: this only caps leaf GROUPING — a tree built
-    # with prims_per_leaf > packet_width keeps its wider leaves (the
-    # builder can't split); build scenes at the target width.
+    packet_width: int = 64  # max triangles per packet-BVH leaf cluster —
+    # the round-3 end-to-end A/B (PERFORMANCE.md) reads 64 fastest on
+    # all four packet workloads (knot 229 vs 248 ms/spp, stairs 1735
+    # vs 1800, terrain 871 vs 1010, dragon-with-quant-nodes 496 vs
+    # 516); the earlier width-32 preference predates the SMEM-node +
+    # decision-trim work. NOTE: this only caps leaf GROUPING — a tree
+    # built with prims_per_leaf > packet_width keeps its wider leaves
+    # (the builder can't split); build scenes at the target width.
     mx_leaf: bool = False  # MXU leaf tests on the packet path: leaf MT as
     # a split-bf16 matmul (ops/pallas_bvh_mx.py). Winner t/u/v/features
     # are recomputed exactly post-kernel; winner *selection* is matmul-
@@ -91,6 +93,15 @@ class RenderConfig:
     mx_passes: int = 3  # bf16 split passes for the leaf matmul: 3 ~ 2^-18
     # relative per numerator, 6 ~ f32. 3 matched 6's winners on random
     # soup to 99.8%+ and is gated by the image-level tests.
+    leaf_cull: bool = False  # stale-leaf re-test in the packet kernels:
+    # re-slab a popped leaf cluster's own box against the (shrunken)
+    # per-lane closest before the MT loop. Exact (same conservative
+    # slab criterion as the vote) but measured a ~8% NET LOSS on
+    # knot/stairs (cull rate ~4-6% < re-test cost); kept as an option
+    # for deep/incoherent workloads.
+    fast_math: bool = False  # opt-in approximate reciprocal in the
+    # packet-kernel MT (~2^-14 rel on t/u/v; winner geometry stays
+    # exact). Gated by an SSIM >= 0.999 test vs the exact path.
 
     @property
     def num_pixels(self) -> int:

@@ -323,7 +323,11 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                          stride=pk.stride, cpb=pk.cpb,
                                          smem_nodes=pk.smem_nodes,
                                          top_rows=pk.top_rows,
-                                         nodes_top=pk.nodes_top)
+                                         nodes_top=pk.nodes_top,
+                                         quant=pk.quant,
+                                         qparams=pk.qparams,
+                                         leaf_cull=config.leaf_cull,
+                                         approx_recip=config.fast_math)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -370,7 +374,9 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
             V3(ox, oy, oz), V3(dx, dy, dz), tm, pk.nodes, pk.blocks,
             pk.cl_first, pk.width, t_min, interpret=_interp(config),
             stride=pk.stride, cpb=pk.cpb, smem_nodes=pk.smem_nodes,
-            top_rows=pk.top_rows, nodes_top=pk.nodes_top)
+            top_rows=pk.top_rows, nodes_top=pk.nodes_top,
+            quant=pk.quant, qparams=pk.qparams,
+            leaf_cull=config.leaf_cull, approx_recip=config.fast_math)
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
         return occ != 0, node_counts
     return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
@@ -378,7 +384,10 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                            interpret=_interp(config),
                            stride=pk.stride, cpb=pk.cpb,
                            smem_nodes=pk.smem_nodes,
-                           top_rows=pk.top_rows, nodes_top=pk.nodes_top)
+                           top_rows=pk.top_rows, nodes_top=pk.nodes_top,
+                           quant=pk.quant, qparams=pk.qparams,
+                           leaf_cull=config.leaf_cull,
+                           approx_recip=config.fast_math)
 
 
 def _cols_from_rows(rows: jnp.ndarray) -> MatCols:

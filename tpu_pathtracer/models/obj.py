@@ -70,7 +70,7 @@ def load_obj(path: str):
 
 def load_obj_scene(path: str, nx: int, ny: int,
                    material: Optional[dict] = None,
-                   prims_per_leaf: int = 32,
+                   prims_per_leaf: int = 64,
                    use_nee: bool = True) -> Tuple[Scene, Camera]:
     """OBJ → BVH → renderable scene with an auto-framed camera.
 

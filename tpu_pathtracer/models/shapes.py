@@ -57,7 +57,7 @@ MODEL_ZOO_MATERIALS = {
 
 def model_zoo_scene(nx: int, ny: int, material: str = "coat",
                     nu: int = 96, nv: int = 64,
-                    prims_per_leaf: int = 32) -> Tuple[Scene, Camera]:
+                    prims_per_leaf: int = 64) -> Tuple[Scene, Camera]:
     """A ~12k-triangle torus (teapot-class) on a diffuse floor plane under
     the NEE sphere light — the reference's model-zoo benchmark recipe."""
     v0, v1, v2, tc = torus_mesh(nu, nv)
@@ -236,7 +236,7 @@ def terrain_mesh(n: int = 288, octaves: int = 6, struts: int = 600,
 
 def terrain_zoo_scene(nx: int, ny: int, material: str = "diffuse",
                       n: int = 288, struts: int = 600,
-                      prims_per_leaf: int = 32,
+                      prims_per_leaf: int = 64,
                       builder: str = "auto") -> Tuple[Scene, Camera]:
     """Irregular-mesh zoo scene (~168k tris): noised terrain + thin strut
     lattice on a floor under the NEE light. Exists to re-check BVH
@@ -260,7 +260,7 @@ def terrain_zoo_scene(nx: int, ny: int, material: str = "diffuse",
 
 def knot_zoo_scene(nx: int, ny: int, material: str = "coat",
                    nu: int = 512, nv: int = 100,
-                   prims_per_leaf: int = 32) -> Tuple[Scene, Camera]:
+                   prims_per_leaf: int = 64) -> Tuple[Scene, Camera]:
     """Large-mesh model-zoo scene: a torus-knot tube (default ~102k tris,
     dragon-class at nu=1664, nv=262) on a diffuse floor under the NEE
     light — the workload for the packet-BVH TPU path. ``prims_per_leaf``

@@ -51,6 +51,10 @@ _FLT_MAX = 3.4028235e38
 MAX_SMEM_NODE_FLOATS = 128 * 1024  # 512 KB SMEM node-table budget
 # (probed: 768 KB scratch still compiles on v5e, 1 MB does not; 512 KB
 # leaves margin for the cluster block + program scalars)
+MAX_SMEM_QNODE_WORDS = 192 * 1024  # 768 KB budget for QUANTIZED tables
+# only: they are the last-resort for dragon-class meshes whose f32
+# table can never fit, and the probed ceiling is safe with the small
+# (2-16 KB) cluster block
 _BBOX_T_MIN = 0.001  # intersections.h:8,:26
 ROWS = 8             # sublane rows per packet -> packet = ROWS*128 rays
 # Fully unroll the leaf MT loop on hardware (Mosaic supports only full
@@ -82,11 +86,22 @@ class PacketMesh(NamedTuple):
     # VMEM table (steps distribute ~evenly across levels, so most steps
     # still get native scalar loads)
     nodes_top: jnp.ndarray = None  # flat [top_rows*8] copy of the top
+    quant: bool = False   # nodes is a flat [n*3] int32 array of uint16
+    # bounds relative to the root box, packed (minx|miny<<16),
+    # (minz|maxx<<16), (maxy|maxz<<16), rounded OUTWARD at build time —
+    # dequantized boxes always contain the true boxes, so traversal is
+    # provably exact (extra visits only, never missed hits). Halves^2
+    # the table bytes: dragon-class 65k-node tables (1.5 MB f32) fit
+    # the SMEM budget at 786 KB, w=64 at 393 KB (VERDICT r2 item 2)
+    qparams: jnp.ndarray = None  # [8] f32 (sx,sy,sz,lox,loy,loz,0,0)
+    # dequant scales/offsets — device values (built under jit), read by
+    # the kernel from a tiny SMEM input
 
 
 def build_packet_mesh(mesh: MeshData, max_width: int = 128,
                       packed: bool = False,
-                      smem_budget_floats: int | None = None) -> PacketMesh:
+                      smem_budget_floats: int | None = None,
+                      quant_nodes: str | bool = "auto") -> PacketMesh:
     """Group BVH leaves into ≤128-triangle clusters and pack the node
     table + SoA cluster blocks the kernel consumes.
 
@@ -121,19 +136,75 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
     budget = (MAX_SMEM_NODE_FLOATS if smem_budget_floats is None
               else smem_budget_floats)
     smem_nodes = n_nodes * 6 <= budget
+    # quantized tables get the probed 768 KB ceiling (3/2 of the f32
+    # budget when an explicit budget is forced, e.g. in tests)
+    qbudget = (MAX_SMEM_QNODE_WORDS if smem_budget_floats is None
+               else budget * 3 // 2)
+    quant = (quant_nodes is True
+             or (quant_nodes == "auto" and not smem_nodes
+                 and n_nodes * 3 <= qbudget))
+    if quant_nodes is True and n_nodes * 3 > qbudget:
+        raise ValueError(f"quantized node table ({n_nodes * 3} words) "
+                         f"exceeds the SMEM budget")
+    if quant_nodes is False:
+        quant = False
+    qparams = None
     top_rows = 0
-    if not smem_nodes:
+    if quant:
+        # uint16 bounds relative to the root box, rounded OUTWARD (one
+        # extra quantum of margin kills FMA-vs-two-step dequant edge
+        # cases): the dequantized box always contains the true box, so
+        # traversal stays provably exact — at most extra visits. The
+        # builder's empty-subtree sentinels (min=1e30 > max=-1e30) clamp
+        # to inverted quantized boxes (qmin=65534 > qmax=1), which the
+        # slab test still rejects. 3 int32 words/node: a dragon-class
+        # 65k-node table drops 1.5 MB -> 768 KB and fits SMEM.
+        # trace-safe (jnp) build: the engine calls this inside jit with
+        # a traced scene, so the table AND the dequant params are
+        # device values; the kernel reads the params from a tiny SMEM
+        # input instead of baked immediates.
+        bmin = mesh.bvh_min[:n_nodes]
+        bmax = mesh.bvh_max[:n_nodes]
+        lo = mesh.bounds_min
+        # /65000 (not /65535) leaves ~500 quanta of headroom so real
+        # boxes never reach the clamp bounds, where outward padding
+        # would otherwise be lost to the clip
+        s32 = jnp.maximum((mesh.bounds_max - lo) / 65000.0, 1e-12)
+        # offset must round DOWN so dequant(0) <= root lo <= any bmin
+        o32 = jnp.where(lo > 0, lo * (1.0 - 3e-7) - 1e-37,
+                        lo * (1.0 + 3e-7) - 1e-37)
+        qmin = jnp.clip(jnp.floor((bmin - o32) / s32), 1, 65535)
+        qmax = jnp.clip(jnp.ceil((bmax - o32) / s32), 0, 65534)
+        # fix-up in the kernel's dequant arithmetic, then 1-quantum pad
+        deq = qmin * s32 + o32
+        qmin = jnp.clip(jnp.where(deq > bmin, qmin - 1, qmin) - 1,
+                        0, 65535)
+        deq = qmax * s32 + o32
+        qmax = jnp.clip(jnp.where(deq < bmax, qmax + 1, qmax) + 1,
+                        0, 65535)
+        qmin = qmin.astype(jnp.uint32)
+        qmax = qmax.astype(jnp.uint32)
+        words = jnp.stack(
+            [qmin[:, 0] | (qmin[:, 1] << 16),
+             qmin[:, 2] | (qmax[:, 0] << 16),
+             qmax[:, 1] | (qmax[:, 2] << 16)], axis=1)
+        nodes = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(-1)
+        qparams = jnp.concatenate(
+            [s32.astype(jnp.float32), o32.astype(jnp.float32),
+             jnp.zeros((2,), jnp.float32)])
+        smem_nodes = True
+    elif not smem_nodes:
         # hybrid: top of the table in SMEM as (top_rows, 8) rows
         top_rows = 1
         while top_rows * 2 * 8 <= budget and top_rows * 2 <= n_nodes:
             top_rows *= 2
         if top_rows < 16:
             top_rows = 0
-    if smem_nodes:
+    if smem_nodes and not quant:
         nodes = jnp.concatenate(
             [mesh.bvh_min[:n_nodes], mesh.bvh_max[:n_nodes]],
             axis=1).reshape(-1)
-    else:
+    elif not smem_nodes:
         n_pad = ((n_nodes + 7) // 8) * 8
         nodes = jnp.concatenate(
             [mesh.bvh_min[:n_nodes], mesh.bvh_max[:n_nodes],
@@ -195,7 +266,7 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
     return PacketMesh(nodes=nodes, blocks=blk, tri_feat=tri_feat,
                       cl_first=cl_first, width=width, stride=stride,
                       cpb=cpb, smem_nodes=smem_nodes, top_rows=top_rows,
-                      nodes_top=nodes_top)
+                      nodes_top=nodes_top, quant=quant, qparams=qparams)
 
 
 def _slab(b, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest):
@@ -283,11 +354,29 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     return new_idx, new_bs, both, single
 
 
-def _node_bounds(smem_nodes, top_rows, nodes, ntab, l):
+def _node_bounds(smem_nodes, top_rows, nodes, ntab, l, quant=False,
+                 qparams=None):
     """Both children's 6 scalar bounds for the parent whose children sit
     at rows ``l``/``l+1``: flat SMEM loads when the whole table rides in
-    SMEM; in hybrid mode the top ``top_rows`` rows come from the SMEM
-    copy and deeper rows from the VMEM table; else VMEM row extracts."""
+    SMEM (dequantized via 3 packed int32 words/node in quant mode); in
+    hybrid mode the top ``top_rows`` rows come from the SMEM copy and
+    deeper rows from the VMEM table; else VMEM row extracts."""
+    if quant:
+        sx, sy, sz, lox, loy, loz = qparams
+        b = l * 3
+        w = [ntab[b + i] for i in range(6)]
+
+        def dq(word, sh, s, o):
+            # mask AFTER the shift: >> on int32 sign-extends
+            q = (word >> sh) & 0xFFFF if sh else word & 0xFFFF
+            return q.astype(jnp.float32) * s + o
+
+        def box(w0, w1, w2):
+            return (dq(w0, 0, sx, lox), dq(w0, 16, sy, loy),
+                    dq(w1, 0, sz, loz), dq(w1, 16, sx, lox),
+                    dq(w2, 0, sy, loy), dq(w2, 16, sz, loz))
+
+        return box(w[0], w[1], w[2]), box(w[3], w[4], w[5])
     if smem_nodes:
         b = l * 6
         return (tuple(ntab[b + i] for i in range(6)),
@@ -310,18 +399,54 @@ def _node_bounds(smem_nodes, top_rows, nodes, ntab, l):
     return jax.lax.cond(l < top_rows, smem_read, vmem_read, None)
 
 
+def _node_box(smem_nodes, top_rows, nodes, ntab, r, quant=False,
+              qparams=None):
+    """One node row's own 6 scalar bounds (for the stale-leaf re-test;
+    every node's box sits at its own row of the table)."""
+    if quant:
+        sx, sy, sz, lox, loy, loz = qparams
+        b = r * 3
+        w0 = ntab[b]
+        w1 = ntab[b + 1]
+        w2 = ntab[b + 2]
+
+        def dq(word, sh, s, o):
+            q = (word >> sh) & 0xFFFF if sh else word & 0xFFFF
+            return q.astype(jnp.float32) * s + o
+
+        return (dq(w0, 0, sx, lox), dq(w0, 16, sy, loy),
+                dq(w1, 0, sz, loz), dq(w1, 16, sx, lox),
+                dq(w2, 0, sy, loy), dq(w2, 16, sz, loz))
+    if smem_nodes:
+        b = r * 6
+        return tuple(ntab[b + i] for i in range(6))
+
+    def vmem_read(_):
+        row = nodes[pl.ds(r, 1), :]
+        return tuple(row[0, i] for i in range(6))
+
+    if not top_rows:
+        return vmem_read(None)
+
+    def smem_read(_):
+        b = r * 8
+        return tuple(ntab[b + i] for i in range(6))
+
+    return jax.lax.cond(r < top_rows, smem_read, vmem_read, None)
+
+
 def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows):
     kw = dict(blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()))
     if smem_nodes:
-        kw["ntab"] = pltpu.SMEM(nodes.shape, jnp.float32)
+        kw["ntab"] = pltpu.SMEM(nodes.shape, nodes.dtype)
     elif top_rows:
         kw["ntab"] = pltpu.SMEM((top_rows * 8,), jnp.float32)
     pl.run_scoped(scoped, **kw)
 
 
 def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
-                   closest):
+                   closest, approx_recip=False):
     """Möller–Trumbore of one triangle (scalar comps from the SMEM block:
     component c of the cluster starting at row ``brow`` lives at
     ``blk[brow + c*stride//128, c*stride%128 + w]`` — both index parts
@@ -349,7 +474,15 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
     n3 = rd(11)
     a = -(d1 * n1 + d2 * n2 + d3 * n3)
     parallel = jnp.abs(a) < 1e-7  # intersections.h:55
-    f = 1.0 / jnp.where(parallel, 1.0, a)
+    if approx_recip:
+        # opt-in fast path (config.fast_math): hardware approximate
+        # reciprocal (~2^-14 rel) instead of the exact f32 divide.
+        # t/u/v shift by ~1e-4 relative; geometry stays exact, so the
+        # TIR-trap failure mode (PERFORMANCE.md r1) cannot occur.
+        # Gated by an SSIM test against the exact path.
+        f = pl.reciprocal(jnp.where(parallel, 1.0, a), approx=True)
+    else:
+        f = 1.0 / jnp.where(parallel, 1.0, a)
     sx = o1 - v0x
     sy = o2 - v0y
     sz = o3 - v0z
@@ -370,12 +503,12 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
 
 def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     cl_first, width, stride, cpb, t_min, unroll,
-                    smem_nodes, top_rows):
-    if top_rows:
-        nodes_top, blocks, tri_out, feat_out, cnt_out = rest
-    else:
-        nodes_top = None
-        blocks, tri_out, feat_out, cnt_out = rest
+                    smem_nodes, top_rows, quant=False, qparams=None,
+                    leaf_cull=True, approx_recip=False):
+    rest = list(rest)
+    nodes_top = rest.pop(0) if top_rows else None
+    qp = rest.pop(0) if quant else None
+    blocks, tri_out, feat_out, cnt_out = rest
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
     def scoped(blk, sem, ntab=None):
@@ -391,6 +524,12 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             nd = pltpu.make_async_copy(nodes_top, ntab, sem)
             nd.start()
             nd.wait()
+        if quant:
+            # read the 6 dequant scalars once; they stay in registers
+            # across the whole traversal
+            qscal = tuple(qp[i] for i in range(6))
+        else:
+            qscal = None
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -409,7 +548,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         def node_fn(carry):
             idx, bs, nb, nsg, nl, closest, besti, rest = carry
             l = idx * 2
-            bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
+            bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
+                                  quant, qscal)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
             rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
@@ -421,42 +561,64 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
         def leaf_fn(carry):
             idx, bs, nb, nsg, nl, closest, besti, rest = carry
-            nl = nl + 1
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
             c_blk = c if cpb == 1 else c >> log2cpb
             brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
-            dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
-            dma.start()
-            dma.wait()
 
-            def tri(w, st):
-                closest, besti, rest = st
-                bu, bv = rest
-                t, u, v, bad = _mt_scalar_tri(
-                    blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
-                    closest)
-                won = jnp.logical_not(bad)
-                closest = jnp.where(won, t, closest)
-                besti = jnp.where(won, c * width + w, besti)
-                bu = jnp.where(won, u, bu)
-                bv = jnp.where(won, v, bv)
-                # normals/texcoords/mesh-id are NOT captured here: they
-                # are pure functions of the winning tri id, fetched by
-                # one row gather after the kernel (~10 tile-ops/tri saved)
-                return (closest, besti, (bu, bv))
+            def do_mt(st):
+                dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
+                dma.start()
+                dma.wait()
 
-            st = (closest, besti, rest)
-            if unroll:
-                # full unroll: w becomes a Python constant, so every
-                # scalar SMEM index in the MT body is compile-time
-                # static and Mosaic can pipeline across triangles
-                for w in range(width):
-                    st = tri(w, st)
+                def tri(w, st):
+                    closest, besti, rest = st
+                    bu, bv = rest
+                    t, u, v, bad = _mt_scalar_tri(
+                        blk, brow, w, stride, o1, o2, o3, d1, d2, d3,
+                        t_min, closest, approx_recip)
+                    won = jnp.logical_not(bad)
+                    closest = jnp.where(won, t, closest)
+                    besti = jnp.where(won, c * width + w, besti)
+                    bu = jnp.where(won, u, bu)
+                    bv = jnp.where(won, v, bv)
+                    # normals/texcoords/mesh-id are NOT captured here:
+                    # they are pure functions of the winning tri id,
+                    # fetched by one row gather after the kernel (~10
+                    # tile-ops/tri saved)
+                    return (closest, besti, (bu, bv))
+
+                if unroll:
+                    # full unroll: w becomes a Python constant, so every
+                    # scalar SMEM index in the MT body is compile-time
+                    # static and Mosaic can pipeline across triangles
+                    for w in range(width):
+                        st = tri(w, st)
+                else:
+                    st = jax.lax.fori_loop(0, width, tri, st)
+                return st
+
+            if leaf_cull:
+                # stale-leaf re-test: by pop time, `closest` has often
+                # shrunk below this cluster's box (a nearer leaf was
+                # processed first under near-first ordering). One slab
+                # test of the cluster's OWN box (row idx) + a vote
+                # (~30 ops) skips the ~width*40-op MT loop for dead
+                # leaves. Same conservative-slab criterion the vote
+                # used, so results are exactly unchanged.
+                lb = _node_box(smem_nodes, top_rows, nodes, ntab, idx,
+                               quant, qscal)
+                lhit = _slab(lb, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                             closest)
+                alive = jnp.sum((lhit < closest).astype(jnp.int32),
+                                dtype=jnp.int32) > 0
+                nl = nl + alive.astype(jnp.int32)
+                closest, besti, rest = jax.lax.cond(
+                    alive, do_mt, lambda st: st, (closest, besti, rest))
             else:
-                st = jax.lax.fori_loop(0, width, tri, st)
-            closest, besti, rest = st
+                nl = nl + 1
+                closest, besti, rest = do_mt((closest, besti, rest))
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
@@ -494,12 +656,12 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                    cl_first, width, stride, cpb, t_min,
-                   unroll, smem_nodes, top_rows):
-    if top_rows:
-        nodes_top, blocks, occ_out, cnt_out = rest
-    else:
-        nodes_top = None
-        blocks, occ_out, cnt_out = rest
+                   unroll, smem_nodes, top_rows, quant=False, qparams=None,
+                   leaf_cull=True, approx_recip=False):
+    rest = list(rest)
+    nodes_top = rest.pop(0) if top_rows else None
+    qp = rest.pop(0) if quant else None
+    blocks, occ_out, cnt_out = rest
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
     def scoped(blk, sem, ntab=None):
@@ -511,6 +673,12 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             nd = pltpu.make_async_copy(nodes_top, ntab, sem)
             nd.start()
             nd.wait()
+        if quant:
+            # read the 6 dequant scalars once; they stay in registers
+            # across the whole traversal
+            qscal = tuple(qp[i] for i in range(6))
+        else:
+            qscal = None
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -527,7 +695,8 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         def node_fn(carry):
             idx, bs, nb, nsg, nl, closest, occ, ndone = carry
             l = idx * 2
-            bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l)
+            bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
+                                  quant, qscal)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
             rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
                          closest)
@@ -539,35 +708,52 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
         def leaf_fn(carry):
             idx, bs, nb, nsg, nl, closest, occ, ndone = carry
-            nl = nl + 1
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
             c_blk = c if cpb == 1 else c >> log2cpb
             brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
-            dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
-            dma.start()
-            dma.wait()
 
-            def tri(w, st):
-                closest, occ = st
-                t, u, v, bad = _mt_scalar_tri(
-                    blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
-                    closest)
-                hit = jnp.logical_not(bad)
-                occ = jnp.where(hit, jnp.int32(1), occ)
-                # any-hit early-out (kernels.cu:207): retire the lane so
-                # it stops voting for nodes
-                closest = jnp.where(hit, jnp.float32(-1e30), closest)
-                return closest, occ
+            def do_mt(st):
+                dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
+                dma.start()
+                dma.wait()
 
-            st = (closest, occ)
-            if unroll:
-                for w in range(width):
-                    st = tri(w, st)
+                def tri(w, st):
+                    closest, occ = st
+                    t, u, v, bad = _mt_scalar_tri(
+                        blk, brow, w, stride, o1, o2, o3, d1, d2, d3,
+                        t_min, closest, approx_recip)
+                    hit = jnp.logical_not(bad)
+                    occ = jnp.where(hit, jnp.int32(1), occ)
+                    # any-hit early-out (kernels.cu:207): retire the
+                    # lane so it stops voting for nodes
+                    closest = jnp.where(hit, jnp.float32(-1e30), closest)
+                    return closest, occ
+
+                if unroll:
+                    for w in range(width):
+                        st = tri(w, st)
+                else:
+                    st = jax.lax.fori_loop(0, width, tri, st)
+                return st
+
+            if leaf_cull:
+                # stale-leaf re-test (see _kernel_nearest): retired
+                # lanes (closest < 0) never pass the slab, so culling
+                # gets more aggressive as the packet retires
+                lb = _node_box(smem_nodes, top_rows, nodes, ntab, idx,
+                               quant, qscal)
+                lhit = _slab(lb, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                             closest)
+                alive = jnp.sum((lhit < closest).astype(jnp.int32),
+                                dtype=jnp.int32) > 0
+                nl = nl + alive.astype(jnp.int32)
+                closest, occ = jax.lax.cond(
+                    alive, do_mt, lambda st: st, (closest, occ))
             else:
-                st = jax.lax.fori_loop(0, width, tri, st)
-            closest, occ = st
+                nl = nl + 1
+                closest, occ = do_mt((closest, occ))
             # retired == closest < 0 (covers inert padding lanes too)
             ndone = jnp.all(closest < 0.0).astype(jnp.int32)
             m = jnp.where(bs > 0, _ctz32(bs), 0)
@@ -608,13 +794,16 @@ def _pad_rays(a, fill, n_pad):
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "rows", "stride",
                                              "cpb", "smem_nodes",
-                                             "top_rows"))
+                                             "top_rows", "quant",
+                                             "leaf_cull",
+                                             "approx_recip"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
                  stride: int = 128, cpb: int = 1,
                  smem_nodes: bool = False, top_rows: int = 0,
-                 nodes_top=None):
+                 nodes_top=None, quant: bool = False, qparams=None,
+                 leaf_cull: bool = False, approx_recip: bool = False):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -634,7 +823,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
         _pad_rays(direction.z, 0.0, n_pad),
         _pad_rays(t_max_b, 0.0, n_pad),  # pad lanes: closest=0 -> inert
         nodes,
-    ] + ([nodes_top] if top_rows else []) + [blocks]
+    ] + ([nodes_top] if top_rows else []) \
+      + ([qparams] if quant else []) + [blocks]
     n_packets = n_pad // (rows * 128)
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -645,11 +835,17 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                                  memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     extra = [pl.BlockSpec(memory_space=pltpu.HBM)] if top_rows else []
+    if quant:
+        # dequant scales/offsets ride in SMEM (they are device values —
+        # the table is built inside jit where no static floats exist)
+        extra = extra + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     tri, feat, cnt = pl.pallas_call(
         functools.partial(_kernel_nearest, cl_first=cl_first, width=width,
                           stride=stride, cpb=cpb, t_min=float(t_min),
                           unroll=not interpret, smem_nodes=smem_nodes,
-                          top_rows=top_rows),
+                          top_rows=top_rows, quant=quant,
+                          leaf_cull=leaf_cull,
+                          approx_recip=approx_recip),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec,
@@ -688,12 +884,15 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
                                              "interpret", "rows", "stride",
                                              "cpb", "smem_nodes",
-                                             "top_rows"))
+                                             "top_rows", "quant",
+                                             "leaf_cull",
+                                             "approx_recip"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
                     smem_nodes: bool = False, top_rows: int = 0,
-                    nodes_top=None):
+                    nodes_top=None, quant: bool = False, qparams=None,
+                 leaf_cull: bool = False, approx_recip: bool = False):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single, leaf_visits) scalar telemetry)."""
     n = origin.x.shape[0]
@@ -708,7 +907,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         # pad lanes: closest<0 -> retired immediately, vote all-done
         _pad_rays(t_max_b, -1.0, n_pad),
         nodes,
-    ] + ([nodes_top] if top_rows else []) + [blocks]
+    ] + ([nodes_top] if top_rows else []) \
+      + ([qparams] if quant else []) + [blocks]
     n_packets = n_pad // (rows * 128)
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -719,11 +919,17 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                                  memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     extra = [pl.BlockSpec(memory_space=pltpu.HBM)] if top_rows else []
+    if quant:
+        # dequant scales/offsets ride in SMEM (they are device values —
+        # the table is built inside jit where no static floats exist)
+        extra = extra + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     occ, cnt = pl.pallas_call(
         functools.partial(_kernel_shadow, cl_first=cl_first, width=width,
                           stride=stride, cpb=cpb, t_min=float(t_min),
                           unroll=not interpret, smem_nodes=smem_nodes,
-                          top_rows=top_rows),
+                          top_rows=top_rows, quant=quant,
+                          leaf_cull=leaf_cull,
+                          approx_recip=approx_recip),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec, ray_spec),

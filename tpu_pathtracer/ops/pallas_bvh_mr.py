@@ -75,7 +75,7 @@ class PacketMR(NamedTuple):
 def build_packet_mr(mesh: MeshData, max_width: int = 128) -> PacketMR:
     """Derive the multirow tables from MeshData (same clustering rules as
     build_packet_mesh; see that builder for the width/cl_first math)."""
-    pm = build_packet_mesh(mesh, max_width=max_width)
+    pm = build_packet_mesh(mesh, max_width=max_width, quant_nodes=False)
     if pm.cpb != 1 or pm.stride != 128 or pm.width > 128:
         raise ValueError("multirow kernel needs the component-per-row "
                          "block layout (width <= 128, cpb == 1)")

@@ -86,8 +86,10 @@ def build_packet_mx(mesh: MeshData, max_width: int = 128,
     """Build the MXU leaf blocks on top of ``build_packet_mesh``'s node
     tables / exact blocks. G column groups (width w each): A, T, U, V
     (V pre-negated so the kernel's v = V·f needs no sign flip)."""
+    # the MX kernel reads the node table as f32 scalars — never quantized
     pm = build_packet_mesh(mesh, max_width=max_width,
-                           smem_budget_floats=smem_budget_floats)
+                           smem_budget_floats=smem_budget_floats,
+                           quant_nodes=False)
     w = pm.width
     C = pm.cl_first
     # recenter about the root bounds (row 1 of the implicit heap)
