@@ -40,17 +40,23 @@ class ImageGateError(AssertionError):
     """Deterministic radiance mismatch vs a committed golden."""
 
 
-def _gate(name, img):
+def _gate(name, img, ny=None, nx=None):
     """On-hardware image gate (VERDICT r2 item 7): compare a 128x128
     center crop of the *linear mean radiance* image against a committed
     golden (reference mechanism: main.cpp:117-126). A perf change that
     shifts radiance fails the bench loudly instead of shipping a wrong
     image under a green timing. Set BENCH_STORE_REF=1 to (re)generate
-    goldens after an intentional radiance change."""
+    goldens after an intentional radiance change.
+
+    ``img`` may be the engine's FLAT [npixels, 3] framebuffer
+    (normalize=False) — pass ny/nx to recover the spatial layout, or
+    a 3-D [ny, nx, 3] image directly."""
     import numpy as np
 
     from tpu_pathtracer.utils.golden import (load_reference, rmse,
                                              save_reference)
+    if img.ndim == 2:
+        img = np.asarray(img).reshape(ny, nx, 3)
     ny, nx = img.shape[:2]
     cy, cx = ny // 2, nx // 2
     crop = np.ascontiguousarray(
@@ -143,7 +149,7 @@ def bench_headline():
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=50)
     scene, cam = random_spheres_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 100, 100)
-    _gate("spheres_100spp", img)
+    _gate("spheres_100spp", img, cfg.ny, cfg.nx)
     rpp = _rays_per_path(scene, cam, cfg)
     paths = cfg.num_pixels * cfg.ns
     mrays = paths * rpp / elapsed / 1e6
@@ -164,7 +170,7 @@ def bench_staircase():
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=64)
     scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 100, BATCH)  # ~6 s/batch
-    _gate("staircase_toy_100spp", img)
+    _gate("staircase_toy_100spp", img, cfg.ny, cfg.nx)
     print(f"staircase-toy 1200x800@100spp: {elapsed:.3f} s "
           f"(mean={img.mean():.4f})", file=sys.stderr)
     return elapsed
@@ -179,7 +185,7 @@ def bench_staircase_hires():
     scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=64,
                                             sub=20)
     elapsed, img = _render_batched(scene, cam, cfg, 2, 2)
-    _gate("staircase_hires_2spp", img)
+    _gate("staircase_hires_2spp", img, 800, 1200)
     print(f"staircase-hires 154k 1200x800@2spp (packet BVH): "
           f"{elapsed:.3f} s ({elapsed / 2 * 1e3:.0f} ms/spp, "
           f"mean={img.mean():.4f})", file=sys.stderr)
@@ -194,7 +200,7 @@ def bench_knot():
                        rays_per_chunk=65536)
     scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 16, 16)
-    _gate("knot_16spp", img)
+    _gate("knot_16spp", img, cfg.ny, cfg.nx)
     print(f"knot-102k 512x512@16spp (packet BVH): {elapsed:.3f} s "
           f"(mean={img.mean():.4f})", file=sys.stderr)
     return elapsed

@@ -23,7 +23,7 @@ from tpu_pathtracer.utils.golden import rmse, ssim
 print("devices:", jax.devices(), flush=True)
 
 
-def run(name, scene, cam, cfg, ns):
+def run(name, scene, cam, cfg, ns):  # noqa: D103 — cfg gives ny/nx
     imgs = {}
     for fm in (False, True):
         c = cfg.replace(fast_math=fm)
@@ -35,7 +35,7 @@ def run(name, scene, cam, cfg, ns):
                                normalize=False)
         fb.block_until_ready()
         per = (time.perf_counter() - t0) / ns
-        imgs[fm] = np.asarray(fb) / (ns + 1)
+        imgs[fm] = np.asarray(fb).reshape(cfg.ny, cfg.nx, 3) / (ns + 1)
         print(f"{name} fast_math={fm}: {per * 1e3:7.1f} ms/spp "
               f"(mean={imgs[fm].mean():.5f})", flush=True)
     r = rmse(imgs[True], imgs[False])

@@ -60,6 +60,11 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float | None = None) -> float
         w = np.array([0.2126, 0.7152, 0.0722])
         a = a @ w
         b = b @ w
+    if a.ndim != 2 or min(a.shape) < 8:
+        # a flat [npixels, 3] framebuffer silently yields empty 8x8
+        # windows (nan) — demand a spatial image
+        raise ValueError(f"ssim needs a [ny, nx(, 3)] image >= 8px a "
+                         f"side, got {a.shape}")
     if data_range is None:
         data_range = max(a.max() - a.min(), b.max() - b.min(), 1e-12)
     c1 = (0.01 * data_range) ** 2
