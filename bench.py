@@ -180,8 +180,7 @@ def bench_staircase_hires():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.mesh import procedural_staircase_scene
 
-    cfg = RenderConfig(nx=1200, ny=800, ns=2, max_depth=64,
-                       rays_per_chunk=65536)
+    cfg = RenderConfig(nx=1200, ny=800, ns=2, max_depth=64)
     scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=64,
                                             sub=20)
     elapsed, img = _render_batched(scene, cam, cfg, 2, 2)
@@ -196,8 +195,7 @@ def bench_knot():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.shapes import knot_zoo_scene
 
-    cfg = RenderConfig(nx=512, ny=512, ns=16, max_depth=50, textures=False,
-                       rays_per_chunk=65536)
+    cfg = RenderConfig(nx=512, ny=512, ns=16, max_depth=50, textures=False)
     scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 16, 16)
     _gate("knot_16spp", img, cfg.ny, cfg.nx)

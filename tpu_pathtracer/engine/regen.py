@@ -48,13 +48,16 @@ def _pool_size(config: RenderConfig, num_pixels: int,
     per-iteration overheads stay negligible down to ~8k lanes.
 
     On the packet-BVH path the optimum flips: per-dispatch kernel
-    overhead is amortized over whole 1024-ray packets, and the pool
-    sweep (PERFORMANCE.md) measured 64k lanes ~40% faster than 16k, so
-    auto defaults to 64k there."""
+    overhead is amortized over whole 1024-ray packets, and a bigger
+    sort window makes denser key-neighborhoods per packet — the pool
+    sweeps (PERFORMANCE.md; experiments/sort_ab.py) measured 64k lanes
+    ~40% faster than 16k and 128k another 7% over 64k (212 vs 228
+    ms/spp on the knot), with ≥256k regressing on HBM carry spill, so
+    auto defaults to 128k there."""
     if config.rays_per_chunk:
         m = config.rays_per_chunk
     elif scene is not None and _use_packet(scene, config):
-        m = 1 << 16
+        m = 1 << 17
     else:
         m = 1 << 14
     return int(min(m, num_pixels))
