@@ -176,6 +176,23 @@ def bench_staircase():
     return elapsed
 
 
+def bench_dragon():
+    """Dragon-class large mesh: 872k-tri knot at 512x512 (the reference's
+    own model-zoo headline row is the 871k-tri dragon, TODO.txt:288 —
+    ~24 ms/spp on a GTX 1050)."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+
+    cfg = RenderConfig(nx=512, ny=512, ns=4, max_depth=50, textures=False)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=1664, nv=262)
+    elapsed, img = _render_batched(scene, cam, cfg, 4, 2)
+    _gate("dragon_4spp", img, cfg.ny, cfg.nx)
+    print(f"dragon-class 872k 512x512@4spp (packet BVH): {elapsed:.3f} s "
+          f"({elapsed / 4 * 1e3:.0f} ms/spp, mean={img.mean():.4f})",
+          file=sys.stderr)
+    return elapsed / 4
+
+
 def bench_staircase_hires():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.mesh import procedural_staircase_scene
@@ -222,6 +239,11 @@ def main():
         extra["zoo_knot_102k_512_16spp_s"] = round(_retry(bench_knot), 4)
     except Exception as e:
         print(f"knot bench failed: {e!r}"[:200], file=sys.stderr)
+    try:
+        extra["dragon_872k_ms_per_spp"] = round(
+            _retry(bench_dragon) * 1e3, 1)
+    except Exception as e:
+        print(f"dragon bench failed: {e!r}"[:200], file=sys.stderr)
     try:
         s_per_spp = _retry(bench_staircase_hires)
         extra["staircase_hires_154k_s_per_spp"] = round(s_per_spp, 4)

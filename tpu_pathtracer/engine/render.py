@@ -151,7 +151,8 @@ class Renderer:
                 ("exceeded max bounce", s.exceed_max_bounce),
                 ("russian roulette", s.roulette_kill),
                 ("both nodes hit", s.nodes_both),
-                ("single node hit", s.nodes_single)]
+                ("single node hit", s.nodes_single),
+                ("leaf visits (pkt)", s.leaf_visits)]
         for name, v in rows:
             print(f" {name:20s}: {v}")
         if int(s.nans) > 0:

@@ -248,11 +248,15 @@ class Stats(NamedTuple):
     nans: jnp.ndarray
     nodes_both: jnp.ndarray
     nodes_single: jnp.ndarray
+    # 19th counter, ours: leaf-cluster visits on the packet kernels
+    # (0 on the jnp/brute paths) — the phase-split telemetry that says
+    # whether a frame is node- or leaf-dominated (PERFORMANCE.md r3)
+    leaf_visits: jnp.ndarray
 
     @staticmethod
     def zeros() -> "Stats":
         z = jnp.zeros((), jnp.int32)
-        return Stats(*([z] * 18))
+        return Stats(*([z] * 19))
 
 
 # ---------------------------------------------------------------------------
@@ -526,7 +530,7 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
     cols = MatCols.zeros(n)
     tex_u = jnp.zeros((n,))
     tex_v = jnp.zeros((n,))
-    node_counts = (jnp.int32(0), jnp.int32(0))
+    node_counts = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     # Analytic geometry first (spheres + plane are O(1) per lane), so
     # their best t SEEDS the expensive mesh traversal: the kernels'
     # strictly-closer tests then cull every node/leaf beyond the floor
@@ -611,7 +615,7 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
         else:
             res = _mesh_nearest(scene, view, config, origin, direction, eps,
                                 t_ray_max)
-            node_counts = (res.nodes_both, res.nodes_single)
+            node_counts = (res.nodes_both, res.nodes_single, jnp.int32(0))
             hit = res.tri_id >= 0
             tri = jnp.maximum(res.tri_id, 0)
             e1 = V3(view.tri_e1.x[tri], view.tri_e1.y[tri],
@@ -657,10 +661,11 @@ def occluded(scene: Scene, view: SceneView, config: RenderConfig,
              origin: V3, direction: V3, t_max: jnp.ndarray) -> jnp.ndarray:
     """Shadow-ray occlusion (any-hit). The reference occludes only against
     the triangle mesh (kernels.cu:340); analytic scenes use their spheres
-    as the occluder set. Returns (occluded, (nodes_both, nodes_single))."""
+    as the occluder set. Returns (occluded, (nodes_both, nodes_single,
+    leaf_visits))."""
     n = origin.x.shape[0]
     occ = jnp.zeros((n,), bool)
-    node_counts = (jnp.int32(0), jnp.int32(0))
+    node_counts = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     if scene.has_mesh:
         if view.packet is not None:
             mesh_occ, node_counts = _packet_shadow(
@@ -679,7 +684,7 @@ def occluded(scene: Scene, view: SceneView, config: RenderConfig,
         else:
             res = _mesh_nearest(scene, view, config, origin, direction,
                                 config.epsilon, t_max, is_shadow=True)
-            node_counts = (res.nodes_both, res.nodes_single)
+            node_counts = (res.nodes_both, res.nodes_single, jnp.int32(0))
             occ = occ | (res.tri_id >= 0)
     if scene.has_spheres:
         if _on_tpu(config):
@@ -807,7 +812,8 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
                                  alive & state.from_mesh),
             low_power=count(stats.low_power, low),
             nodes_both=stats.nodes_both + node_counts[0],
-            nodes_single=stats.nodes_single + node_counts[1])
+            nodes_single=stats.nodes_single + node_counts[1],
+            leaf_visits=stats.leaf_visits + node_counts[2])
         if scene.has_mesh:
             # global mesh-bbox reject accounting (hitMesh,
             # kernels.cu:298-300)
@@ -895,7 +901,8 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
                 shadows=count(stats.shadows, nee_mask),
                 shadows_nohit=count(stats.shadows_nohit, lit),
                 nodes_both=stats.nodes_both + sh_counts[0],
-                nodes_single=stats.nodes_single + sh_counts[1])
+                nodes_single=stats.nodes_single + sh_counts[1],
+                leaf_visits=stats.leaf_visits + sh_counts[2])
             if scene.has_mesh:
                 sbb = _mesh_bbox_hit(scene, new_origin, sdir, ldist)
                 stats = stats._replace(
