@@ -27,15 +27,7 @@ from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh, packet_trace
 from tpu_pathtracer.ops.v3 import V3
 from tpu_pathtracer.ops.vec import FLT_MAX
 
-argv = sys.argv[1:]
-kw = {}
-if argv and argv[0] == "--dragon":
-    kw = {"nu": 1664, "nv": 262}
-    argv = argv[1:]
-widths = [int(w) for w in argv] or [32, 64]
 n = 131072
-
-print("devices:", jax.devices(), flush=True)
 
 
 def sort_rays(scene, origin, direction):
@@ -57,7 +49,7 @@ def bounce_rays(scene):
     """Diffuse bounce stand-ins: origins on random surface points,
     cosine-hemisphere directions around the face normal."""
     mesh = scene.mesh
-    nt = int(mesh.v0.shape[0])
+    nt = int(mesh.num_tris)  # not shape[0]: padded slots hold NaN verts
     rng = np.random.default_rng(7)
     ti = rng.integers(0, nt, n)
     v0 = np.asarray(mesh.v0)[ti]
@@ -86,13 +78,14 @@ def bounce_rays(scene):
     return sort_rays(scene, origin, direction)
 
 
-def timed(pm, o0, d0):
-    def trace(o):
-        return packet_trace(
-            o, d0, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat, pm.cl_first,
-            pm.width, 1e-3, stride=pm.stride, cpb=pm.cpb,
-            smem_nodes=pm.smem_nodes, top_rows=pm.top_rows,
-            nodes_top=pm.nodes_top, quant=pm.quant, qparams=pm.qparams)
+def timed(pm, o0, d0, trace=None):
+    if trace is None:
+        def trace(o):
+            return packet_trace(
+                o, d0, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat,
+                pm.cl_first, pm.width, 1e-3, stride=pm.stride, cpb=pm.cpb,
+                smem_nodes=pm.smem_nodes, top_rows=pm.top_rows,
+                nodes_top=pm.nodes_top, quant=pm.quant, qparams=pm.qparams)
 
     @jax.jit
     def run(steps, perturb):
@@ -122,6 +115,17 @@ def timed(pm, o0, d0):
     leafs = float(cnt[2]) / packets
     return per, steps, leafs
 
+
+if __name__ != "__main__":
+    widths = []
+else:
+    argv = sys.argv[1:]
+    kw = {}
+    if argv and argv[0] == "--dragon":
+        kw = {"nu": 1664, "nv": 262}
+        argv = argv[1:]
+    widths = [int(w) for w in argv] or [32, 64]
+    print("devices:", jax.devices(), flush=True)
 
 for w in widths:
     scene, cam = knot_zoo_scene(512, 512, prims_per_leaf=w, **kw)

@@ -79,6 +79,43 @@ def test_packet_trace_exact_vs_brute_force():
     np.testing.assert_allclose(np.asarray(tv)[hit], tv_ref[hit], atol=1e-5)
 
 
+def test_packet_quad_and_fused_variants_bit_identical():
+    """The 4-ary grandchild step and the fused node->leaf body change
+    loop structure only: every output must be bit-identical to the
+    binary/unfused kernel (same leaf set, same per-leaf MT order)."""
+    mesh = _mesh(t=4000, seed=11, ppl=16)
+    pm = build_packet_mesh(mesh)
+    assert pm.smem_nodes and pm.cl_first >= 8  # quad path engages
+    o, d, ov, dv = _rays(700, seed=12)
+
+    def run(**kw):
+        outs, _ = packet_trace(
+            ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat,
+            pm.cl_first, pm.width, 1e-3, interpret=True,
+            stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes, **kw)
+        return [np.asarray(x) for x in outs]
+
+    base = run(fused=False, quad=False)
+    for kw in ({"fused": True, "quad": False},
+               {"fused": False, "quad": True},
+               {"fused": True, "quad": True}):
+        got = run(**kw)
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(b, g, err_msg=str(kw))
+
+    tmax = 15.0
+    occ_base, _ = packet_occluded(
+        ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
+        interpret=True, stride=pm.stride, cpb=pm.cpb,
+        smem_nodes=pm.smem_nodes, fused=False, quad=False)
+    occ_quad, _ = packet_occluded(
+        ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
+        interpret=True, stride=pm.stride, cpb=pm.cpb,
+        smem_nodes=pm.smem_nodes, fused=True, quad=True)
+    np.testing.assert_array_equal(np.asarray(occ_base),
+                                  np.asarray(occ_quad))
+
+
 def test_packet_occluded_matches_nearest():
     mesh = _mesh(t=1500, seed=3)
     pm = build_packet_mesh(mesh)

@@ -354,6 +354,111 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     return new_idx, new_bs, both, single
 
 
+def _pop(idx, bs):
+    """Bitstack pop (kernels.cu:148-152): ascend to the lowest pending
+    level's sibling; (0, bs) when the stack is empty ends traversal."""
+    m = jnp.where(bs > 0, _ctz32(bs), 0)
+    return (idx >> m) ^ 1, (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
+
+
+def _advance4(idx, bs, ha, hb, hc, hd, closest):
+    """Two-level traversal step over the four GRANDCHILDREN of ``idx``
+    (heap rows 4idx..4idx+3: a,b under child 2idx; c,d under 2idx+1).
+    Descends straight to the majority-nearest hit grandchild, pushing
+    one pending bit per skipped level — the binary bitstack's pop
+    reconstruction ((idx>>m)^1) is exactly right for both: popping the
+    level-2 bit lands on the grandchild's pair partner, the level-1 bit
+    on the uncle (which then re-tests its two children; redundant but
+    conservative-correct). One scalar round trip covers two levels.
+
+    The grandchild boxes are subsets of the skipped child boxes, so
+    testing them directly is tighter than the two-step binary descent —
+    never more subtree visits, same leaf set, same per-leaf MT order.
+    """
+    a_i = (ha < closest).astype(jnp.int32)
+    b_i = (hb < closest).astype(jnp.int32)
+    c_i = (hc < closest).astype(jnp.int32)
+    d_i = (hd < closest).astype(jnp.int32)
+    assert ha.size < 32768, "packed vote fields overflow"
+    pk1 = jnp.sum(a_i + (b_i << 16), dtype=jnp.int32)
+    pk2 = jnp.sum(c_i + (d_i << 16), dtype=jnp.int32)
+    # near-first majorities: subtree L vs R by min grandchild entry,
+    # then within each pair; the three +/-1 votes ride one packed sum
+    # (biased by +1/lane so the 16-bit fields stay unsigned; the n-lane
+    # bias cancels in the sign test: sum(v+1) > n  <=>  sum(v) > 0)
+    minl = jnp.minimum(ha, hb)
+    minr = jnp.minimum(hc, hd)
+    n_lanes = ha.size
+    p_lr = jnp.where((minl < closest) & (minr < closest),
+                     jnp.where(minr < minl, 2, 0), 1)
+    p_ab = jnp.where((ha < closest) & (hb < closest),
+                     jnp.where(hb < ha, 2, 0), 1)
+    p_cd = jnp.where((hc < closest) & (hd < closest),
+                     jnp.where(hd < hc, 2, 0), 1)
+    pk3 = jnp.sum(p_lr + (p_ab << 16), dtype=jnp.int32)
+    s_cd = jnp.sum(p_cd, dtype=jnp.int32)
+    va = (pk1 & 0xFFFF) > 0
+    vb = (pk1 >> 16) > 0
+    vc = (pk2 & 0xFFFF) > 0
+    vd = (pk2 >> 16) > 0
+    swap_lr = (pk3 & 0xFFFF) > n_lanes
+    swap_ab = (pk3 >> 16) > n_lanes
+    swap_cd = s_cd > n_lanes
+    vl = va | vb
+    vr = vc | vd
+
+    # level-1 choice: R first iff both subtrees hit and majority prefers
+    # R, or only R hit
+    go_r = jnp.where(vl & vr, swap_lr, vr)
+    uncle = vl & vr
+    # level-2 choice within the chosen pair
+    v0 = jnp.where(go_r, vc, va)
+    v1 = jnp.where(go_r, vd, vb)
+    swap_p = jnp.where(go_r, swap_cd, swap_ab)
+    sib = v0 & v1
+    k_pair = jnp.where(sib, swap_p.astype(jnp.int32),
+                       v1.astype(jnp.int32))
+    new_idx_d = idx * 4 + go_r.astype(jnp.int32) * 2 + k_pair
+    new_bs_d = (((bs << jnp.uint32(1))
+                 | uncle.astype(jnp.uint32)) << jnp.uint32(1)) \
+        | sib.astype(jnp.uint32)
+
+    idx_p, bs_p = _pop(idx, bs)
+    any_hit = vl | vr
+    new_idx = jnp.where(any_hit, new_idx_d, idx_p)
+    new_bs = jnp.where(any_hit, new_bs_d, bs_p)
+    # telemetry: count the two covered levels' visit classes
+    nb_inc = uncle.astype(jnp.int32) + sib.astype(jnp.int32)
+    nsg_inc = ((vl ^ vr).astype(jnp.int32)
+               + (any_hit & (v0 ^ v1)).astype(jnp.int32))
+    return new_idx, new_bs, nb_inc, nsg_inc
+
+
+def _node_bounds4(ntab, g, quant=False, qparams=None):
+    """Four grandchildren boxes at rows ``g``..g+3 (g = 4*idx) from a
+    flat SMEM node table (f32 or quantized) — the quad step is only
+    enabled when the whole table rides SMEM."""
+    if quant:
+        sx, sy, sz, lox, loy, loz = qparams
+        b = g * 3
+        w = [ntab[b + i] for i in range(12)]
+
+        def dq(word, sh, s, o):
+            q = (word >> sh) & 0xFFFF if sh else word & 0xFFFF
+            return q.astype(jnp.float32) * s + o
+
+        def box(w0, w1, w2):
+            return (dq(w0, 0, sx, lox), dq(w0, 16, sy, loy),
+                    dq(w1, 0, sz, loz), dq(w1, 16, sx, lox),
+                    dq(w2, 0, sy, loy), dq(w2, 16, sz, loz))
+
+        return (box(w[0], w[1], w[2]), box(w[3], w[4], w[5]),
+                box(w[6], w[7], w[8]), box(w[9], w[10], w[11]))
+    b = g * 6
+    return tuple(tuple(ntab[b + 6 * k + i] for i in range(6))
+                 for k in range(4))
+
+
 def _node_bounds(smem_nodes, top_rows, nodes, ntab, l, quant=False,
                  qparams=None):
     """Both children's 6 scalar bounds for the parent whose children sit
@@ -445,6 +550,18 @@ def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows):
     pl.run_scoped(scoped, **kw)
 
 
+def _quad_step(ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
+               n1, n2, n3, quant, qscal):
+    """One 4-ary node step: slab-test the four grandchildren and advance
+    two levels (see _advance4)."""
+    ba, bb, bc, bd = _node_bounds4(ntab, idx * 4, quant, qscal)
+    ha = _slab(ba, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    hb = _slab(bb, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    hc = _slab(bc, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    hd = _slab(bd, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    return _advance4(idx, bs, ha, hb, hc, hd, closest)
+
+
 def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
                    closest, approx_recip=False):
     """Möller–Trumbore of one triangle (scalar comps from the SMEM block:
@@ -504,13 +621,17 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
 def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     cl_first, width, stride, cpb, t_min, unroll,
                     smem_nodes, top_rows, quant=False, qparams=None,
-                    leaf_cull=True, approx_recip=False):
+                    leaf_cull=True, approx_recip=False, fused=True,
+                    quad=True):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
+    # the 4-ary step reads grandchild rows from a flat SMEM table only
+    quad_ok = quad and (smem_nodes or quant) and not top_rows \
+        and cl_first >= 8
     def scoped(blk, sem, ntab=None):
         if smem_nodes:
             # node table -> SMEM once per packet: scalar loads beat VMEM
@@ -545,7 +666,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         shp = o1.shape
         zf = jnp.zeros(shp, jnp.float32)
 
-        def node_fn(carry):
+        def node_bin(carry):
             idx, bs, nb, nsg, nl, closest, besti, rest = carry
             l = idx * 2
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
@@ -558,6 +679,23 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
             return (new_idx, new_bs, nb, nsg, nl, closest, besti, rest)
+
+        def node_quad(carry):
+            idx, bs, nb, nsg, nl, closest, besti, rest = carry
+            new_idx, new_bs, nbi, nsgi = _quad_step(
+                ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
+                n1, n2, n3, quant, qscal)
+            return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
+                    besti, rest)
+
+        if quad_ok:
+            # 4-ary double step above the last interior level (children
+            # of the last level are leaves -> binary step handles them)
+            def node_fn(carry):
+                return jax.lax.cond(carry[0] < cl_first // 2, node_quad,
+                                    node_bin, carry)
+        else:
+            node_fn = node_bin
 
         def leaf_fn(carry):
             idx, bs, nb, nsg, nl, closest, besti, rest = carry
@@ -624,9 +762,22 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             new_idx = (idx >> m) ^ 1
             return (new_idx, new_bs, nb, nsg, nl, closest, besti, rest)
 
-        def body(carry):
-            return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
-                                carry)
+        if fused:
+            # fused body: a node step that lands on a leaf runs the MT
+            # visit in the SAME while iteration (the per-iteration
+            # scalar->vector round trip is the measured per-step cost
+            # floor — PERFORMANCE.md r3 phase split). Entering on a
+            # popped-to leaf skips the node step. Identical traversal
+            # order, fewer loop trips.
+            def body(carry):
+                carry = jax.lax.cond(carry[0] < cl_first, node_fn,
+                                     lambda c: c, carry)
+                return jax.lax.cond(carry[0] >= cl_first, leaf_fn,
+                                    lambda c: c, carry)
+        else:
+            def body(carry):
+                return jax.lax.cond(carry[0] >= cl_first, leaf_fn,
+                                    node_fn, carry)
 
         def cond(carry):
             return carry[0] > 0
@@ -657,13 +808,16 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                    cl_first, width, stride, cpb, t_min,
                    unroll, smem_nodes, top_rows, quant=False, qparams=None,
-                   leaf_cull=True, approx_recip=False):
+                   leaf_cull=True, approx_recip=False, fused=True,
+                   quad=True):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
     blocks, occ_out, cnt_out = rest
     rows_per_cluster = 16 * stride // 128
     log2cpb = cpb.bit_length() - 1
+    quad_ok = quad and (smem_nodes or quant) and not top_rows \
+        and cl_first >= 8
     def scoped(blk, sem, ntab=None):
         if smem_nodes:
             nd = pltpu.make_async_copy(nodes, ntab, sem)
@@ -692,7 +846,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         n2 = i2 < 0.0
         n3 = i3 < 0.0
 
-        def node_fn(carry):
+        def node_bin(carry):
             idx, bs, nb, nsg, nl, closest, occ, ndone = carry
             l = idx * 2
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
@@ -705,6 +859,21 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
             return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone)
+
+        def node_quad(carry):
+            idx, bs, nb, nsg, nl, closest, occ, ndone = carry
+            new_idx, new_bs, nbi, nsgi = _quad_step(
+                ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
+                n1, n2, n3, quant, qscal)
+            return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
+                    occ, ndone)
+
+        if quad_ok:
+            def node_fn(carry):
+                return jax.lax.cond(carry[0] < cl_first // 2, node_quad,
+                                    node_bin, carry)
+        else:
+            node_fn = node_bin
 
         def leaf_fn(carry):
             idx, bs, nb, nsg, nl, closest, occ, ndone = carry
@@ -761,9 +930,16 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             new_idx = (idx >> m) ^ 1
             return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone)
 
-        def body(carry):
-            return jax.lax.cond(carry[0] >= cl_first, leaf_fn, node_fn,
-                                carry)
+        if fused:
+            def body(carry):
+                carry = jax.lax.cond(carry[0] < cl_first, node_fn,
+                                     lambda c: c, carry)
+                return jax.lax.cond(carry[0] >= cl_first, leaf_fn,
+                                    lambda c: c, carry)
+        else:
+            def body(carry):
+                return jax.lax.cond(carry[0] >= cl_first, leaf_fn,
+                                    node_fn, carry)
 
         def cond(carry):
             return (carry[0] > 0) & (carry[7] == 0)
@@ -796,14 +972,16 @@ def _pad_rays(a, fill, n_pad):
                                              "cpb", "smem_nodes",
                                              "top_rows", "quant",
                                              "leaf_cull",
-                                             "approx_recip"))
+                                             "approx_recip", "fused",
+                                             "quad"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
                  stride: int = 128, cpb: int = 1,
                  smem_nodes: bool = False, top_rows: int = 0,
                  nodes_top=None, quant: bool = False, qparams=None,
-                 leaf_cull: bool = False, approx_recip: bool = False):
+                 leaf_cull: bool = False, approx_recip: bool = False,
+                 fused: bool = True, quad: bool = True):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -845,7 +1023,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                           unroll=not interpret, smem_nodes=smem_nodes,
                           top_rows=top_rows, quant=quant,
                           leaf_cull=leaf_cull,
-                          approx_recip=approx_recip),
+                          approx_recip=approx_recip, fused=fused,
+                          quad=quad),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec,
@@ -886,13 +1065,15 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                                              "cpb", "smem_nodes",
                                              "top_rows", "quant",
                                              "leaf_cull",
-                                             "approx_recip"))
+                                             "approx_recip", "fused",
+                                             "quad"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
                     smem_nodes: bool = False, top_rows: int = 0,
                     nodes_top=None, quant: bool = False, qparams=None,
-                 leaf_cull: bool = False, approx_recip: bool = False):
+                    leaf_cull: bool = False, approx_recip: bool = False,
+                    fused: bool = True, quad: bool = True):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single, leaf_visits) scalar telemetry)."""
     n = origin.x.shape[0]
@@ -929,7 +1110,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                           unroll=not interpret, smem_nodes=smem_nodes,
                           top_rows=top_rows, quant=quant,
                           leaf_cull=leaf_cull,
-                          approx_recip=approx_recip),
+                          approx_recip=approx_recip, fused=fused,
+                          quad=quad),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec, ray_spec),
