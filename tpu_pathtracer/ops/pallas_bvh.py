@@ -255,13 +255,16 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
             [cl, jnp.zeros((cl.shape[0], 16, w_pad - width), jnp.float32)],
             axis=2)
     # per-triangle feature rows: face normal e1×e2 (the same f32 edges the
-    # kernel sees — kernels.cu:336), texcoords, mesh id; padded to 16-wide
-    # rows (row width is free for TPU gathers up to 320 B)
+    # kernel sees — kernels.cu:336), texcoords, mesh id, plus v0/e1/e2 so
+    # the winner's u/v can be recomputed OUTSIDE the kernel (drops the
+    # per-triangle bu/bv selects from the hot MT loop); row width is
+    # free for TPU gathers up to 320 B
     tri_feat = jnp.stack(
         [nx, ny, nz] + [mesh.tex_coords[:, i] for i in range(6)]
-        + [mesh.mesh_id.astype(jnp.float32)], axis=1)
-    tri_feat = jnp.concatenate(
-        [tri_feat, jnp.zeros((tri_feat.shape[0], 6), jnp.float32)], axis=1)
+        + [mesh.mesh_id.astype(jnp.float32)]
+        + [jnp.where(sane, mesh.v0[:, i], 0.0) for i in range(3)]
+        + [e1[:, i] for i in range(3)]
+        + [e2[:, i] for i in range(3)], axis=1)
     nodes_top = (nodes[:top_rows].reshape(-1) if top_rows else None)
     return PacketMesh(nodes=nodes, blocks=blk, tri_feat=tri_feat,
                       cl_first=cl_first, width=width, stride=stride,
@@ -664,10 +667,9 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         n2 = i2 < 0.0
         n3 = i3 < 0.0
         shp = o1.shape
-        zf = jnp.zeros(shp, jnp.float32)
 
         def node_bin(carry):
-            idx, bs, nb, nsg, nl, closest, besti, rest = carry
+            idx, bs, nb, nsg, nl, closest, besti = carry
             l = idx * 2
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
                                   quant, qscal)
@@ -678,15 +680,15 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                                      closest, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
-            return (new_idx, new_bs, nb, nsg, nl, closest, besti, rest)
+            return (new_idx, new_bs, nb, nsg, nl, closest, besti)
 
         def node_quad(carry):
-            idx, bs, nb, nsg, nl, closest, besti, rest = carry
+            idx, bs, nb, nsg, nl, closest, besti = carry
             new_idx, new_bs, nbi, nsgi = _quad_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
-                    besti, rest)
+                    besti)
 
         if quad_ok:
             # 4-ary double step above the last interior level (children
@@ -698,7 +700,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             node_fn = node_bin
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, nl, closest, besti, rest = carry
+            idx, bs, nb, nsg, nl, closest, besti = carry
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
@@ -711,21 +713,18 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 dma.wait()
 
                 def tri(w, st):
-                    closest, besti, rest = st
-                    bu, bv = rest
+                    closest, besti = st
                     t, u, v, bad = _mt_scalar_tri(
                         blk, brow, w, stride, o1, o2, o3, d1, d2, d3,
                         t_min, closest, approx_recip)
                     won = jnp.logical_not(bad)
                     closest = jnp.where(won, t, closest)
                     besti = jnp.where(won, c * width + w, besti)
-                    bu = jnp.where(won, u, bu)
-                    bv = jnp.where(won, v, bv)
-                    # normals/texcoords/mesh-id are NOT captured here:
-                    # they are pure functions of the winning tri id,
-                    # fetched by one row gather after the kernel (~10
-                    # tile-ops/tri saved)
-                    return (closest, besti, (bu, bv))
+                    # normals/texcoords/mesh-id/u/v are NOT captured
+                    # here: they are pure functions of the winning tri
+                    # id, fetched by one row gather + recompute after
+                    # the kernel (~12 tile-ops/tri saved)
+                    return (closest, besti)
 
                 if unroll:
                     # full unroll: w becomes a Python constant, so every
@@ -752,15 +751,15 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 alive = jnp.sum((lhit < closest).astype(jnp.int32),
                                 dtype=jnp.int32) > 0
                 nl = nl + alive.astype(jnp.int32)
-                closest, besti, rest = jax.lax.cond(
-                    alive, do_mt, lambda st: st, (closest, besti, rest))
+                closest, besti = jax.lax.cond(
+                    alive, do_mt, lambda st: st, (closest, besti))
             else:
                 nl = nl + 1
-                closest, besti, rest = do_mt((closest, besti, rest))
+                closest, besti = do_mt((closest, besti))
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, nb, nsg, nl, closest, besti, rest)
+            return (new_idx, new_bs, nb, nsg, nl, closest, besti)
 
         if fused:
             # fused body: a node step that lands on a leaf runs the MT
@@ -782,11 +781,9 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         def cond(carry):
             return carry[0] > 0
 
-        rest0 = (zf, zf)
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32),
-                rest0)
-        _, _, nb, nsg, nl, closest, besti, rest = jax.lax.while_loop(
+                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32))
+        _, _, nb, nsg, nl, closest, besti = jax.lax.while_loop(
             cond, body, init)
         # per-packet telemetry at [0, 0..2]: both/single node steps and
         # leaf-cluster visits
@@ -796,11 +793,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             (ii == 0) & (jj == 0), nb,
             jnp.where((ii == 0) & (jj == 1), nsg,
                       jnp.where((ii == 0) & (jj == 2), nl, 0)))
-        bu, bv = rest
         tri_out[:, :] = besti
-        feat_out[0, :, :] = closest
-        feat_out[1, :, :] = bu
-        feat_out[2, :, :] = bv
+        feat_out[:, :] = closest
 
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows)
 
@@ -1027,13 +1021,9 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                           quad=quad),
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
-        out_specs=(ray_spec,
-                   pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM),
-                   ray_spec),
+        out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((3, n_pad // 128, 128),
-                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
         interpret=interpret,
         # the node table is the big VMEM item (2*cl_first rows: 1 MB at
@@ -1042,15 +1032,30 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     tri = tri.reshape(-1)[:n]
-    f = feat.reshape(3, -1)[:, :n]
+    t = feat.reshape(-1)[:n]
     nodes_both = cnt[::rows, 0].sum()
     nodes_single = cnt[::rows, 1].sum()
     leaf_visits = cnt[::rows, 2].sum()
-    t, u, v = f[0], f[1], f[2]
-    # winner features: one 16-wide row gather (free width on TPU)
+    # winner features: one 19-wide row gather (free width on TPU)
     fr = tri_feat[jnp.maximum(tri, 0)]
     nx, ny, nz = fr[:, 0], fr[:, 1], fr[:, 2]
     mid = fr[:, 9].astype(jnp.int32)
+    # winner u/v recomputed from the gathered v0/e1/e2 (same MT algebra
+    # the kernel ran; dropping the per-triangle bu/bv selects from the
+    # hot loop). Misses gather row 0 -> masked to 0 below.
+    hit = tri >= 0
+    a = -(direction.x * nx + direction.y * ny + direction.z * nz)
+    f_inv = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1.0, a)
+    sx = origin.x - fr[:, 10]
+    sy = origin.y - fr[:, 11]
+    sz = origin.z - fr[:, 12]
+    qx = sy * direction.z - sz * direction.y
+    qy = sz * direction.x - sx * direction.z
+    qz = sx * direction.y - sy * direction.x
+    u = f_inv * (qx * fr[:, 16] + qy * fr[:, 17] + qz * fr[:, 18])
+    v = -(f_inv * (qx * fr[:, 13] + qy * fr[:, 14] + qz * fr[:, 15]))
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
     # barycentric texcoord interpolation (kernels.cu:337-338), same op
     # order as the feat path in engine/wavefront.py
     w0 = 1.0 - u - v
