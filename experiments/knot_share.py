@@ -18,10 +18,17 @@ from tpu_pathtracer.config import RenderConfig
 from tpu_pathtracer.engine.regen import render_regen
 from tpu_pathtracer.models.shapes import knot_zoo_scene
 
-kw = {"nu": 1664, "nv": 262} if "--dragon" in sys.argv else {}
 print("devices:", jax.devices(), flush=True)
-cfg = RenderConfig(nx=512, ny=512, ns=4, max_depth=50, stats=True)
-scene, cam = knot_zoo_scene(512, 512, **kw)
+if "--stairs" in sys.argv:
+    from tpu_pathtracer.models.mesh import procedural_staircase_scene
+
+    cfg = RenderConfig(nx=1200, ny=800, ns=2, max_depth=64, stats=True)
+    scene, cam = procedural_staircase_scene(1200, 800, prims_per_leaf=64,
+                                            sub=20)
+else:
+    kw = {"nu": 1664, "nv": 262} if "--dragon" in sys.argv else {}
+    cfg = RenderConfig(nx=512, ny=512, ns=4, max_depth=50, stats=True)
+    scene, cam = knot_zoo_scene(512, 512, **kw)
 fn = jax.jit(lambda s, c, n: render_regen(s, c, cfg, ns=n))
 img, st = fn(scene, cam, jnp.uint32(1))
 jax.block_until_ready(img)

@@ -52,21 +52,21 @@ def run(name, make_scene, cfg, ns):
 if "knot" in which:
     run("knot-131k", lambda w: knot_zoo_scene(512, 512, prims_per_leaf=w),
         RenderConfig(nx=512, ny=512, ns=16, max_depth=50,
-                     rays_per_chunk=65536), 8)
+                     rays_per_chunk=0), 8)
 if "stairs" in which:
     run("stairs-154k",
         lambda w: procedural_staircase_scene(1200, 800, prims_per_leaf=w,
                                              sub=20),
         RenderConfig(nx=1200, ny=800, ns=4, max_depth=64,
-                     rays_per_chunk=65536), 2)
+                     rays_per_chunk=0), 2)
 if "dragon" in which:
     run("dragon-872k",
         lambda w: knot_zoo_scene(512, 512, prims_per_leaf=w, nu=1664,
                                  nv=262),
         RenderConfig(nx=512, ny=512, ns=4, max_depth=50,
-                     rays_per_chunk=65536), 2)
+                     rays_per_chunk=0), 2)
 if "terrain" in which:
     run("terrain-168k",
         lambda w: terrain_zoo_scene(512, 512, prims_per_leaf=w),
         RenderConfig(nx=512, ny=512, ns=8, max_depth=50,
-                     rays_per_chunk=65536), 4)
+                     rays_per_chunk=0), 4)
