@@ -206,7 +206,7 @@ def bench_terrain():
 
     cfg = RenderConfig(nx=512, ny=512, ns=8, max_depth=50, textures=False)
     scene, cam = terrain_zoo_scene(cfg.nx, cfg.ny)
-    elapsed, img = _render_batched(scene, cam, cfg, 8, 4)
+    elapsed, img = _render_batched(scene, cam, cfg, 8, 8)  # ~6 s, 1 dispatch
     _gate("terrain_8spp", img, cfg.ny, cfg.nx)
     print(f"terrain-168k 512x512@8spp (packet BVH): {elapsed:.3f} s "
           f"({elapsed / 8 * 1e3:.0f} ms/spp, mean={img.mean():.4f})",
