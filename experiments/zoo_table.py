@@ -19,7 +19,7 @@ def main():
     from tpu_pathtracer.models.shapes import model_zoo_scene
 
     cfg = RenderConfig(nx=512, ny=512, ns=spp, max_depth=50,
-                       textures=False, rays_per_chunk=65536)
+                       textures=False)
     for mat in ("coat", "diffuse", "glass", "sss"):
         scene, cam = model_zoo_scene(512, 512, material=mat, nu=96, nv=64)
         np.asarray(_render_regen_jit(scene, cam, cfg, jnp.uint32(1),

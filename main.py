@@ -37,10 +37,18 @@ def build(args):
     elif args.scene == "staircase-hires":
         # asset-scale tessellation (~154k tris) on the packet-BVH path
         scene, cam = mesh_scenes.procedural_staircase_scene(
-            cfg.nx, cfg.ny, prims_per_leaf=32, sub=20)
+            cfg.nx, cfg.ny, prims_per_leaf=64, sub=20)
     elif args.scene == "knot":
         from tpu_pathtracer.models.shapes import knot_zoo_scene
         scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)
+    elif args.scene == "dragon":
+        # dragon-class 872k-tri knot (TODO.txt:288 workload scale)
+        from tpu_pathtracer.models.shapes import knot_zoo_scene
+        scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=1664, nv=262)
+    elif args.scene == "terrain":
+        # irregular mesh: fBm terrain + thin-strut lattice (~168k tris)
+        from tpu_pathtracer.models.shapes import terrain_zoo_scene
+        scene, cam = terrain_zoo_scene(cfg.nx, cfg.ny)
     elif args.scene.endswith(".bvh"):
         scene, cam = mesh_scenes.load_staircase_scene(
             args.scene, args.texture_dir, cfg.nx, cfg.ny)
@@ -53,6 +61,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", default="staircase",
                    help="spheres | three-sphere | staircase | "
+                        "staircase-hires | knot | dragon | terrain | "
                         "zoo-{coat,diffuse,glass,sss} | path/to/file.obj | "
                         "path/to/file.bvh")
     p.add_argument("--texture-dir", default=None)
