@@ -269,9 +269,9 @@ def test_non_pow2_leaf_row_warns_and_falls_back():
 
 
 def test_auto_pool_size_on_packet_path():
-    """rays_per_chunk=0 auto-selects the 128k lane pool when the packet
+    """rays_per_chunk=0 auto-selects the 192k lane pool when the packet
     kernel is active (measured sweeps, PERFORMANCE.md +
-    experiments/sort_ab.py) and the 16k pool otherwise."""
+    experiments/pool_probe.py) and the 16k pool otherwise."""
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.engine.regen import _pool_size
     from tpu_pathtracer.models.presets import model_coat
@@ -282,7 +282,7 @@ def test_auto_pool_size_on_packet_path():
     big = RenderConfig(nx=512, ny=512, ns=1, packet_threshold=100,
                        force_feat_kernels=True)
     small = RenderConfig(nx=512, ny=512, ns=1, force_feat_kernels=True)
-    assert _pool_size(big, big.num_pixels, scene) == 1 << 17
+    assert _pool_size(big, big.num_pixels, scene) == 3 << 16
     assert _pool_size(small, small.num_pixels, scene) == 1 << 14
     override = RenderConfig(nx=512, ny=512, ns=1, packet_threshold=100,
                             force_feat_kernels=True, rays_per_chunk=4096)

@@ -50,14 +50,15 @@ def _pool_size(config: RenderConfig, num_pixels: int,
     On the packet-BVH path the optimum flips: per-dispatch kernel
     overhead is amortized over whole 1024-ray packets, and a bigger
     sort window makes denser key-neighborhoods per packet — the pool
-    sweeps (PERFORMANCE.md; experiments/sort_ab.py) measured 64k lanes
-    ~40% faster than 16k and 128k another 7% over 64k (212 vs 228
-    ms/spp on the knot), with ≥256k regressing on HBM carry spill, so
-    auto defaults to 128k there."""
+    sweeps (PERFORMANCE.md; experiments/sort_ab.py, pool_probe.py)
+    measured 64k lanes ~40% faster than 16k, 128k +7% over 64k, and —
+    after the round-3 carry diet — 192k another +9% (183 vs 201 ms/spp
+    on the knot), with 256k regressing again (carry spill), so auto
+    defaults to 192k there."""
     if config.rays_per_chunk:
         m = config.rays_per_chunk
     elif scene is not None and _use_packet(scene, config):
-        m = 1 << 17
+        m = 3 << 16
     else:
         m = 1 << 14
     return int(min(m, num_pixels))
