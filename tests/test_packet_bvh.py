@@ -270,8 +270,11 @@ def test_non_pow2_leaf_row_warns_and_falls_back():
 
 def test_auto_pool_size_on_packet_path():
     """rays_per_chunk=0 auto-selects the 192k lane pool when the packet
-    kernel is active (measured sweeps, PERFORMANCE.md +
+    kernel is active (128k when image textures are, their carry tips
+    192k into spill — measured sweeps, PERFORMANCE.md +
     experiments/pool_probe.py) and the 16k pool otherwise."""
+    import numpy as np
+
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.engine.regen import _pool_size
     from tpu_pathtracer.models.presets import model_coat
@@ -284,6 +287,12 @@ def test_auto_pool_size_on_packet_path():
     small = RenderConfig(nx=512, ny=512, ns=1, force_feat_kernels=True)
     assert _pool_size(big, big.num_pixels, scene) == 3 << 16
     assert _pool_size(small, small.num_pixels, scene) == 1 << 14
+    tex = make_scene(make_materials([model_coat()] * 5), mesh=mesh,
+                     tex_atlas=np.zeros((1, 2, 2, 3), np.float32),
+                     tex_width=[2], tex_height=[2])
+    assert _pool_size(big, big.num_pixels, tex) == 1 << 17
+    assert _pool_size(big.replace(textures=False), big.num_pixels,
+                      tex) == 3 << 16
     override = RenderConfig(nx=512, ny=512, ns=1, packet_threshold=100,
                             force_feat_kernels=True, rays_per_chunk=4096)
     assert _pool_size(override, override.num_pixels, scene) == 4096

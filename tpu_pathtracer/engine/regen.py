@@ -52,13 +52,18 @@ def _pool_size(config: RenderConfig, num_pixels: int,
     sort window makes denser key-neighborhoods per packet — the pool
     sweeps (PERFORMANCE.md; experiments/sort_ab.py, pool_probe.py)
     measured 64k lanes ~40% faster than 16k, 128k +7% over 64k, and —
-    after the round-3 carry diet — 192k another +9% (183 vs 201 ms/spp
-    on the knot), with 256k regressing again (carry spill), so auto
-    defaults to 192k there."""
+    after the round-3 carry diet — 192k another +6-9% (knot 183 vs
+    201, dragon 435 vs 466, stairs-notex 1295 vs 1355 ms/spp), with
+    256k regressing again (carry spill). EXCEPT with image textures
+    active: the texture path's per-iteration intermediates (atlas
+    gather + texcoords) tip the 192k carry into spill — textured
+    stairs measured 1584 (128k) vs 1742 (192k) — so the auto pool is
+    192k untextured, 128k textured."""
     if config.rays_per_chunk:
         m = config.rays_per_chunk
     elif scene is not None and _use_packet(scene, config):
-        m = 3 << 16
+        textured = config.textures and scene.tex_atlas is not None
+        m = (1 << 17) if textured else (3 << 16)
     else:
         m = 1 << 14
     return int(min(m, num_pixels))
