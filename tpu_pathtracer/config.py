@@ -101,7 +101,10 @@ class RenderConfig:
     # for deep/incoherent workloads.
     fast_math: bool = False  # opt-in approximate reciprocal in the
     # packet-kernel MT (~2^-14 rel on t/u/v; winner geometry stays
-    # exact). Gated by an SSIM >= 0.999 test vs the exact path.
+    # exact). Gated by an SSIM >= 0.999 test vs the exact path. The
+    # MXU sphere b/c-term variant (ops/pallas_spheres.py mx=True) is
+    # deliberately NOT on this flag: hardware A/B read 1.034x at SSIM
+    # 0.9934 — fails the gate for ~3% (PERFORMANCE.md round 3).
 
     @property
     def num_pixels(self) -> int:

@@ -541,6 +541,10 @@ def intersect_scene(scene: Scene, view: SceneView, config: RenderConfig,
     if scene.has_spheres:
         if _on_tpu(config):
             from tpu_pathtracer.ops.pallas_spheres import spheres_hit_feat
+            # NOTE: the MXU b/c-term variant (mx=True) was A/B'd on
+            # hardware and NOT wired to config.fast_math: 1.034x for
+            # SSIM 0.9934 vs the exact path — fails the >=0.999 gate
+            # for a ~3% win (PERFORMANCE.md round 3, VERDICT r2 item 9).
             st, sidx, f = spheres_hit_feat(origin, direction, view.sph_c,
                                            view.sph_r, view.sph_feat, eps,
                                            FLT_MAX, interpret=_interp(config))

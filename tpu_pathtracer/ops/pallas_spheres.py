@@ -88,9 +88,75 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, t_out, idx_out,
     idx_out[0, :] = i_best[:, 0]
 
 
+def _bc_mxu(o1, o2, o3, d1, d2, d3, cx, cy, cz, r2, s_pad,
+            exact_dot=False):
+    """Quadratic b/c terms for ALL spheres via the MXU (opt-in
+    ``fast_math``): b = o·d − c·d and |oc|² = |o|² − 2 o·c + |c|², where
+    the two ray×center contractions ride one matmul with a 2-term bf16
+    split per operand (3 passes — hi·hi + hi·lo + lo·hi; error ~|o||c|·
+    2⁻¹⁸ from the dropped lo·lo term and split rounding). Replaces ~10
+    of the ~23 per-pair VPU ops of the exact ``oc`` form. NOT bit-exact:
+    the expanded |oc|² cancels catastrophically for bounce origins near
+    a sphere, so grazing/self-epsilon accepts can flip — this path is
+    gated by SSIM tests and is never the default.
+
+    ``exact_dot`` (used in interpret mode): plain f32 matmuls instead of
+    the bf16 split — XLA *CPU* accumulates bf16 dots at bf16 precision
+    (measured 2⁻⁹ relative — useless), unlike the MXU's exact f32
+    accumulation of bf16 products, so CI exercises the b/c formulation
+    at f32 matmul precision and the split is validated on hardware.
+
+    Returns (b, c) as (TILE, s_pad) f32 tiles.
+    """
+    od = d1 * o1 + d2 * o2 + d3 * o3
+    oo = o1 * o1 + o2 * o2 + o3 * o3
+    z = jnp.zeros_like(d1)
+    lhs = jnp.concatenate(
+        [jnp.concatenate([d1, d2, d3, z], axis=1),
+         jnp.concatenate([o1, o2, o3, z], axis=1)], axis=0)  # (2T, 4)
+    rhs = jnp.concatenate(
+        [cx[0:1, :], cy[0:1, :], cz[0:1, :], jnp.zeros((1, s_pad),
+                                                       jnp.float32)],
+        axis=0)  # (4, s_pad)
+    if exact_dot:
+        # CPU-only path: default-precision f32 dots run at bf16 here
+        # (measured 2^-9 rel); HIGHEST is true f32. Never reaches
+        # Mosaic, so the 8-min HIGHEST compile hazard doesn't apply.
+        m = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32,
+                    precision="highest")
+    else:
+        lh = lhs.astype(jnp.bfloat16)
+        ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rh = rhs.astype(jnp.bfloat16)
+        rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+        m = jnp.dot(lh, rh, preferred_element_type=jnp.float32)
+        m = m + jnp.dot(lh, rl, preferred_element_type=jnp.float32)
+        m = m + jnp.dot(ll, rh, preferred_element_type=jnp.float32)
+    cd = m[:TILE, :]
+    oc = m[TILE:, :]
+    ccq = (cx[0, :] * cx[0, :] + cy[0, :] * cy[0, :]
+           + cz[0, :] * cz[0, :] - r2[0, :])[None, :]
+    b = od - cd
+    c = oo - 2.0 * oc + ccq
+    return b, c
+
+
+def _mx_chunk_ts(b, c, t_min, tmax_v):
+    """disc/roots/validity chain shared with ``_sphere_chunk_ts`` but
+    from precomputed (b, c) tiles."""
+    disc = b * b - c
+    ok = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - sq
+    t2 = -b + sq
+    ts0 = jnp.where(t1 > t_min, t1, t2)
+    valid = ok & (ts0 > t_min) & (ts0 < tmax_v)
+    return jnp.where(valid, ts0, _FLT_MAX)
+
+
 def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat_t,
                  t_out, idx_out, feat_out, *, t_min: float, s_pad: int,
-                 num_feats: int):
+                 num_feats: int, mx: bool = False, mx_exact: bool = False):
     """Hit test + per-lane feature fetch.
 
     After the nearest-hit pass, a second pass re-walks the sphere chunks
@@ -113,15 +179,21 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat_t,
     t_best = jnp.full((TILE, 1), _FLT_MAX, jnp.float32)
     i_best = jnp.full((TILE, 1), -1, jnp.int32)
 
+    if mx:
+        b_all, c_all = _bc_mxu(o1, o2, o3, d1, d2, d3, cx, cy, cz, r2,
+                               s_pad, exact_dot=mx_exact)
     num_chunks = s_pad // S_CHUNK
     for k in range(num_chunks):
         sl = slice(k * S_CHUNK, (k + 1) * S_CHUNK)
-        ccx = cx[0, sl][None, :]
-        ccy = cy[0, sl][None, :]
-        ccz = cz[0, sl][None, :]
-        rr2 = r2[0, sl][None, :]
-        ts = _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
-                              ccx, ccy, ccz, rr2)
+        if mx:
+            ts = _mx_chunk_ts(b_all[:, sl], c_all[:, sl], t_min, tmax_v)
+        else:
+            ccx = cx[0, sl][None, :]
+            ccy = cy[0, sl][None, :]
+            ccz = cz[0, sl][None, :]
+            rr2 = r2[0, sl][None, :]
+            ts = _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
+                                  ccx, ccy, ccz, rr2)
         tloc = jnp.min(ts, axis=1, keepdims=True)
         jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
         better = tloc < t_best
@@ -158,10 +230,12 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat_t,
     feat_out[:, :] = acc_t
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret",
+                                             "num_feats", "mx"))
 def spheres_hit_feat(origin, direction, centers, radii,
                      feat: jnp.ndarray, t_min: float, t_max,
-                     interpret: bool = False, num_feats: int = 18):
+                     interpret: bool = False, num_feats: int = 18,
+                     mx: bool = False):
     """Nearest sphere hit + fused feature fetch.
 
     origin/direction/centers: V3 component batches ([N]/[S]); radii [S];
@@ -212,7 +286,7 @@ def spheres_hit_feat(origin, direction, centers, radii,
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel_feat, t_min=float(t_min), s_pad=s_pad,
-                          num_feats=c),
+                          num_feats=c, mx=mx, mx_exact=interpret),
         grid=grid,
         in_specs=[ray_spec] * 7 + [sph_spec] * 4 + [feat_spec],
         out_specs=(ray_spec, ray_spec, fout_spec),
@@ -229,7 +303,8 @@ def spheres_hit_feat(origin, direction, centers, radii,
 
 
 def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, occ_out,
-                *, t_min: float, s_pad: int):
+                *, t_min: float, s_pad: int, mx: bool = False,
+                mx_exact: bool = False):
     """Shadow any-hit over the sphere set: no argmin/min-reduce — just
     "did any sphere intersect before t_max"."""
     o1 = ox[0, :][:, None]
@@ -240,23 +315,30 @@ def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, occ_out,
     d3 = dz[0, :][:, None]
     tmax_v = tmax[0, :][:, None]
 
+    if mx:
+        b_all, c_all = _bc_mxu(o1, o2, o3, d1, d2, d3, cx, cy, cz, r2,
+                               s_pad, exact_dot=mx_exact)
     occ = jnp.zeros((TILE, 1), jnp.int32)
     for k in range(s_pad // S_CHUNK):
         sl = slice(k * S_CHUNK, (k + 1) * S_CHUNK)
-        ccx = cx[0, sl][None, :]
-        ccy = cy[0, sl][None, :]
-        ccz = cz[0, sl][None, :]
-        rr2 = r2[0, sl][None, :]
-        ts = _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
-                              ccx, ccy, ccz, rr2)
+        if mx:
+            ts = _mx_chunk_ts(b_all[:, sl], c_all[:, sl], t_min, tmax_v)
+        else:
+            ccx = cx[0, sl][None, :]
+            ccy = cy[0, sl][None, :]
+            ccz = cz[0, sl][None, :]
+            rr2 = r2[0, sl][None, :]
+            ts = _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
+                                  ccx, ccy, ccz, rr2)
         hit = ts < _FLT_MAX
         occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
     occ_out[0, :] = occ[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret", "mx"))
 def spheres_anyhit_soa(origin, direction, centers, radii, t_min: float,
-                       t_max, interpret: bool = False) -> jnp.ndarray:
+                       t_max, interpret: bool = False,
+                       mx: bool = False) -> jnp.ndarray:
     """[N] bool: any sphere hit in (t_min, t_max) — shadow fast path."""
     n = origin.x.shape[0]
     s = centers.x.shape[0]
@@ -288,7 +370,8 @@ def spheres_anyhit_soa(origin, direction, centers, radii, t_min: float,
     sph_spec = pl.BlockSpec((1, s_pad), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
-        functools.partial(_kernel_any, t_min=float(t_min), s_pad=s_pad),
+        functools.partial(_kernel_any, t_min=float(t_min), s_pad=s_pad,
+                          mx=mx, mx_exact=interpret),
         grid=grid,
         in_specs=[ray_spec] * 7 + [sph_spec] * 4,
         out_specs=ray_spec,
