@@ -50,13 +50,19 @@ def _kernel(ox, oy, oz, dx, dy, dz, nodes, steps_out, *, cl_first, P):
                           i1 < 0.0, i2 < 0.0, i3 < 0.0))
         closest = jnp.full((8, 128), _FLT_MAX, jnp.float32)
 
+        from tpu_pathtracer.ops.pallas_bvh import _pop
+
         def body(carry):
             idxs, bss, ns_ = carry
             # phase 1: issue every live packet's slabs + vote reductions
+            # (branchless: a packet sitting on a leaf or dead reads a
+            # CLAMPED row — garbage discarded below — so the SMEM loads
+            # never go out of bounds and the instruction stream stays
+            # straight-line across packets)
             votes = []
             for p in range(P):
                 o1, o2, o3, i1, i2, i3, n1, n2, n3 = tiles[p]
-                l = idxs[p] * 2
+                l = jnp.minimum(idxs[p], cl_first - 1) * 2
                 b = l * 6
                 bl = tuple(ntab[b + i] for i in range(6))
                 br = tuple(ntab[b + 6 + i] for i in range(6))
@@ -71,13 +77,10 @@ def _kernel(ox, oy, oz, dx, dy, dz, nodes, steps_out, *, cl_first, P):
                 lhit, rhit, l = votes[p]
                 ni, nb, _, _ = _advance(idxs[p], bss[p], lhit, rhit,
                                         closest, l)
-                # leaf level: pop immediately (handled by _advance's own
-                # pop when neither child qualifies is NOT what we want —
-                # force a pop when the new index reaches the cluster
-                # level, bounding the walk to interior nodes)
-                from tpu_pathtracer.ops.pallas_bvh import _pop
-                pi, pb = _pop(ni, nb)
-                at_leaf = ni >= cl_first
+                # a packet ON a leaf this trip just pops (the probe has
+                # no MT phase); the advance result is discarded
+                pi, pb = _pop(idxs[p], bss[p])
+                at_leaf = idxs[p] >= cl_first
                 ni = jnp.where(at_leaf, pi, ni)
                 nb = jnp.where(at_leaf, pb, nb)
                 dead = idxs[p] <= 0
@@ -85,8 +88,8 @@ def _kernel(ox, oy, oz, dx, dy, dz, nodes, steps_out, *, cl_first, P):
                 nb = jnp.where(dead, jnp.uint32(0), nb)
                 new_idxs.append(ni)
                 new_bss.append(nb)
-                new_ns.append(ns_[p]
-                              + jnp.where(dead, 0, 1).astype(jnp.int32))
+                new_ns.append(
+                    ns_[p] + jnp.where(dead | at_leaf, 0, 1))
             return (tuple(new_idxs), tuple(new_bss), tuple(new_ns))
 
         def cond(carry):

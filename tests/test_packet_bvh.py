@@ -429,3 +429,70 @@ def test_quantized_auto_selection_and_sentinels():
     assert (dmax[real] >= bmax[real]).all()
     # sentinel boxes stay inverted in every axis
     assert (dmin[~real] > dmax[~real]).all()
+
+
+def test_multipacket_bit_identical_to_single():
+    """The multi-packet kernels (packs>1) interleave independent packets
+    for latency amortization; each packet's traversal order is the
+    single-packet unfused/binary order, so every output AND the
+    node/leaf counters must be bit-identical to packs=1 (fused=False,
+    quad=False) — padding differences included."""
+    mesh = _mesh(t=4000, seed=21, ppl=16)
+    pm = build_packet_mesh(mesh)
+    assert pm.smem_nodes
+    o, d, ov, dv = _rays(3000, seed=22)
+
+    def run(**kw):
+        outs, cnts = packet_trace(
+            ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat,
+            pm.cl_first, pm.width, 1e-3, interpret=True,
+            stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes, **kw)
+        return ([np.asarray(x) for x in outs],
+                [int(c) for c in cnts])
+
+    # outputs: identical to EVERY variant; counters: identical to the
+    # production single config (fused+quad — the mp kernel implements
+    # the same fused/quad rules per packet)
+    base, base_c = run(fused=True, quad=True)
+    base_bin, _ = run(fused=False, quad=False)
+    for b, g in zip(base, base_bin):
+        np.testing.assert_array_equal(b, g)
+    for packs in (2, 4):
+        got, got_c = run(packs=packs)
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(b, g, err_msg=f"packs={packs}")
+        assert base_c == got_c, f"packs={packs}: {base_c} != {got_c}"
+
+    tmax = 15.0
+    occ_base, occ_bc = packet_occluded(
+        ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
+        interpret=True, stride=pm.stride, cpb=pm.cpb,
+        smem_nodes=pm.smem_nodes, fused=True, quad=True)
+    occ_mp, occ_mc = packet_occluded(
+        ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
+        interpret=True, stride=pm.stride, cpb=pm.cpb,
+        smem_nodes=pm.smem_nodes, packs=4)
+    np.testing.assert_array_equal(np.asarray(occ_base), np.asarray(occ_mp))
+    assert [int(c) for c in occ_bc] == [int(c) for c in occ_mc]
+
+
+def test_multipacket_quantized_table():
+    """packs>1 with the quantized SMEM node table (the dragon-class
+    configuration) must match the single-packet quantized kernel."""
+    mesh = _mesh(t=4000, seed=31, ppl=16)
+    pmq = build_packet_mesh(mesh, quant_nodes=True)
+    assert pmq.quant
+    o, d, ov, dv = _rays(2000, seed=32)
+
+    def run(**kw):
+        outs, _ = packet_trace(
+            ov, dv, FLT_MAX, pmq.nodes, pmq.blocks, pmq.tri_feat,
+            pmq.cl_first, pmq.width, 1e-3, interpret=True,
+            stride=pmq.stride, cpb=pmq.cpb, smem_nodes=pmq.smem_nodes,
+            quant=True, qparams=pmq.qparams, **kw)
+        return [np.asarray(x) for x in outs]
+
+    base = run(fused=False, quad=False)
+    got = run(packs=4)
+    for b, g in zip(base, got):
+        np.testing.assert_array_equal(b, g)

@@ -93,6 +93,20 @@ class RenderConfig:
     mx_passes: int = 3  # bf16 split passes for the leaf matmul: 3 ~ 2^-18
     # relative per numerator, 6 ~ f32. 3 matched 6's winners on random
     # soup to 99.8%+ and is gated by the image-level tests.
+    packet_packs: int = 1  # independent 1024-ray packets interleaved
+    # per packet-kernel invocation: every loop trip ISSUES all packets'
+    # node slabs + vote reductions before CONSUMING any, so the
+    # vector->scalar vote sync (the measured ~300-340 ns node-step
+    # latency floor) amortizes across packets — 338/211/142 ns/step at
+    # 1/2/4 packets in isolation (experiments/dual_probe.py). Results
+    # are bit-identical to packs=1 (tested). DEFAULT 1: end-to-end the
+    # win does not survive — knot 178.5 -> 191.6 ms/spp, dragon 442.3
+    # -> 451.8 (P=2 quad+fused) / 455.7 (P=4) — per-packet tile state
+    # through the per-trip branch boundaries, block convoying, and the
+    # speculative phase-1 slabs eat more than the amortized latency
+    # saves (PERFORMANCE.md round 3). Kept as an opt-in decision
+    # record; requires a flat SMEM node table (f32/quant), else the
+    # single-packet kernel runs regardless.
     leaf_cull: bool = False  # stale-leaf re-test in the packet kernels:
     # re-slab a popped leaf cluster's own box against the (shrunken)
     # per-lane closest before the MT loop. Exact (same conservative

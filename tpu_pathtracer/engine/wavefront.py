@@ -331,7 +331,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                          quant=pk.quant,
                                          qparams=pk.qparams,
                                          leaf_cull=config.leaf_cull,
-                                         approx_recip=config.fast_math)
+                                         approx_recip=config.fast_math,
+                                         packs=config.packet_packs)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -380,7 +381,8 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
             stride=pk.stride, cpb=pk.cpb, smem_nodes=pk.smem_nodes,
             top_rows=pk.top_rows, nodes_top=pk.nodes_top,
             quant=pk.quant, qparams=pk.qparams,
-            leaf_cull=config.leaf_cull, approx_recip=config.fast_math)
+            leaf_cull=config.leaf_cull, approx_recip=config.fast_math,
+            packs=config.packet_packs)
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
         return occ != 0, node_counts
     return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
@@ -391,7 +393,8 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                            top_rows=pk.top_rows, nodes_top=pk.nodes_top,
                            quant=pk.quant, qparams=pk.qparams,
                            leaf_cull=config.leaf_cull,
-                           approx_recip=config.fast_math)
+                           approx_recip=config.fast_math,
+                           packs=config.packet_packs)
 
 
 def _cols_from_rows(rows: jnp.ndarray) -> MatCols:

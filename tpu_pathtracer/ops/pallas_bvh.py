@@ -315,9 +315,12 @@ def _ctz32(x):
     return n
 
 
-def _advance(idx, bs, lhit, rhit, closest, l):
-    """Shared scalar traversal step: votes, near-first choice, bitstack.
-    Returns (new_idx, new_bs)."""
+def _advance_votes(lhit, rhit, closest):
+    """Vector half of a node step: the two packed vote reductions.
+    Split from ``_advance_apply`` so multi-packet kernels can ISSUE all
+    packets' reductions before CONSUMING any — the vector->scalar sync
+    is the node step's latency floor (measured 338 -> 142 ns/step at 4
+    interleaved packets, experiments/dual_probe.py)."""
     trav_l = lhit < closest
     trav_r = rhit < closest
     both_m = trav_l & trav_r
@@ -337,6 +340,12 @@ def _advance(idx, bs, lhit, rhit, closest, l):
                      jnp.where(rhit < lhit, 1, -1), 0)
     packed = jnp.sum(li + (ri << 16), dtype=jnp.int32)
     s_pref = jnp.sum(pref, dtype=jnp.int32)
+    return packed, s_pref
+
+
+def _advance_apply(idx, bs, packed, s_pref, l):
+    """Scalar half of a node step: consume the packed votes, pick the
+    near-first child / pop, update the bitstack."""
     vl = (packed & 0xFFFF) > 0
     vr = (packed >> 16) > 0
     swap = (s_pref > 0).astype(jnp.int32)
@@ -355,6 +364,13 @@ def _advance(idx, bs, lhit, rhit, closest, l):
     new_bs = jnp.where(both, (bs << jnp.uint32(1)) + jnp.uint32(1),
                        jnp.where(single, bs << jnp.uint32(1), bs_p))
     return new_idx, new_bs, both, single
+
+
+def _advance(idx, bs, lhit, rhit, closest, l):
+    """Shared scalar traversal step: votes, near-first choice, bitstack.
+    Returns (new_idx, new_bs, both, single)."""
+    packed, s_pref = _advance_votes(lhit, rhit, closest)
+    return _advance_apply(idx, bs, packed, s_pref, l)
 
 
 def _pop(idx, bs):
@@ -378,6 +394,13 @@ def _advance4(idx, bs, ha, hb, hc, hd, closest):
     testing them directly is tighter than the two-step binary descent —
     never more subtree visits, same leaf set, same per-leaf MT order.
     """
+    return _quad_apply(idx, bs, *_quad_votes(ha, hb, hc, hd, closest),
+                       ha.size)
+
+
+def _quad_votes(ha, hb, hc, hd, closest):
+    """Vector half of the 4-ary step: the four packed vote reductions
+    (split like _advance_votes for multi-packet interleaving)."""
     a_i = (ha < closest).astype(jnp.int32)
     b_i = (hb < closest).astype(jnp.int32)
     c_i = (hc < closest).astype(jnp.int32)
@@ -391,7 +414,6 @@ def _advance4(idx, bs, ha, hb, hc, hd, closest):
     # bias cancels in the sign test: sum(v+1) > n  <=>  sum(v) > 0)
     minl = jnp.minimum(ha, hb)
     minr = jnp.minimum(hc, hd)
-    n_lanes = ha.size
     p_lr = jnp.where((minl < closest) & (minr < closest),
                      jnp.where(minr < minl, 2, 0), 1)
     p_ab = jnp.where((ha < closest) & (hb < closest),
@@ -400,6 +422,11 @@ def _advance4(idx, bs, ha, hb, hc, hd, closest):
                      jnp.where(hd < hc, 2, 0), 1)
     pk3 = jnp.sum(p_lr + (p_ab << 16), dtype=jnp.int32)
     s_cd = jnp.sum(p_cd, dtype=jnp.int32)
+    return pk1, pk2, pk3, s_cd
+
+
+def _quad_apply(idx, bs, pk1, pk2, pk3, s_cd, n_lanes):
+    """Scalar half of the 4-ary step: consume the packed votes."""
     va = (pk1 & 0xFFFF) > 0
     vb = (pk1 >> 16) > 0
     vc = (pk2 & 0xFFFF) > 0
@@ -954,11 +981,422 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows)
 
 
+def _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs):
+    """Per-packet ray tiles + slab precomputes from (8*packs, 128)
+    blocks."""
+    views = []
+    for p in range(packs):
+        r = slice(8 * p, 8 * (p + 1))
+        o1, o2, o3 = ox[r, :], oy[r, :], oz[r, :]
+        d1, d2, d3 = dx[r, :], dy[r, :], dz[r, :]
+        i1, i2, i3 = 1.0 / d1, 1.0 / d2, 1.0 / d3
+        views.append((o1, o2, o3, d1, d2, d3, i1, i2, i3,
+                      i1 < 0.0, i2 < 0.0, i3 < 0.0, tmax[r, :]))
+    return views
+
+
+def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
+                       cl_first, width, stride, t_min, unroll, packs,
+                       quant=False, approx_recip=False, fused=True,
+                       quad=True):
+    """Multi-packet nearest-hit traversal: ``packs`` independent
+    1024-ray packets share one kernel invocation, and every trip issues
+    ALL packets' slab tests + vote reductions (phase 1) before consuming
+    ANY vote (phase 2). The vector->scalar vote sync is the node step's
+    latency floor — interleaving P independent chains amortizes it
+    (measured 338/211/142 ns/step at P=1/2/4, experiments/dual_probe.py).
+    Per-packet traversal order, results, and step/visit counts are
+    IDENTICAL to the single-packet kernel with fused=False, quad=False
+    (each packet's state advances by the same rules); only wall-clock
+    changes. Requires a flat SMEM node table (f32 or quantized) and the
+    cpb==1 block layout.
+    """
+    rest = list(rest)
+    qp = rest.pop(0) if quant else None
+    blocks, tri_out, feat_out, cnt_out = rest
+
+    def scoped(blk, sem, ntab):
+        nd = pltpu.make_async_copy(nodes, ntab, sem)
+        nd.start()
+        nd.wait()
+        qscal = tuple(qp[i] for i in range(6)) if quant else None
+        quad_ok = quad and cl_first >= 8
+        views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
+
+        def body(carry):
+            idxs = carry[0]
+            bss = carry[1]
+            closests = carry[2]
+            bestis = carry[3]
+            nb, nsg, nl = carry[4]
+            # ---- phase 1: issue every packet's slabs + packed votes
+            votes = []
+            for p in range(packs):
+                (o1, o2, o3, _d1, _d2, _d3, i1, i2, i3, n1, n2, n3,
+                 _tm) = views[p]
+                # clamped row: packets at a leaf / dead read harmless
+                # bounds that phase 2 discards — keeps phase 1
+                # straight-line (no branches before the vote consumes)
+                lq = jnp.clip(idxs[p], 1, cl_first - 1) * 2
+                if quad_ok:
+                    # 4-ary double step above the last interior level
+                    # (same rule as the single kernel): read the four
+                    # grandchild rows when eligible, else the child
+                    # pair twice (slabs 2/3 duplicate 0/1, discarded).
+                    # NOT gated on at-node: a scalar-cond gate around
+                    # phase 1 measured SLOWER (dragon 455.7 -> 473.8
+                    # ms/spp) — branch overhead beats the speculative
+                    # slab work it saves.
+                    is_q = idxs[p] < cl_first // 2
+                    gq = jnp.clip(idxs[p], 1, cl_first // 2 - 1) * 4
+                    r01 = jnp.where(is_q, gq, lq)
+                    r23 = jnp.where(is_q, gq + 2, lq)
+                    b0, b1 = _node_bounds(True, 0, None, ntab, r01,
+                                          quant, qscal)
+                    b2, b3 = _node_bounds(True, 0, None, ntab, r23,
+                                          quant, qscal)
+                    args_s = (o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                              closests[p])
+                    h0 = _slab(b0, *args_s)
+                    h1 = _slab(b1, *args_s)
+                    h2 = _slab(b2, *args_s)
+                    h3 = _slab(b3, *args_s)
+                    votes.append(
+                        (_advance_votes(h0, h1, closests[p]),
+                         _quad_votes(h0, h1, h2, h3, closests[p]), lq))
+                else:
+                    bl, br = _node_bounds(True, 0, None, ntab, lq,
+                                          quant, qscal)
+                    lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2,
+                                 n3, closests[p])
+                    rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2,
+                                 n3, closests[p])
+                    votes.append(
+                        (_advance_votes(lhit, rhit, closests[p]), None,
+                         lq))
+            # ---- phase 2: consume votes / run leaf visits per packet
+            n_idx, n_bs, n_cl, n_bi = [], [], [], []
+            for p in range(packs):
+                (packed, s_pref), qvotes, lq = votes[p]
+                (o1, o2, o3, d1, d2, d3, _i1, _i2, _i3, _n1, _n2, _n3,
+                 _tm) = views[p]
+
+                def leaf_visit(idx, bs, closest, besti, nl, p=p, o1=o1,
+                               o2=o2, o3=o3, d1=d1, d2=d2, d3=d3):
+                    """MT one cluster (``idx`` is AT a leaf row), pop."""
+                    c = idx - cl_first
+                    dma = pltpu.make_async_copy(blocks.at[c], blk.at[p],
+                                                sem)
+                    dma.start()
+                    dma.wait()
+
+                    def tri(w, st):
+                        closest, besti = st
+                        t, u, v, bad = _mt_scalar_tri(
+                            blk.at[p], 0, w, stride, o1, o2, o3,
+                            d1, d2, d3, t_min, closest, approx_recip)
+                        won = jnp.logical_not(bad)
+                        closest = jnp.where(won, t, closest)
+                        besti = jnp.where(won, c * width + w, besti)
+                        return (closest, besti)
+
+                    st = (closest, besti)
+                    if unroll:
+                        for w in range(width):
+                            st = tri(w, st)
+                    else:
+                        st = jax.lax.fori_loop(0, width, tri, st)
+                    closest, besti = st
+                    new_idx, new_bs = _pop(idx, bs)
+                    return (new_idx, new_bs, closest, besti, nl + 1)
+
+                def leaf_branch(op, leaf_visit=leaf_visit):
+                    idx, bs, closest, besti, nb, nsg, nl = op
+                    idx, bs, closest, besti, nl = leaf_visit(
+                        idx, bs, closest, besti, nl)
+                    return (idx, bs, closest, besti, nb, nsg, nl)
+
+                def node_branch(op, packed=packed, s_pref=s_pref, lq=lq,
+                                qvotes=qvotes, leaf_visit=leaf_visit):
+                    idx, bs, closest, besti, nb, nsg, nl = op
+                    if quad_ok:
+                        def apply_q(_):
+                            return _quad_apply(idx, bs, *qvotes, 1024)
+
+                        def apply_b(_):
+                            ni, nbs, both, single = _advance_apply(
+                                idx, bs, packed, s_pref, lq)
+                            return (ni, nbs, both.astype(jnp.int32),
+                                    single.astype(jnp.int32))
+
+                        ni, nbs, nbi, nsgi = jax.lax.cond(
+                            idx < cl_first // 2, apply_q, apply_b, None)
+                    else:
+                        ni, nbs, both, single = _advance_apply(
+                            idx, bs, packed, s_pref, lq)
+                        nbi = both.astype(jnp.int32)
+                        nsgi = single.astype(jnp.int32)
+                    dead = idx <= 0
+                    ni = jnp.where(dead, 0, ni)
+                    nbs = jnp.where(dead, jnp.uint32(0), nbs)
+                    live = jnp.logical_not(dead).astype(jnp.int32)
+                    nb = nb + nbi * live
+                    nsg = nsg + nsgi * live
+                    if fused:
+                        # fused body (same trick as the single kernel):
+                        # a step that DESCENDS into a leaf runs its MT in
+                        # the same trip; leaves entered by pops take
+                        # their own trip via leaf_branch
+                        def desc(st):
+                            return leaf_visit(*st)
+
+                        ni, nbs, closest, besti, nl = jax.lax.cond(
+                            ni >= cl_first, desc,
+                            lambda st: st,
+                            (ni, nbs, closest, besti, nl))
+                    return (ni, nbs, closest, besti, nb, nsg, nl)
+
+                idx, bs, closest, besti, nb, nsg, nl = jax.lax.cond(
+                    idxs[p] >= cl_first, leaf_branch, node_branch,
+                    (idxs[p], bss[p], closests[p], bestis[p], nb, nsg,
+                     nl))
+                n_idx.append(idx)
+                n_bs.append(bs)
+                n_cl.append(closest)
+                n_bi.append(besti)
+            return (tuple(n_idx), tuple(n_bs), tuple(n_cl), tuple(n_bi),
+                    (nb, nsg, nl))
+
+        def cond(carry):
+            alive = carry[0][0] > 0
+            for p in range(1, packs):
+                alive = alive | (carry[0][p] > 0)
+            return alive
+
+        shp = (8, 128)
+        init = (tuple(jnp.int32(1) for _ in range(packs)),
+                tuple(jnp.uint32(1) for _ in range(packs)),
+                tuple(v[12] for v in views),
+                tuple(jnp.full(shp, -1, jnp.int32) for _ in range(packs)),
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        out = jax.lax.while_loop(cond, body, init)
+        closest_all = jnp.concatenate(list(out[2]), axis=0)
+        besti_all = jnp.concatenate(list(out[3]), axis=0)
+        nb, nsg, nl = out[4]
+        oshp = (8 * packs, 128)
+        ii = jax.lax.broadcasted_iota(jnp.int32, oshp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, oshp, 1)
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+        tri_out[:, :] = besti_all
+        feat_out[:, :] = closest_all
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM((packs,) + blocks.shape[1:],
+                                 jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  ntab=pltpu.SMEM(nodes.shape, nodes.dtype))
+
+
+def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
+                      cl_first, width, stride, t_min, unroll, packs,
+                      quant=False, approx_recip=False, fused=True,
+                      quad=True):
+    """Multi-packet any-hit traversal (see _kernel_nearest_mp). A packet
+    whose lanes have all retired sets its index to 0 — same exit rule as
+    the single-packet shadow kernel's ndone carry."""
+    rest = list(rest)
+    qp = rest.pop(0) if quant else None
+    blocks, occ_out, cnt_out = rest
+
+    def scoped(blk, sem, ntab):
+        nd = pltpu.make_async_copy(nodes, ntab, sem)
+        nd.start()
+        nd.wait()
+        qscal = tuple(qp[i] for i in range(6)) if quant else None
+        quad_ok = quad and cl_first >= 8
+        views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
+
+        def body(carry):
+            idxs, bss, closests, occs, cnts = carry
+            nb, nsg, nl = cnts
+            votes = []
+            for p in range(packs):
+                (o1, o2, o3, _d1, _d2, _d3, i1, i2, i3, n1, n2, n3,
+                 _tm) = views[p]
+                lq = jnp.clip(idxs[p], 1, cl_first - 1) * 2
+                if quad_ok:
+                    # 4-ary double step above the last interior level
+                    # (same rule as the single kernel): read the four
+                    # grandchild rows when eligible, else the child
+                    # pair twice (slabs 2/3 duplicate 0/1, discarded).
+                    # NOT gated on at-node: a scalar-cond gate around
+                    # phase 1 measured SLOWER (dragon 455.7 -> 473.8
+                    # ms/spp) — branch overhead beats the speculative
+                    # slab work it saves.
+                    is_q = idxs[p] < cl_first // 2
+                    gq = jnp.clip(idxs[p], 1, cl_first // 2 - 1) * 4
+                    r01 = jnp.where(is_q, gq, lq)
+                    r23 = jnp.where(is_q, gq + 2, lq)
+                    b0, b1 = _node_bounds(True, 0, None, ntab, r01,
+                                          quant, qscal)
+                    b2, b3 = _node_bounds(True, 0, None, ntab, r23,
+                                          quant, qscal)
+                    args_s = (o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                              closests[p])
+                    h0 = _slab(b0, *args_s)
+                    h1 = _slab(b1, *args_s)
+                    h2 = _slab(b2, *args_s)
+                    h3 = _slab(b3, *args_s)
+                    votes.append(
+                        (_advance_votes(h0, h1, closests[p]),
+                         _quad_votes(h0, h1, h2, h3, closests[p]), lq))
+                else:
+                    bl, br = _node_bounds(True, 0, None, ntab, lq,
+                                          quant, qscal)
+                    lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2,
+                                 n3, closests[p])
+                    rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2,
+                                 n3, closests[p])
+                    votes.append(
+                        (_advance_votes(lhit, rhit, closests[p]), None,
+                         lq))
+            n_idx, n_bs, n_cl, n_oc = [], [], [], []
+            for p in range(packs):
+                (packed, s_pref), qvotes, lq = votes[p]
+                (o1, o2, o3, d1, d2, d3, _i1, _i2, _i3, _n1, _n2, _n3,
+                 _tm) = views[p]
+
+                def leaf_visit(idx, bs, closest, occ, nl, p=p, o1=o1,
+                               o2=o2, o3=o3, d1=d1, d2=d2, d3=d3):
+                    c = idx - cl_first
+                    dma = pltpu.make_async_copy(blocks.at[c], blk.at[p],
+                                                sem)
+                    dma.start()
+                    dma.wait()
+
+                    def tri(w, st):
+                        closest, occ = st
+                        t, u, v, bad = _mt_scalar_tri(
+                            blk.at[p], 0, w, stride, o1, o2, o3,
+                            d1, d2, d3, t_min, closest, approx_recip)
+                        hit = jnp.logical_not(bad)
+                        occ = jnp.where(hit, jnp.int32(1), occ)
+                        closest = jnp.where(hit, jnp.float32(-1e30),
+                                            closest)
+                        return closest, occ
+
+                    st = (closest, occ)
+                    if unroll:
+                        for w in range(width):
+                            st = tri(w, st)
+                    else:
+                        st = jax.lax.fori_loop(0, width, tri, st)
+                    closest, occ = st
+                    ndone = jnp.all(closest < 0.0)
+                    new_idx, new_bs = _pop(idx, bs)
+                    new_idx = jnp.where(ndone, 0, new_idx)
+                    return (new_idx, new_bs, closest, occ, nl + 1)
+
+                def leaf_branch(op, leaf_visit=leaf_visit):
+                    idx, bs, closest, occ, nb, nsg, nl = op
+                    idx, bs, closest, occ, nl = leaf_visit(
+                        idx, bs, closest, occ, nl)
+                    return (idx, bs, closest, occ, nb, nsg, nl)
+
+                def node_branch(op, packed=packed, s_pref=s_pref, lq=lq,
+                                qvotes=qvotes, leaf_visit=leaf_visit):
+                    idx, bs, closest, occ, nb, nsg, nl = op
+                    if quad_ok:
+                        def apply_q(_):
+                            return _quad_apply(idx, bs, *qvotes, 1024)
+
+                        def apply_b(_):
+                            ni, nbs, both, single = _advance_apply(
+                                idx, bs, packed, s_pref, lq)
+                            return (ni, nbs, both.astype(jnp.int32),
+                                    single.astype(jnp.int32))
+
+                        ni, nbs, nbi, nsgi = jax.lax.cond(
+                            idx < cl_first // 2, apply_q, apply_b, None)
+                    else:
+                        ni, nbs, both, single = _advance_apply(
+                            idx, bs, packed, s_pref, lq)
+                        nbi = both.astype(jnp.int32)
+                        nsgi = single.astype(jnp.int32)
+                    dead = idx <= 0
+                    ni = jnp.where(dead, 0, ni)
+                    nbs = jnp.where(dead, jnp.uint32(0), nbs)
+                    live = jnp.logical_not(dead).astype(jnp.int32)
+                    nb = nb + nbi * live
+                    nsg = nsg + nsgi * live
+                    if fused:
+                        def desc(st):
+                            return leaf_visit(*st)
+
+                        ni, nbs, closest, occ, nl = jax.lax.cond(
+                            ni >= cl_first, desc,
+                            lambda st: st,
+                            (ni, nbs, closest, occ, nl))
+                    return (ni, nbs, closest, occ, nb, nsg, nl)
+
+                idx, bs, closest, occ, nb, nsg, nl = jax.lax.cond(
+                    idxs[p] >= cl_first, leaf_branch, node_branch,
+                    (idxs[p], bss[p], closests[p], occs[p], nb, nsg,
+                     nl))
+                n_idx.append(idx)
+                n_bs.append(bs)
+                n_cl.append(closest)
+                n_oc.append(occ)
+            return (tuple(n_idx), tuple(n_bs), tuple(n_cl), tuple(n_oc),
+                    (nb, nsg, nl))
+
+        def cond(carry):
+            alive = carry[0][0] > 0
+            for p in range(1, packs):
+                alive = alive | (carry[0][p] > 0)
+            return alive
+
+        shp = (8, 128)
+        init = (tuple(jnp.int32(1) for _ in range(packs)),
+                tuple(jnp.uint32(1) for _ in range(packs)),
+                tuple(v[12] for v in views),
+                tuple(jnp.zeros(shp, jnp.int32) for _ in range(packs)),
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        out = jax.lax.while_loop(cond, body, init)
+        occ_all = jnp.concatenate(list(out[3]), axis=0)
+        nb, nsg, nl = out[4]
+        oshp = (8 * packs, 128)
+        ii = jax.lax.broadcasted_iota(jnp.int32, oshp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, oshp, 1)
+        occ_out[:, :] = occ_all
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM((packs,) + blocks.shape[1:],
+                                 jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  ntab=pltpu.SMEM(nodes.shape, nodes.dtype))
+
+
 def _pad_rays(a, fill, n_pad):
     n = a.shape[0]
     if n_pad != n:
         a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
     return a.reshape(-1, 128)
+
+
+def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
+    """Multi-packet kernels need a flat SMEM node table (f32 or quant)
+    and cpb==1 blocks; anything else falls back to the single-packet
+    kernel silently."""
+    return (packs > 1 and (smem_nodes or quant) and not top_rows
+            and cpb == 1)
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
@@ -967,7 +1405,7 @@ def _pad_rays(a, fill, n_pad):
                                              "top_rows", "quant",
                                              "leaf_cull",
                                              "approx_recip", "fused",
-                                             "quad"))
+                                             "quad", "packs"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
@@ -975,17 +1413,22 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  smem_nodes: bool = False, top_rows: int = 0,
                  nodes_top=None, quant: bool = False, qparams=None,
                  leaf_cull: bool = False, approx_recip: bool = False,
-                 fused: bool = True, quad: bool = True):
+                 fused: bool = True, quad: bool = True, packs: int = 1):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
     scalar; tri_feat the [T,16] per-triangle feature rows (PacketMesh).
     Returns ((t, tri_id, u, v, nx, ny, nz, tu, tv, mid) dense [N]
     arrays, (nodes_both, nodes_single, leaf_visits) scalar telemetry);
-    tri_id = -1 and t = t_max on miss.
+    tri_id = -1 and t = t_max on miss. ``packs`` > 1 interleaves that
+    many independent packets per kernel block (latency amortization —
+    see _kernel_nearest_mp) when the mesh layout is eligible.
     """
+    mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
+    rows_blk = rows * (packs if mp else 1)
     n = origin.x.shape[0]
-    n_pad = ((n + rows * 128 - 1) // (rows * 128)) * (rows * 128)
+    n_pad = ((n + rows_blk * 128 - 1) // (rows_blk * 128)) \
+        * (rows_blk * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     args = [
         _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
@@ -997,8 +1440,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
         nodes,
     ] + ([nodes_top] if top_rows else []) \
       + ([qparams] if quant else []) + [blocks]
-    n_packets = n_pad // (rows * 128)
-    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+    n_packets = n_pad // (rows_blk * 128)
+    ray_spec = pl.BlockSpec((rows_blk, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     if smem_nodes:
         node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -1011,14 +1454,21 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
         # dequant scales/offsets ride in SMEM (they are device values —
         # the table is built inside jit where no static floats exist)
         extra = extra + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if mp:
+        kernel = functools.partial(
+            _kernel_nearest_mp, cl_first=cl_first, width=width,
+            stride=stride, t_min=float(t_min), unroll=not interpret,
+            packs=packs, quant=quant, approx_recip=approx_recip,
+            fused=fused, quad=quad)
+    else:
+        kernel = functools.partial(
+            _kernel_nearest, cl_first=cl_first, width=width,
+            stride=stride, cpb=cpb, t_min=float(t_min),
+            unroll=not interpret, smem_nodes=smem_nodes,
+            top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
+            approx_recip=approx_recip, fused=fused, quad=quad)
     tri, feat, cnt = pl.pallas_call(
-        functools.partial(_kernel_nearest, cl_first=cl_first, width=width,
-                          stride=stride, cpb=cpb, t_min=float(t_min),
-                          unroll=not interpret, smem_nodes=smem_nodes,
-                          top_rows=top_rows, quant=quant,
-                          leaf_cull=leaf_cull,
-                          approx_recip=approx_recip, fused=fused,
-                          quad=quad),
+        kernel,
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec, ray_spec, ray_spec),
@@ -1033,9 +1483,9 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     )(*args)
     tri = tri.reshape(-1)[:n]
     t = feat.reshape(-1)[:n]
-    nodes_both = cnt[::rows, 0].sum()
-    nodes_single = cnt[::rows, 1].sum()
-    leaf_visits = cnt[::rows, 2].sum()
+    nodes_both = cnt[::rows_blk, 0].sum()
+    nodes_single = cnt[::rows_blk, 1].sum()
+    leaf_visits = cnt[::rows_blk, 2].sum()
     # winner features: one 19-wide row gather (free width on TPU)
     fr = tri_feat[jnp.maximum(tri, 0)]
     nx, ny, nz = fr[:, 0], fr[:, 1], fr[:, 2]
@@ -1071,18 +1521,23 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                                              "top_rows", "quant",
                                              "leaf_cull",
                                              "approx_recip", "fused",
-                                             "quad"))
+                                             "quad", "packs"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
                     smem_nodes: bool = False, top_rows: int = 0,
                     nodes_top=None, quant: bool = False, qparams=None,
                     leaf_cull: bool = False, approx_recip: bool = False,
-                    fused: bool = True, quad: bool = True):
+                    fused: bool = True, quad: bool = True,
+                    packs: int = 1):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
-    nodes_single, leaf_visits) scalar telemetry)."""
+    nodes_single, leaf_visits) scalar telemetry). ``packs`` as in
+    :func:`packet_trace`."""
+    mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
+    rows_blk = rows * (packs if mp else 1)
     n = origin.x.shape[0]
-    n_pad = ((n + rows * 128 - 1) // (rows * 128)) * (rows * 128)
+    n_pad = ((n + rows_blk * 128 - 1) // (rows_blk * 128)) \
+        * (rows_blk * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     args = [
         _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
@@ -1095,8 +1550,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         nodes,
     ] + ([nodes_top] if top_rows else []) \
       + ([qparams] if quant else []) + [blocks]
-    n_packets = n_pad // (rows * 128)
-    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+    n_packets = n_pad // (rows_blk * 128)
+    ray_spec = pl.BlockSpec((rows_blk, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     if smem_nodes:
         node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -1109,14 +1564,21 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         # dequant scales/offsets ride in SMEM (they are device values —
         # the table is built inside jit where no static floats exist)
         extra = extra + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if mp:
+        kernel = functools.partial(
+            _kernel_shadow_mp, cl_first=cl_first, width=width,
+            stride=stride, t_min=float(t_min), unroll=not interpret,
+            packs=packs, quant=quant, approx_recip=approx_recip,
+            fused=fused, quad=quad)
+    else:
+        kernel = functools.partial(
+            _kernel_shadow, cl_first=cl_first, width=width,
+            stride=stride, cpb=cpb, t_min=float(t_min),
+            unroll=not interpret, smem_nodes=smem_nodes,
+            top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
+            approx_recip=approx_recip, fused=fused, quad=quad)
     occ, cnt = pl.pallas_call(
-        functools.partial(_kernel_shadow, cl_first=cl_first, width=width,
-                          stride=stride, cpb=cpb, t_min=float(t_min),
-                          unroll=not interpret, smem_nodes=smem_nodes,
-                          top_rows=top_rows, quant=quant,
-                          leaf_cull=leaf_cull,
-                          approx_recip=approx_recip, fused=fused,
-                          quad=quad),
+        kernel,
         grid=(n_packets,),
         in_specs=[ray_spec] * 7 + [node_spec] + extra + [blk_spec],
         out_specs=(ray_spec, ray_spec),
@@ -1126,5 +1588,5 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     return (occ.reshape(-1)[:n] != 0,
-            (cnt[::rows, 0].sum(), cnt[::rows, 1].sum(),
-             cnt[::rows, 2].sum()))
+            (cnt[::rows_blk, 0].sum(), cnt[::rows_blk, 1].sum(),
+             cnt[::rows_blk, 2].sum()))
