@@ -164,7 +164,7 @@ def main():
             print(f"  {rname}:", flush=True)
             s1, v1, p1, cl1 = run_packets(tree, 1, o, d, 1, PACKET,
                                           "prod (commit=1)")
-            _, _, _, _ = run_packets(tree, 1, o, d, 8, PACKET, "commit=8")
+            _, _, _, _ = run_packets(tree, 1, o, d, 64, PACKET, "commit=64")
             _, v32, p32, cl32 = run_packets(tree, 1, o, d, 32, PACKET,
                                             "commit=32")
             sInf, vInf, pInf, clI = run_packets(
