@@ -93,6 +93,19 @@ class RenderConfig:
     mx_passes: int = 3  # bf16 split passes for the leaf matmul: 3 ~ 2^-18
     # relative per numerator, 6 ~ f32. 3 matched 6's winners on random
     # soup to 99.8%+ and is gated by the image-level tests.
+    regroup: bool = False  # demand-packed leaf phase on the packet path
+    # (ops/pallas_bvh_rg.py): sparse leaf visits (<= regroup_dense
+    # demanding lanes) batch into windows of <=64 visits / 1024
+    # (ray,leaf) pairs, MT-tested densely with one-hot MXU operand
+    # fetches — measured 12 us per 64-visit window vs 75.5 us for the
+    # union leaf phase (experiments/regroup_probe.py; demand_sim: the
+    # union does 81x/368x the demanded work on knot/dragon bounces).
+    # Dense visits keep the inline scalar MT. Hits are exact per-pair
+    # MT accepts; vs the scalar kernel, t agrees to FMA-contraction
+    # ulps and traversal counters shift a few % (deferred commits).
+    regroup_dense: int = 160  # demanding-lane count above which a
+    # visit takes the inline scalar MT instead of the window
+    # (break-even ~ scalar visit cost / window marginal cost).
     packet_packs: int = 1  # independent 1024-ray packets interleaved
     # per packet-kernel invocation: every loop trip ISSUES all packets'
     # node slabs + vote reductions before CONSUMING any, so the

@@ -191,6 +191,10 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
             from tpu_pathtracer.ops.pallas_bvh_mx import build_packet_mx
             packet = build_packet_mx(scene.mesh,
                                      max_width=config.packet_width)
+        elif config.regroup:
+            from tpu_pathtracer.ops.pallas_bvh_rg import build_packet_rg
+            packet = build_packet_rg(scene.mesh,
+                                     max_width=config.packet_width)
         else:
             from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh
             packet = build_packet_mesh(scene.mesh,
@@ -320,6 +324,15 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
             passes=config.mx_passes, interpret=_interp(config),
             smem_nodes=pk.pm.smem_nodes, top_rows=pk.pm.top_rows,
             nodes_top=pk.pm.nodes_top)
+    elif hasattr(pk, "blocks_rg"):  # PacketRG: demand-packed leaf phase
+        from tpu_pathtracer.ops.pallas_bvh_rg import packet_trace_rg
+        outs, node_counts = packet_trace_rg(
+            o_s, d_s, tm, pk.pm.nodes, pk.pm.blocks, pk.blocks_rg,
+            pk.pm.tri_feat, pk.pm.cl_first, pk.pm.width, t_min,
+            interpret=_interp(config), stride=pk.pm.stride,
+            smem_nodes=pk.pm.smem_nodes, top_rows=pk.pm.top_rows,
+            nodes_top=pk.pm.nodes_top, quant=pk.pm.quant,
+            qparams=pk.pm.qparams, dense_thresh=config.regroup_dense)
     else:
         outs, node_counts = packet_trace(o_s, d_s, tm, pk.nodes, pk.blocks,
                                          pk.tri_feat, pk.cl_first, pk.width,
@@ -346,6 +359,8 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
     """Large-mesh any-hit occlusion via the shadow packet kernel
     (early-out semantics of kernels.cu:207)."""
     pk = view.packet
+    if hasattr(pk, "blocks_rg"):  # PacketRG: shadow stays on the
+        pk = pk.pm                # scalar any-hit kernel
     if hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_occluded_mx
         mx = pk

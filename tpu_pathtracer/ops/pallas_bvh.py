@@ -98,6 +98,31 @@ class PacketMesh(NamedTuple):
     # the kernel from a tiny SMEM input
 
 
+def _tri_components(mesh: MeshData):
+    """Per-triangle MT component rows (16 rows of T): v0, e1, e2, n
+    (tc/mesh-id are NOT in the hot loop — the winner's features come
+    from one post-kernel row gather). n = e1×e2 feeds the restructured
+    MT (see ops/intersect.triangles_hit): zero-area sentinels give
+    n = 0 → a = 0 → parallel → miss, same as before. Returns
+    (flat [16, T], sane, e1, e2, nx, ny, nz) — shared by the scalar
+    and regrouped block builders."""
+    sane = jnp.isfinite(mesh.v0).all(axis=1)  # sentinel slots -> zeros
+    z3 = jnp.zeros_like(mesh.v0)
+    v0 = jnp.where(sane[:, None], mesh.v0, z3)
+    e1 = jnp.where(sane[:, None], mesh.v1 - mesh.v0, z3)
+    e2 = jnp.where(sane[:, None], mesh.v2 - mesh.v0, z3)
+    nx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
+    ny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
+    nz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    comps = [v0[:, 0], v0[:, 1], v0[:, 2],
+             e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2],
+             nx, ny, nz]
+    comps += [jnp.zeros_like(nx)] * 4  # pad to 16 comps (aligned rows)
+    flat = jnp.stack(comps, axis=0)              # [16, T]
+    return flat, sane, e1, e2, nx, ny, nz
+
+
 def build_packet_mesh(mesh: MeshData, max_width: int = 128,
                       packed: bool = False,
                       smem_budget_floats: int | None = None,
@@ -212,25 +237,7 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
         nodes = jnp.concatenate(
             [nodes, jnp.zeros((n_pad - n_nodes, 8), jnp.float32)], axis=0)
 
-    # cluster components (16 rows of width): v0, e1, e2, n (tc/mesh-id are NOT in
-    # the hot loop — the winner's features come from one post-kernel row
-    # gather). n = e1×e2 feeds the restructured MT (see
-    # ops/intersect.triangles_hit): zero-area sentinels give n = 0 →
-    # a = 0 → parallel → miss, same as before.
-    sane = jnp.isfinite(mesh.v0).all(axis=1)  # sentinel slots -> zeros
-    z3 = jnp.zeros_like(mesh.v0)
-    v0 = jnp.where(sane[:, None], mesh.v0, z3)
-    e1 = jnp.where(sane[:, None], mesh.v1 - mesh.v0, z3)
-    e2 = jnp.where(sane[:, None], mesh.v2 - mesh.v0, z3)
-    nx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
-    ny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
-    nz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    comps = [v0[:, 0], v0[:, 1], v0[:, 2],
-             e1[:, 0], e1[:, 1], e1[:, 2],
-             e2[:, 0], e2[:, 1], e2[:, 2],
-             nx, ny, nz]
-    comps += [jnp.zeros_like(nx)] * 4  # pad to 16 comps (aligned rows)
-    flat = jnp.stack(comps, axis=0)              # [16, C*width]
+    flat, sane, e1, e2, nx, ny, nz = _tri_components(mesh)
     cl = flat.reshape(16, n_clusters, width).transpose(1, 0, 2)
     if packed:
         # zero-waste DMA blocks: a cluster is 16*width contiguous floats;
@@ -652,7 +659,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     cl_first, width, stride, cpb, t_min, unroll,
                     smem_nodes, top_rows, quant=False, qparams=None,
                     leaf_cull=True, approx_recip=False, fused=True,
-                    quad=True):
+                    quad=True, tree_min=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -753,7 +760,43 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     # the kernel (~12 tile-ops/tri saved)
                     return (closest, besti)
 
-                if unroll:
+                if tree_min and unroll:
+                    # dependency-diet variant: every triangle is tested
+                    # against the ENTRY closest (a visit-constant), so
+                    # the ~4-op serial chain through the running
+                    # `closest` (cmp -> or -> not -> select, x width)
+                    # disappears; the per-visit winner comes from a
+                    # streaming pairwise (t, w) min-tree (same op count:
+                    # 3 ops/merge x width-1 vs 3 removed ops/tri, chain
+                    # depth log2(width) x 3). Bit-exact: t values are
+                    # unchanged and ties keep the LOWER triangle index
+                    # (ta <= tb keeps a), matching the strict t<closest
+                    # first-win of the sequential loop.
+                    closest0, besti0 = st
+                    stk = []  # (level, t_tile, w_idx) — idx may be int
+                    for w in range(width):
+                        t, u, v, bad = _mt_scalar_tri(
+                            blk, brow, w, stride, o1, o2, o3, d1, d2,
+                            d3, t_min, closest0, approx_recip)
+                        ent = (0, jnp.where(bad, _FLT_MAX, t), w)
+                        while stk and stk[-1][0] == ent[0]:
+                            lv, ta, wa = stk.pop()
+                            _, tb, wb = ent
+                            keep_a = ta <= tb
+                            ent = (lv + 1, jnp.where(keep_a, ta, tb),
+                                   jnp.where(keep_a, wa, wb))
+                        stk.append(ent)
+                    _, tm, wm = stk.pop()
+                    while stk:  # non-pow2 width leftovers (later=deeper
+                        lv, ta, wa = stk.pop()  # = earlier tris: keep a
+                        keep_a = ta <= tm
+                        tm = jnp.where(keep_a, ta, tm)
+                        wm = jnp.where(keep_a, wa, wm)
+                    won = tm < closest0
+                    closest = jnp.where(won, tm, closest0)
+                    besti = jnp.where(won, c * width + wm, besti0)
+                    return (closest, besti)
+                elif unroll:
                     # full unroll: w becomes a Python constant, so every
                     # scalar SMEM index in the MT body is compile-time
                     # static and Mosaic can pipeline across triangles
@@ -1405,7 +1448,8 @@ def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
                                              "top_rows", "quant",
                                              "leaf_cull",
                                              "approx_recip", "fused",
-                                             "quad", "packs"))
+                                             "quad", "packs",
+                                             "tree_min"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
@@ -1413,7 +1457,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  smem_nodes: bool = False, top_rows: int = 0,
                  nodes_top=None, quant: bool = False, qparams=None,
                  leaf_cull: bool = False, approx_recip: bool = False,
-                 fused: bool = True, quad: bool = True, packs: int = 1):
+                 fused: bool = True, quad: bool = True, packs: int = 1,
+                 tree_min: bool = False):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -1486,13 +1531,19 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     nodes_both = cnt[::rows_blk, 0].sum()
     nodes_single = cnt[::rows_blk, 1].sum()
     leaf_visits = cnt[::rows_blk, 2].sum()
-    # winner features: one 19-wide row gather (free width on TPU)
+    return (winner_features(origin, direction, t, tri, tri_feat),
+            (nodes_both, nodes_single, leaf_visits))
+
+
+def winner_features(origin, direction, t, tri, tri_feat):
+    """Winner features: one 19-wide row gather (free width on TPU) +
+    u/v recompute from the gathered v0/e1/e2 (same MT algebra the
+    kernel ran; drops the per-triangle bu/bv selects from the hot
+    loop). Misses gather row 0 -> masked to 0. Shared by the scalar
+    and regrouped packet kernels."""
     fr = tri_feat[jnp.maximum(tri, 0)]
     nx, ny, nz = fr[:, 0], fr[:, 1], fr[:, 2]
     mid = fr[:, 9].astype(jnp.int32)
-    # winner u/v recomputed from the gathered v0/e1/e2 (same MT algebra
-    # the kernel ran; dropping the per-triangle bu/bv selects from the
-    # hot loop). Misses gather row 0 -> masked to 0 below.
     hit = tri >= 0
     a = -(direction.x * nx + direction.y * ny + direction.z * nz)
     f_inv = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1.0, a)
@@ -1511,8 +1562,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     w0 = 1.0 - u - v
     tu = u * fr[:, 5] + v * fr[:, 7] + w0 * fr[:, 3]
     tv = u * fr[:, 6] + v * fr[:, 8] + w0 * fr[:, 4]
-    return ((t, tri, u, v, nx, ny, nz, tu, tv, mid),
-            (nodes_both, nodes_single, leaf_visits))
+    return (t, tri, u, v, nx, ny, nz, tu, tv, mid)
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
