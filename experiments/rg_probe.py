@@ -44,17 +44,17 @@ kw = dict(smem_nodes=pm.smem_nodes, top_rows=pm.top_rows,
           nodes_top=pm.nodes_top, quant=pm.quant, qparams=pm.qparams)
 
 
-def trace_a(o, d):
+def trace_a(o, d, tree_min=False):
     return packet_trace(o, d, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat,
                         pm.cl_first, pm.width, 1e-3, stride=pm.stride,
-                        cpb=pm.cpb, **kw)
+                        cpb=pm.cpb, tree_min=tree_min, **kw)
 
 
-def trace_b(o, d, dt):
+def trace_b(o, d, dt, prof=None):
     return packet_trace_rg(o, d, FLT_MAX, pm.nodes, pm.blocks,
                            rg.blocks_rg, pm.tri_feat, pm.cl_first,
                            pm.width, 1e-3, stride=pm.stride,
-                           dense_thresh=dt, **kw)
+                           dense_thresh=dt, prof=prof, **kw)
 
 
 def chain(trace_fn, o0, d0):
@@ -117,3 +117,18 @@ for rname, rays in (("coherent", primary_rays(scene, cam)),
     for dt in thresholds:
         bench(f"rg dt={dt:4d}", lambda o, d, dt=dt: trace_b(o, d, dt),
               o0, d0)
+    # cost decomposition at the first threshold (results invalid, only
+    # timing): norec = node phase + window bookkeeping; noflush = that
+    # + full record path (slab/prefix/enc/pipelined DMA)
+    for prof in ("norec", "noflush"):
+        bench(f"rg {prof:8s}",
+              lambda o, d, p=prof: trace_b(o, d, thresholds[0], p),
+              o0, d0)
+    # scalar kernel with the min-tree leaf reduction (dependency diet:
+    # per-tri tests against the visit-entry closest, winner from a
+    # log-depth pairwise min-tree — bit-exact vs sequential)
+    (tc_, ic_, *_), _ = trace_a(o0, d0, tree_min=True)
+    tc_, ic_ = np.asarray(tc_), np.asarray(ic_)
+    print(f"    tm bit-exact: tri {np.array_equal(ia, ic_)} "
+          f"t {np.array_equal(ta, tc_)}", flush=True)
+    bench("scalar tm", lambda o, d: trace_a(o, d, tree_min=True), o0, d0)

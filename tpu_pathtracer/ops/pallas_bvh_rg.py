@@ -231,7 +231,7 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                        cl_first, width, stride, t_min, unroll,
                        smem_nodes, top_rows, quant=False,
                        wk=64, ws=1024, dense_thresh=160, quad=True,
-                       interpret=False, debug=False):
+                       interpret=False, debug=False, prof=None):
     """Nearest-hit traversal with the regrouped leaf phase. Node phase
     (fused body + 4-ary quad step), dense-visit MT, pops and counters
     are the scalar kernel's (pallas_bvh._kernel_nearest)."""
@@ -257,7 +257,7 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                    preferred_element_type=jnp.float32,
                                    precision=prec)
 
-    def scoped(blk, sem, enc3, blk3, smv, smcnt, ntab=None):
+    def scoped(blk, sem, semw, enc3, blk3, smv, smcnt, ntab=None):
         if smem_nodes or top_rows:
             nd = pltpu.make_async_copy(
                 nodes if smem_nodes else nodes_top, ntab, sem)
@@ -295,22 +295,36 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             rrows.extend(_split3_row(compv.reshape(1, ws)))
         rayct18 = jnp.concatenate(rrows, axis=0)      # (18,R) bf16
 
-        iota_sr = jax.lax.broadcasted_iota(jnp.int32, (1, ws), 1)
-        iota_kv = jax.lax.broadcasted_iota(jnp.int32, (wk, ws), 0)
-        iota_k3 = jax.lax.broadcasted_iota(jnp.int32, (3 * wk, ws), 0)
-        iota_w = jax.lax.broadcasted_iota(
-            jnp.int32, (width, ws), 0)
-
         def flush(closest, besti, wc, wp, dbg=None):
             """Regrouped MT over the window's recorded demand pairs;
             commits exact winners into (closest, besti). See module
             docstring; staging mirrors experiments/regroup_probe.py."""
+            if prof == "norec":  # nothing recorded, nothing to do
+                return closest, besti
+            # drain the window's pipelined triangle DMAs (started at
+            # record time; all copies are equal-size so each wait
+            # retires one)
+            def drain(v, _):
+                pltpu.make_async_copy(blocks_rg.at[pl.ds(0, 3)],
+                                      blk3.at[pl.ds(0, 3)], semw).wait()
+                return 0
+            jax.lax.fori_loop(0, wc, drain, 0)
+            if prof == "noflush":
+                return closest, besti
             # vpref tail: rows past wc must repeat the total so the
             # monotone SMEM scan below lands used slots on v < wc
             def fill(v, _):
                 smv[v] = wp
                 return 0
             jax.lax.fori_loop(wc + 1, wk + 1, fill, 0)
+            # iotas rematerialized HERE, not in the enclosing scope:
+            # hoisting them out makes ~1.3 MB of (wk,ws)-class tensors
+            # loop-live across the whole traversal and spills the hot
+            # node/record state (measured ~800 ns/visit of overhead)
+            iota_sr = jax.lax.broadcasted_iota(jnp.int32, (1, ws), 1)
+            iota_kv = jax.lax.broadcasted_iota(jnp.int32, (wk, ws), 0)
+            iota_k3 = jax.lax.broadcasted_iota(jnp.int32, (3 * wk, ws), 0)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (width, ws), 0)
             v_of_s = jnp.zeros((1, ws), jnp.int32)
             vpref_s = jnp.zeros((1, ws), jnp.int32)
             cid_s = jnp.zeros((1, ws), jnp.float32)
@@ -478,11 +492,12 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             def sparse(st):
                 # pend (from the count stack) is a conservative upper
                 # bound on this visit's demand — reserving pend slots
-                # keeps rank<k matching exact, extra slots stay empty
+                # keeps rank<k matching exact, extra slots stay empty.
+                # Window room is guaranteed by the inner while cond
+                # (the loop exits to the outer-level flush instead).
                 closest, besti, wc, wp = st
-                closest, besti, wc, wp = jax.lax.cond(
-                    (wc >= wk) | (wp + pend > ws), flush_reset,
-                    lambda s: s, (closest, besti, wc, wp))
+                if prof == "norec":  # profiling-only: skip the record
+                    return closest, besti, wc + 1, wp + pend
                 lb = _node_box(smem_nodes, top_rows, nodes, ntab, idx,
                                quant, qscal)
                 lhit = _slab(lb, o1, o2, o3, i1, i2, i3, n1, n2, n3,
@@ -490,11 +505,11 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 demand = lhit < closest
                 rank = _lane_exclusive_prefix(demand)
                 enc3[wc] = 2 * rank + demand.astype(jnp.int32)
-                dmab = pltpu.make_async_copy(
+                # pipelined: start only — the flush drains semw before
+                # reading blk3, so record never eats the DMA latency
+                pltpu.make_async_copy(
                     blocks_rg.at[pl.ds(c * 3, 3)],
-                    blk3.at[pl.ds(wc * 3, 3)], sem)
-                dmab.start()
-                dmab.wait()
+                    blk3.at[pl.ds(wc * 3, 3)], semw).start()
                 smv[wc + 1] = wp + pend
                 smv[wk + 1 + wc] = c
                 return closest, besti, wc + 1, wp + pend
@@ -513,24 +528,48 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             return (new_idx, new_bs, nb, nsg, nl, closest, besti, wc, wp,
                     new_pend, new_sp)
 
+        def sparse_full(carry):
+            # a sparse leaf visit that would overflow the window —
+            # the inner loop must exit to the outer-level flush first
+            idx = carry[0]
+            wc, wp, pend = carry[7], carry[8], carry[9]
+            is_leaf = (idx >= cl_first) & (pend <= dense_thresh)
+            no_room = (wc >= wk) | (wp + pend > ws)
+            return is_leaf & no_room
+
         def body(carry):
-            # fused body: node step + same-trip leaf visit
+            # fused body: node step + same-trip leaf visit (the visit
+            # is gated on window room — a full window leaves idx parked
+            # on the leaf for the next inner trip after the flush)
             carry = jax.lax.cond(carry[0] < cl_first, node_fn,
                                  lambda cr: cr, carry)
-            return jax.lax.cond(carry[0] >= cl_first, leaf_fn,
-                                lambda cr: cr, carry)
+            return jax.lax.cond(
+                (carry[0] >= cl_first) & jnp.logical_not(
+                    sparse_full(carry)), leaf_fn, lambda cr: cr, carry)
 
-        def cond(carry):
-            return carry[0] > 0
+        def inner_cond(carry):
+            # run until traversal ends OR the next sparse leaf visit
+            # would overflow the window (flush happens one level up, so
+            # the giant flush body never sits inside this hot loop)
+            return (carry[0] > 0) & jnp.logical_not(sparse_full(carry))
+
+        def outer_body(carry):
+            carry = jax.lax.while_loop(inner_cond, body, carry)
+            idx, bs, nb, nsg, nl, closest, besti, wc, wp, pend, sp = carry
+            closest, besti, wc, wp = flush_reset((closest, besti, wc, wp))
+            return (idx, bs, nb, nsg, nl, closest, besti, wc, wp, pend,
+                    sp)
 
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
                 jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32),
                 jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
         (_, _, nb, nsg, nl, closest, besti, wc, wp, _, _) = \
-            jax.lax.while_loop(cond, body, init)
-        # final flush: commit any window still pending at traversal end
+            jax.lax.while_loop(lambda cr: cr[0] > 0, outer_body, init)
+        # every outer trip flushes, including the final one (idx==0
+        # exits the inner loop into one last flush_reset)
         dbg = {} if debug else None
-        closest, besti = flush(closest, besti, wc, wp, dbg)
+        if debug:
+            closest, besti = flush(closest, besti, wc, wp, dbg)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
@@ -564,6 +603,7 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
     kw = dict(blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()),
+              semw=pltpu.SemaphoreType.DMA(()),
               enc3=pltpu.VMEM((wk, 8, 128), jnp.int32),
               blk3=pltpu.VMEM((3 * wk, rows8, 128), jnp.bfloat16),
               smv=pltpu.SMEM((2 * wk + 2,), jnp.int32),
@@ -577,7 +617,8 @@ def _kernel_nearest_rg(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
 @functools.partial(jax.jit, static_argnames=(
     "cl_first", "width", "t_min", "interpret", "stride", "smem_nodes",
-    "top_rows", "quant", "wk", "ws", "dense_thresh", "quad", "debug"))
+    "top_rows", "quant", "wk", "ws", "dense_thresh", "quad", "debug",
+    "prof"))
 def packet_trace_rg(origin, direction, t_max, nodes, blocks, blocks_rg,
                     tri_feat, cl_first: int, width: int, t_min: float,
                     interpret: bool = False, stride: int = 128,
@@ -585,12 +626,17 @@ def packet_trace_rg(origin, direction, t_max, nodes, blocks, blocks_rg,
                     nodes_top=None, quant: bool = False, qparams=None,
                     wk: int = 64, ws: int = 1024,
                     dense_thresh: int = 160, quad: bool = True,
-                    debug: bool = False):
+                    debug: bool = False, prof=None):
     """Nearest-hit regrouped packet traversal over the whole ray batch.
     Same contract as pallas_bvh.packet_trace (returns the winner
     feature tuple + (nodes_both, nodes_single, leaf_visits)); hits are
     exact per-pair MT accepts, equal to the scalar kernel up to FMA
     contraction ulps and cross-path equal-t tie-breaks."""
+    # dt >= ws ("never dense") measured 5x slower on hardware — big-pend
+    # visits churn windows — and showed a hardware-only 5/102k winner
+    # mismatch in the statically-all-sparse variant; clamp keeps the
+    # dense fallback live as the window load-balancer
+    dense_thresh = min(dense_thresh, ws - 1)
     n = origin.x.shape[0]
     n_pad = ((n + 1023) // 1024) * 1024
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -621,7 +667,7 @@ def packet_trace_rg(origin, direction, t_max, nodes, blocks, blocks_rg,
         stride=stride, t_min=float(t_min), unroll=not interpret,
         smem_nodes=smem_nodes, top_rows=top_rows, quant=quant,
         wk=wk, ws=ws, dense_thresh=dense_thresh, quad=quad,
-        interpret=interpret, debug=debug)
+        interpret=interpret, debug=debug, prof=prof)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
