@@ -44,10 +44,11 @@ kw = dict(smem_nodes=pm.smem_nodes, top_rows=pm.top_rows,
           nodes_top=pm.nodes_top, quant=pm.quant, qparams=pm.qparams)
 
 
-def trace_a(o, d, tree_min=False):
+def trace_a(o, d, tree_min=False, prefetch=False):
     return packet_trace(o, d, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat,
                         pm.cl_first, pm.width, 1e-3, stride=pm.stride,
-                        cpb=pm.cpb, tree_min=tree_min, **kw)
+                        cpb=pm.cpb, tree_min=tree_min, prefetch=prefetch,
+                        **kw)
 
 
 def trace_b(o, d, dt, prof=None):
@@ -114,21 +115,21 @@ for rname, rays in (("coherent", primary_rays(scene, cam)),
               f"tri eq {same_i} (mism {int(mism.sum())}, ties_ok "
               f"{tie_ok})", flush=True)
     bench("scalar   ", trace_a, o0, d0)
-    for dt in thresholds:
-        bench(f"rg dt={dt:4d}", lambda o, d, dt=dt: trace_b(o, d, dt),
-              o0, d0)
-    # cost decomposition at the first threshold (results invalid, only
-    # timing): norec = node phase + window bookkeeping; noflush = that
-    # + full record path (slab/prefix/enc/pipelined DMA)
-    for prof in ("norec", "noflush"):
-        bench(f"rg {prof:8s}",
-              lambda o, d, p=prof: trace_b(o, d, thresholds[0], p),
-              o0, d0)
-    # scalar kernel with the min-tree leaf reduction (dependency diet:
-    # per-tri tests against the visit-entry closest, winner from a
-    # log-depth pairwise min-tree — bit-exact vs sequential)
+    # sibling-pair prefetch (bit-exact; see _kernel_nearest pf)
+    (tp_, ip_, *_), _ = trace_a(o0, d0, prefetch=True)
+    tp_, ip_ = np.asarray(tp_), np.asarray(ip_)
+    print(f"    pf bit-exact: tri {np.array_equal(ia, ip_)} "
+          f"t {np.array_equal(ta, tp_)}", flush=True)
+    bench("scalar pf", lambda o, d: trace_a(o, d, prefetch=True), o0, d0)
+    # min-tree leaf reduction (dependency diet), with and without pf
     (tc_, ic_, *_), _ = trace_a(o0, d0, tree_min=True)
     tc_, ic_ = np.asarray(tc_), np.asarray(ic_)
     print(f"    tm bit-exact: tri {np.array_equal(ia, ic_)} "
           f"t {np.array_equal(ta, tc_)}", flush=True)
     bench("scalar tm", lambda o, d: trace_a(o, d, tree_min=True), o0, d0)
+    bench("scalar tm+pf",
+          lambda o, d: trace_a(o, d, tree_min=True, prefetch=True),
+          o0, d0)
+    for dt in thresholds:
+        bench(f"rg dt={dt:4d}", lambda o, d, dt=dt: trace_b(o, d, dt),
+              o0, d0)

@@ -577,9 +577,18 @@ def _node_box(smem_nodes, top_rows, nodes, ntab, r, quant=False,
     return jax.lax.cond(r < top_rows, smem_read, vmem_read, None)
 
 
-def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows):
-    kw = dict(blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-              sem=pltpu.SemaphoreType.DMA(()))
+def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
+                          rpc=0):
+    if rpc:
+        # prefetch layout: two pair slots (4 clusters x rpc rows) + one
+        # DMA semaphore per slot; blocks arrives flattened (C*rpc, 128)
+        kw = dict(blk=pltpu.SMEM((4 * rpc, 128), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  s0=pltpu.SemaphoreType.DMA(()),
+                  s1=pltpu.SemaphoreType.DMA(()))
+    else:
+        kw = dict(blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()))
     if smem_nodes:
         kw["ntab"] = pltpu.SMEM(nodes.shape, nodes.dtype)
     elif top_rows:
@@ -600,7 +609,7 @@ def _quad_step(ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
 
 
 def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
-                   closest, approx_recip=False):
+                   closest, approx_recip=False, rows=None):
     """Möller–Trumbore of one triangle (scalar comps from the SMEM block:
     component c of the cluster starting at row ``brow`` lives at
     ``blk[brow + c*stride//128, c*stride%128 + w]`` — both index parts
@@ -610,8 +619,12 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
     replaces the h = d×e2 cross; see ops/intersect.triangles_hit)."""
     def rd(c):
         if stride >= 128:       # legacy layout: one component per row
-            return blk[c, w]
+            if rows is not None:    # prefetch slot base, hoisted per
+                return blk[rows[c], w]  # visit (one add per ROW, not
+            return blk[c, w]            # one per read)
         off = c * stride
+        if rows is not None:
+            return blk[rows[off // 128], off % 128 + w]
         return blk[brow + off // 128, off % 128 + w]
 
     v0x = rd(0)
@@ -659,7 +672,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     cl_first, width, stride, cpb, t_min, unroll,
                     smem_nodes, top_rows, quant=False, qparams=None,
                     leaf_cull=True, approx_recip=False, fused=True,
-                    quad=True, tree_min=False):
+                    quad=True, tree_min=False, prefetch=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -669,7 +682,49 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     # the 4-ary step reads grandchild rows from a flat SMEM table only
     quad_ok = quad and (smem_nodes or quant) and not top_rows \
         and cl_first >= 8
-    def scoped(blk, sem, ntab=None):
+    # pf: sibling-pair cluster prefetch. In the complete pow2 tree,
+    # every leaf's 2-cluster pair is known at the node step that
+    # descends into it, and a far sibling is always visited IMMEDIATELY
+    # after the near one (LIFO bitstack), so two statically-addressed
+    # pair slots keyed by pair parity give zero-misprediction prefetch:
+    # the pair DMA issues BEFORE the step's slab votes (hiding under
+    # the ~300 ns vote round trip) and the visit only waits the
+    # remainder. Measured sync DMA+consume is ~390 ns/visit of which
+    # double-buffering recovers ~250 (experiments/dma_probe.py).
+    pf = (prefetch and fused and cpb == 1 and stride == 128
+          and not leaf_cull and cl_first >= 2)
+    rpc = rows_per_cluster
+    PAIR = 2 * rpc
+
+    def scoped(blk, sem, s0=None, s1=None, ntab=None):
+        def pf_drain(ss, lo):
+            pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
+                                  blk.at[pl.ds(lo, PAIR)], ss).wait()
+
+        def pf_issue(pred0, c0_s0, pred1, c0_s1, p0, p1):
+            """Start pair DMAs into slot 0/1 under scalar predicates
+            (c0_*: the pair's EVEN cluster id), draining any unconsumed
+            previous copy in the slot first."""
+            @pl.when(pred0 & (p0 > 0))
+            def _():
+                pf_drain(s0, 0)
+
+            @pl.when(pred0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[pl.ds(c0_s0 * rpc, PAIR)],
+                    blk.at[pl.ds(0, PAIR)], s0).start()
+
+            @pl.when(pred1 & (p1 > 0))
+            def _():
+                pf_drain(s1, PAIR)
+
+            @pl.when(pred1)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[pl.ds(c0_s1 * rpc, PAIR)],
+                    blk.at[pl.ds(PAIR, PAIR)], s1).start()
+            return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
         if smem_nodes:
             # node table -> SMEM once per packet: scalar loads beat VMEM
             # extracts 1.67x per node step (PERFORMANCE.md microbench)
@@ -703,8 +758,17 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         shp = o1.shape
 
         def node_bin(carry):
-            idx, bs, nb, nsg, nl, closest, besti = carry
+            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
             l = idx * 2
+            if pf:
+                # children are leaves -> issue their pair's DMA before
+                # the slab votes; slot = pair parity bit of the cluster
+                isleaf = l >= cl_first
+                c0 = jnp.maximum(l - cl_first, 0)  # pair's even cluster
+                s_even = ((c0 >> 1) & 1) == 0
+                p0, p1 = pf_issue(isleaf & s_even, c0,
+                                  isleaf & jnp.logical_not(s_even), c0,
+                                  p0, p1)
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
                                   quant, qscal)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -714,15 +778,25 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                                      closest, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
-            return (new_idx, new_bs, nb, nsg, nl, closest, besti)
+            return (new_idx, new_bs, nb, nsg, nl, closest, besti, p0, p1)
 
         def node_quad(carry):
-            idx, bs, nb, nsg, nl, closest, besti = carry
+            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
+            if pf:
+                # grandchildren are leaves -> both candidate pairs,
+                # complementary parities, issued before the 4 slabs
+                g = idx * 4
+                isleaf = g >= cl_first
+                cl_ = jnp.maximum(g - cl_first, 0)
+                sl_even = ((cl_ >> 1) & 1) == 0
+                p0, p1 = pf_issue(isleaf, jnp.where(sl_even, cl_, cl_ + 2),
+                                  isleaf, jnp.where(sl_even, cl_ + 2, cl_),
+                                  p0, p1)
             new_idx, new_bs, nbi, nsgi = _quad_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
-                    besti)
+                    besti, p0, p1)
 
         if quad_ok:
             # 4-ary double step above the last interior level (children
@@ -734,23 +808,43 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             node_fn = node_bin
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, nl, closest, besti = carry
+            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
             c_blk = c if cpb == 1 else c >> log2cpb
             brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
+            if pf:
+                # wait this slot's pair copy (first visit of the pair
+                # only — the sibling finds pend cleared, data resident)
+                slot1 = ((c >> 1) & 1) == 1
+
+                @pl.when(jnp.logical_not(slot1) & (p0 > 0))
+                def _():
+                    pf_drain(s0, 0)
+
+                @pl.when(slot1 & (p1 > 0))
+                def _():
+                    pf_drain(s1, PAIR)
+                p0 = jnp.where(slot1, p0, 0)
+                p1 = jnp.where(slot1, 0, p1)
+                base = (c & 3) * rpc
+                mt_rows = [base + r for r in range(rpc)]
+            else:
+                mt_rows = None
 
             def do_mt(st):
-                dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
-                dma.start()
-                dma.wait()
+                if not pf:
+                    dma = pltpu.make_async_copy(blocks.at[c_blk], blk,
+                                                sem)
+                    dma.start()
+                    dma.wait()
 
                 def tri(w, st):
                     closest, besti = st
                     t, u, v, bad = _mt_scalar_tri(
                         blk, brow, w, stride, o1, o2, o3, d1, d2, d3,
-                        t_min, closest, approx_recip)
+                        t_min, closest, approx_recip, rows=mt_rows)
                     won = jnp.logical_not(bad)
                     closest = jnp.where(won, t, closest)
                     besti = jnp.where(won, c * width + w, besti)
@@ -761,7 +855,10 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     return (closest, besti)
 
                 if tree_min and unroll:
-                    # dependency-diet variant: every triangle is tested
+                    # dependency-diet variant (measured: LOSES 5-6% on
+                    # both coherent and bounce knot traces — the serial
+                    # chain was not the bottleneck; kept off, see
+                    # PERFORMANCE.md r3): every triangle is tested
                     # against the ENTRY closest (a visit-constant), so
                     # the ~4-op serial chain through the running
                     # `closest` (cmp -> or -> not -> select, x width)
@@ -777,7 +874,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     for w in range(width):
                         t, u, v, bad = _mt_scalar_tri(
                             blk, brow, w, stride, o1, o2, o3, d1, d2,
-                            d3, t_min, closest0, approx_recip)
+                            d3, t_min, closest0, approx_recip,
+                            rows=mt_rows)
                         ent = (0, jnp.where(bad, _FLT_MAX, t), w)
                         while stk and stk[-1][0] == ent[0]:
                             lv, ta, wa = stk.pop()
@@ -829,7 +927,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, nb, nsg, nl, closest, besti)
+            return (new_idx, new_bs, nb, nsg, nl, closest, besti, p0, p1)
 
         if fused:
             # fused body: a node step that lands on a leaf runs the MT
@@ -852,9 +950,19 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             return carry[0] > 0
 
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32))
-        _, _, nb, nsg, nl, closest, besti = jax.lax.while_loop(
+                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32),
+                jnp.int32(0), jnp.int32(0))
+        _, _, nb, nsg, nl, closest, besti, p0f, p1f = jax.lax.while_loop(
             cond, body, init)
+        if pf:
+            # drain speculative pair copies never consumed by a visit
+            @pl.when(p0f > 0)
+            def _():
+                pf_drain(s0, 0)
+
+            @pl.when(p1f > 0)
+            def _():
+                pf_drain(s1, PAIR)
         # per-packet telemetry at [0, 0..2]: both/single node steps and
         # leaf-cluster visits
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
@@ -866,14 +974,15 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         tri_out[:, :] = besti
         feat_out[:, :] = closest
 
-    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows)
+    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
+                          rpc=rpc if pf else 0)
 
 
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                    cl_first, width, stride, cpb, t_min,
                    unroll, smem_nodes, top_rows, quant=False, qparams=None,
                    leaf_cull=True, approx_recip=False, fused=True,
-                   quad=True):
+                   quad=True, prefetch=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -882,7 +991,39 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     log2cpb = cpb.bit_length() - 1
     quad_ok = quad and (smem_nodes or quant) and not top_rows \
         and cl_first >= 8
-    def scoped(blk, sem, ntab=None):
+    # sibling-pair prefetch — see _kernel_nearest
+    pf = (prefetch and fused and cpb == 1 and stride == 128
+          and not leaf_cull and cl_first >= 2)
+    rpc = rows_per_cluster
+    PAIR = 2 * rpc
+
+    def scoped(blk, sem, s0=None, s1=None, ntab=None):
+        def pf_drain(ss, lo):
+            pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
+                                  blk.at[pl.ds(lo, PAIR)], ss).wait()
+
+        def pf_issue(pred0, c0_s0, pred1, c0_s1, p0, p1):
+            @pl.when(pred0 & (p0 > 0))
+            def _():
+                pf_drain(s0, 0)
+
+            @pl.when(pred0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[pl.ds(c0_s0 * rpc, PAIR)],
+                    blk.at[pl.ds(0, PAIR)], s0).start()
+
+            @pl.when(pred1 & (p1 > 0))
+            def _():
+                pf_drain(s1, PAIR)
+
+            @pl.when(pred1)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[pl.ds(c0_s1 * rpc, PAIR)],
+                    blk.at[pl.ds(PAIR, PAIR)], s1).start()
+            return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
+
         if smem_nodes:
             nd = pltpu.make_async_copy(nodes, ntab, sem)
             nd.start()
@@ -911,8 +1052,15 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         n3 = i3 < 0.0
 
         def node_bin(carry):
-            idx, bs, nb, nsg, nl, closest, occ, ndone = carry
+            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
             l = idx * 2
+            if pf:
+                isleaf = l >= cl_first
+                c0 = jnp.maximum(l - cl_first, 0)
+                s_even = ((c0 >> 1) & 1) == 0
+                p0, p1 = pf_issue(isleaf & s_even, c0,
+                                  isleaf & jnp.logical_not(s_even), c0,
+                                  p0, p1)
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
                                   quant, qscal)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -922,15 +1070,24 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                                      closest, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
-            return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone)
+            return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone,
+                    p0, p1)
 
         def node_quad(carry):
-            idx, bs, nb, nsg, nl, closest, occ, ndone = carry
+            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
+            if pf:
+                g = idx * 4
+                isleaf = g >= cl_first
+                cl_ = jnp.maximum(g - cl_first, 0)
+                sl_even = ((cl_ >> 1) & 1) == 0
+                p0, p1 = pf_issue(isleaf, jnp.where(sl_even, cl_, cl_ + 2),
+                                  isleaf, jnp.where(sl_even, cl_ + 2, cl_),
+                                  p0, p1)
             new_idx, new_bs, nbi, nsgi = _quad_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
-                    occ, ndone)
+                    occ, ndone, p0, p1)
 
         if quad_ok:
             def node_fn(carry):
@@ -940,23 +1097,41 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             node_fn = node_bin
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, nl, closest, occ, ndone = carry
+            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
             c_blk = c if cpb == 1 else c >> log2cpb
             brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
+            if pf:
+                slot1 = ((c >> 1) & 1) == 1
+
+                @pl.when(jnp.logical_not(slot1) & (p0 > 0))
+                def _():
+                    pf_drain(s0, 0)
+
+                @pl.when(slot1 & (p1 > 0))
+                def _():
+                    pf_drain(s1, PAIR)
+                p0 = jnp.where(slot1, p0, 0)
+                p1 = jnp.where(slot1, 0, p1)
+                base = (c & 3) * rpc
+                mt_rows = [base + r for r in range(rpc)]
+            else:
+                mt_rows = None
 
             def do_mt(st):
-                dma = pltpu.make_async_copy(blocks.at[c_blk], blk, sem)
-                dma.start()
-                dma.wait()
+                if not pf:
+                    dma = pltpu.make_async_copy(blocks.at[c_blk], blk,
+                                                sem)
+                    dma.start()
+                    dma.wait()
 
                 def tri(w, st):
                     closest, occ = st
                     t, u, v, bad = _mt_scalar_tri(
                         blk, brow, w, stride, o1, o2, o3, d1, d2, d3,
-                        t_min, closest, approx_recip)
+                        t_min, closest, approx_recip, rows=mt_rows)
                     hit = jnp.logical_not(bad)
                     occ = jnp.where(hit, jnp.int32(1), occ)
                     # any-hit early-out (kernels.cu:207): retire the
@@ -992,7 +1167,8 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
-            return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone)
+            return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone,
+                    p0, p1)
 
         if fused:
             def body(carry):
@@ -1011,8 +1187,18 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         shp = o1.shape
         init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
                 jnp.int32(0), tmax[:, :], jnp.zeros(shp, jnp.int32),
-                jnp.int32(0))
-        _, _, nb, nsg, nl, _, occ, _ = jax.lax.while_loop(cond, body, init)
+                jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        _, _, nb, nsg, nl, _, occ, _, p0f, p1f = jax.lax.while_loop(
+            cond, body, init)
+        if pf:
+            # drain speculative copies (early-out can exit mid-pair)
+            @pl.when(p0f > 0)
+            def _():
+                pf_drain(s0, 0)
+
+            @pl.when(p1f > 0)
+            def _():
+                pf_drain(s1, PAIR)
         occ_out[:, :] = occ
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
@@ -1021,7 +1207,8 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             jnp.where((ii == 0) & (jj == 1), nsg,
                       jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
-    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows)
+    _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
+                          rpc=rpc if pf else 0)
 
 
 def _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs):
@@ -1449,7 +1636,7 @@ def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
                                              "leaf_cull",
                                              "approx_recip", "fused",
                                              "quad", "packs",
-                                             "tree_min"))
+                                             "tree_min", "prefetch"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
@@ -1458,7 +1645,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  nodes_top=None, quant: bool = False, qparams=None,
                  leaf_cull: bool = False, approx_recip: bool = False,
                  fused: bool = True, quad: bool = True, packs: int = 1,
-                 tree_min: bool = False):
+                 tree_min: bool = False, prefetch: bool = True):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -1470,6 +1657,12 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     see _kernel_nearest_mp) when the mesh layout is eligible.
     """
     mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
+    # sibling-pair prefetch (see _kernel_nearest): flatten blocks to
+    # (C*rpc, 128) so pair DMAs are single aligned dim-0 slices
+    pf = (prefetch and not mp and fused and cpb == 1 and stride == 128
+          and not leaf_cull and cl_first >= 2)
+    if pf:
+        blocks = blocks.reshape(-1, 128)
     rows_blk = rows * (packs if mp else 1)
     n = origin.x.shape[0]
     n_pad = ((n + rows_blk * 128 - 1) // (rows_blk * 128)) \
@@ -1511,7 +1704,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
             stride=stride, cpb=cpb, t_min=float(t_min),
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
-            approx_recip=approx_recip, fused=fused, quad=quad)
+            approx_recip=approx_recip, fused=fused, quad=quad,
+            tree_min=tree_min, prefetch=pf)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
@@ -1571,7 +1765,8 @@ def winner_features(origin, direction, t, tri, tri_feat):
                                              "top_rows", "quant",
                                              "leaf_cull",
                                              "approx_recip", "fused",
-                                             "quad", "packs"))
+                                             "quad", "packs",
+                                             "prefetch"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
@@ -1579,11 +1774,15 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     nodes_top=None, quant: bool = False, qparams=None,
                     leaf_cull: bool = False, approx_recip: bool = False,
                     fused: bool = True, quad: bool = True,
-                    packs: int = 1):
+                    packs: int = 1, prefetch: bool = True):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single, leaf_visits) scalar telemetry). ``packs`` as in
     :func:`packet_trace`."""
     mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
+    pf = (prefetch and not mp and fused and cpb == 1 and stride == 128
+          and not leaf_cull and cl_first >= 2)
+    if pf:
+        blocks = blocks.reshape(-1, 128)
     rows_blk = rows * (packs if mp else 1)
     n = origin.x.shape[0]
     n_pad = ((n + rows_blk * 128 - 1) // (rows_blk * 128)) \
@@ -1626,7 +1825,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
             stride=stride, cpb=cpb, t_min=float(t_min),
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
-            approx_recip=approx_recip, fused=fused, quad=quad)
+            approx_recip=approx_recip, fused=fused, quad=quad,
+            prefetch=pf)
     occ, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
