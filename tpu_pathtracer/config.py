@@ -120,6 +120,9 @@ class RenderConfig:
     # saves (PERFORMANCE.md round 3). Kept as an opt-in decision
     # record; requires a flat SMEM node table (f32/quant), else the
     # single-packet kernel runs regardless.
+    prefetch: bool = True  # sibling-pair cluster prefetch in the packet
+    # kernels (pallas_bvh._kernel_nearest pf): pair DMAs issue under the
+    # node step's vote latency; bit-exact. Knot bounce trace -17%.
     leaf_cull: bool = False  # stale-leaf re-test in the packet kernels:
     # re-slab a popped leaf cluster's own box against the (shrunken)
     # per-lane closest before the MT loop. Exact (same conservative

@@ -345,7 +345,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                          qparams=pk.qparams,
                                          leaf_cull=config.leaf_cull,
                                          approx_recip=config.fast_math,
-                                         packs=config.packet_packs)
+                                         packs=config.packet_packs,
+                                         prefetch=config.prefetch)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -397,7 +398,7 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
             top_rows=pk.top_rows, nodes_top=pk.nodes_top,
             quant=pk.quant, qparams=pk.qparams,
             leaf_cull=config.leaf_cull, approx_recip=config.fast_math,
-            packs=config.packet_packs)
+            packs=config.packet_packs, prefetch=config.prefetch)
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
         return occ != 0, node_counts
     return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
@@ -409,7 +410,7 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                            quant=pk.quant, qparams=pk.qparams,
                            leaf_cull=config.leaf_cull,
                            approx_recip=config.fast_math,
-                           packs=config.packet_packs)
+                           packs=config.packet_packs, prefetch=config.prefetch)
 
 
 def _cols_from_rows(rows: jnp.ndarray) -> MatCols:
