@@ -619,9 +619,14 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
     replaces the h = d×e2 cross; see ops/intersect.triangles_hit)."""
     def rd(c):
         if stride >= 128:       # legacy layout: one component per row
-            if rows is not None:    # prefetch slot base, hoisted per
-                return blk[rows[c], w]  # visit (one add per ROW, not
-            return blk[c, w]            # one per read)
+            if rows is not None:    # prefetch: flattened (rows,128)
+                # buffer; slot base hoisted per visit (one add per ROW,
+                # not one per read); w//128, w%128 static under unroll
+                spr = stride // 128
+                if isinstance(w, int):
+                    return blk[rows[c * spr + w // 128], w % 128]
+                return blk[rows[c * spr] + w // 128, w % 128]
+            return blk[c, w]
         off = c * stride
         if rows is not None:
             return blk[rows[off // 128], off % 128 + w]
@@ -691,8 +696,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     # the ~300 ns vote round trip) and the visit only waits the
     # remainder. Measured sync DMA+consume is ~390 ns/visit of which
     # double-buffering recovers ~250 (experiments/dma_probe.py).
-    pf = (prefetch and fused and cpb == 1 and stride == 128
-          and not leaf_cull and cl_first >= 2)
+    pf = (prefetch and fused and cpb == 1 and stride % 128 == 0
+          and stride >= 128 and not leaf_cull and cl_first >= 2)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
@@ -992,8 +997,8 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     quad_ok = quad and (smem_nodes or quant) and not top_rows \
         and cl_first >= 8
     # sibling-pair prefetch — see _kernel_nearest
-    pf = (prefetch and fused and cpb == 1 and stride == 128
-          and not leaf_cull and cl_first >= 2)
+    pf = (prefetch and fused and cpb == 1 and stride % 128 == 0
+          and stride >= 128 and not leaf_cull and cl_first >= 2)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
@@ -1659,7 +1664,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
     # sibling-pair prefetch (see _kernel_nearest): flatten blocks to
     # (C*rpc, 128) so pair DMAs are single aligned dim-0 slices
-    pf = (prefetch and not mp and fused and cpb == 1 and stride == 128
+    pf = (prefetch and not mp and fused and cpb == 1
+          and stride % 128 == 0 and stride >= 128
           and not leaf_cull and cl_first >= 2)
     if pf:
         blocks = blocks.reshape(-1, 128)
@@ -1779,7 +1785,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
     nodes_single, leaf_visits) scalar telemetry). ``packs`` as in
     :func:`packet_trace`."""
     mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
-    pf = (prefetch and not mp and fused and cpb == 1 and stride == 128
+    pf = (prefetch and not mp and fused and cpb == 1
+          and stride % 128 == 0 and stride >= 128
           and not leaf_cull and cl_first >= 2)
     if pf:
         blocks = blocks.reshape(-1, 128)
