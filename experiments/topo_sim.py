@@ -276,6 +276,7 @@ def sample_packets(arrs, n_total):
 def main():
     from tpu_pathtracer.models.shapes import knot_zoo_scene, \
         terrain_zoo_scene
+    from tpu_pathtracer.models.mesh import procedural_staircase_scene
     from experiments.incoh_phase import bounce_rays, primary_rays, n
 
     which = sys.argv[1:] or ["knot", "terrain"]
@@ -285,6 +286,9 @@ def main():
         elif name == "dragon":
             scene, cam = knot_zoo_scene(512, 512, prims_per_leaf=WIDTH,
                                         nu=1664, nv=262)
+        elif name == "stairs":
+            scene, cam = procedural_staircase_scene(
+                512, 512, prims_per_leaf=WIDTH, sub=16)
         else:
             scene, cam = terrain_zoo_scene(512, 512,
                                            prims_per_leaf=WIDTH)

@@ -1,0 +1,194 @@
+"""SAH BVH4 explicit-stack packet traversal (ops/bvh4 + pallas_bvh4) —
+interpret mode.
+
+Same contract as the heap packet kernel (tests/test_packet_bvh.py): the
+kernel must be *exactly* the brute-force oracle — identical hit masks,
+original triangle ids (via tri_map), t/u/v, features, occlusion. The
+SAH topology only changes visit order/speed, never results.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_pathtracer.ops import bvh as B
+from tpu_pathtracer.ops.bvh4 import attach_bvh4, build_bvh4
+from tpu_pathtracer.ops.pallas_bvh4 import packet_occluded4, packet_trace4
+from tpu_pathtracer.ops.v3 import V3
+from tpu_pathtracer.ops.vec import FLT_MAX
+
+
+def _mesh(t=2000, seed=0, ppl=16):
+    rng = np.random.RandomState(seed)
+    base = rng.uniform(-10, 10, (t, 3)).astype(np.float32)
+    v1 = base + rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    v2 = base + rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    tc = rng.rand(t, 6).astype(np.float32)
+    mid = rng.randint(0, 5, t).astype(np.int32)
+    return B.build_bvh(base, v1, v2, tc, mid, prims_per_leaf=ppl)
+
+
+def _rays(n, seed=1):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    tgt = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+    return o, d, ov, dv
+
+
+def test_builder_invariants():
+    """Every sane triangle lands in exactly one cluster slot; every
+    cluster/node is reachable exactly once from the root; child bounds
+    contain their subtree's triangles."""
+    mesh = _mesh(t=1777)  # deliberately non-pow2
+    b4 = build_bvh4(mesh, width=32)
+    tm = np.asarray(b4.tri_map)
+    real = tm[tm >= 0]
+    sane = np.isfinite(np.asarray(mesh.v0)).all(1)
+    assert sorted(real.tolist()) == np.nonzero(sane)[0].tolist()
+
+    refs = np.asarray(b4.refs).reshape(-1, 4)
+    bounds = np.asarray(b4.bounds).reshape(-1, 4, 6)
+    seen_nodes = set()
+    seen_clusters = set()
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        assert node not in seen_nodes
+        seen_nodes.add(node)
+        for k in range(4):
+            r = int(refs[node, k])
+            if r == 0:
+                # empty slot: inverted bounds
+                assert bounds[node, k, 0] > bounds[node, k, 3]
+                continue
+            assert bounds[node, k, 0] <= bounds[node, k, 3]
+            if r > 0:
+                stack.append(r - 1)
+            else:
+                c = -r - 1
+                assert c not in seen_clusters
+                seen_clusters.add(c)
+                # cluster triangles inside the child box (eps slack)
+                sl = slice(c * b4.width, (c + 1) * b4.width)
+                ids = tm[sl]
+                ids = ids[ids >= 0]
+                pts = np.concatenate([np.asarray(mesh.v0)[ids],
+                                      np.asarray(mesh.v1)[ids],
+                                      np.asarray(mesh.v2)[ids]])
+                mn, mx = bounds[node, k, :3], bounds[node, k, 3:]
+                assert (pts >= mn - 1e-4).all() and (pts <= mx + 1e-4).all()
+    assert len(seen_nodes) == b4.n_nodes
+    assert len(seen_clusters) == b4.n_clusters
+
+
+def test_trace4_exact_vs_brute_force():
+    mesh = _mesh()
+    b4 = build_bvh4(mesh, width=32)
+    o, d, ov, dv = _rays(600)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg, nl) = packet_trace4(
+        ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks, b4.tri_feat,
+        b4.width, 1e-3, b4.stack_cap, interpret=True)
+    assert int(nb) > 0 and int(nl) > 0
+
+    rt, ri = np.asarray(ref.t), np.asarray(ref.tri_id)
+    tri = np.asarray(tri)
+    hit = ri >= 0
+    np.testing.assert_array_equal(hit, tri >= 0)
+    # winner ids come back in SAH cluster-slot space
+    orig = np.asarray(b4.tri_map)[np.maximum(tri, 0)]
+    np.testing.assert_array_equal(ri[hit], orig[hit])
+    np.testing.assert_allclose(rt[hit], np.asarray(t)[hit], rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(ref.u)[hit],
+                               np.asarray(u)[hit], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.v)[hit],
+                               np.asarray(v)[hit], atol=1e-5)
+
+    # captured features == gathered truth (in ORIGINAL id space)
+    tid = np.maximum(orig, 0)
+    e1 = np.asarray(mesh.v1 - mesh.v0)[tid]
+    e2 = np.asarray(mesh.v2 - mesh.v0)[tid]
+    n_ref = np.cross(e1, e2)
+    got_n = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], 1)
+    np.testing.assert_allclose(got_n[hit], n_ref[hit], rtol=2e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mid)[hit],
+                                  np.asarray(mesh.mesh_id)[tid][hit])
+    tc = np.asarray(mesh.tex_coords)[tid]
+    uu, vv = np.asarray(u), np.asarray(v)
+    w0 = 1.0 - uu - vv
+    tu_ref = uu * tc[:, 2] + vv * tc[:, 4] + w0 * tc[:, 0]
+    tv_ref = uu * tc[:, 3] + vv * tc[:, 5] + w0 * tc[:, 1]
+    np.testing.assert_allclose(np.asarray(tu)[hit], tu_ref[hit], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tv)[hit], tv_ref[hit], atol=1e-5)
+
+
+def test_occluded4_exact():
+    mesh = _mesh(t=3000, seed=7, ppl=32)
+    b4 = build_bvh4(mesh, width=64)
+    o, d, ov, dv = _rays(500, seed=8)
+    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
+    hit = np.asarray(ref.tri_id) >= 0
+    occ, _c = packet_occluded4(ov, dv, 12.0, b4.bounds, b4.refs, b4.blocks,
+                               b4.width, 1e-3, b4.stack_cap, interpret=True)
+    truth = hit & (np.asarray(ref.t) < 12.0)
+    np.testing.assert_array_equal(np.asarray(occ), truth)
+    # per-lane t_max vector (the NEE call shape), incl. dead lanes
+    tmv = np.where(np.arange(500) % 3 == 0, -1.0, 9.0).astype(np.float32)
+    occ2, _c = packet_occluded4(ov, dv, jnp.asarray(tmv), b4.bounds,
+                                b4.refs, b4.blocks, b4.width, 1e-3,
+                                b4.stack_cap, interpret=True)
+    truth2 = hit & (np.asarray(ref.t) < tmv) & (tmv > 0)
+    np.testing.assert_array_equal(np.asarray(occ2), truth2)
+
+
+def test_bvh4_render_end_to_end():
+    """Tiny forced-packet render with BVH4 tables == the jnp-traversal
+    render: the SAH topology swaps traversal order only."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.engine.render import render_image
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+    from tpu_pathtracer.utils.golden import rmse
+
+    cfg = RenderConfig(nx=16, ny=8, ns=1, max_depth=3, rays_per_chunk=128,
+                       textures=False)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=48, nv=12,
+                                prims_per_leaf=32)  # 1152 tris
+    ref = render_image(scene, cam, cfg)
+    scene4 = dataclasses.replace(
+        scene, mesh=attach_bvh4(scene.mesh, width=32))
+    assert scene4.mesh.bvh4 is not None
+    forced = cfg.replace(force_feat_kernels=True, packet_threshold=1)
+    img = render_image(scene4, cam, forced)
+    assert rmse(ref, img) < 1e-5
+    # config.bvh4=False forces the heap kernel even with tables attached
+    img_off = render_image(scene4, cam, forced.replace(bvh4=False))
+    assert rmse(ref, img_off) < 1e-5
+
+
+def test_bvh4_regen_and_tiled_match_plain():
+    """The production engines (regen pool; 8-device tiled shard_map) run
+    the BVH4 kernel with identical radiance."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.engine.regen import render_image_regen
+    from tpu_pathtracer.engine.render import render_image
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+    from tpu_pathtracer.parallel.tiles import render_image_tiled
+
+    cfg = RenderConfig(nx=16, ny=8, ns=1, max_depth=3, rays_per_chunk=128,
+                       textures=False, force_feat_kernels=True,
+                       packet_threshold=1)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=48, nv=12,
+                                prims_per_leaf=32)
+    scene = dataclasses.replace(scene,
+                                mesh=attach_bvh4(scene.mesh, width=32))
+    plain = render_image(scene, cam, cfg)
+    regen = render_image_regen(scene, cam, cfg)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(regen),
+                               atol=1e-6)
+    tiled = render_image_tiled(scene, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(tiled))

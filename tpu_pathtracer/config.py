@@ -106,6 +106,13 @@ class RenderConfig:
     regroup_dense: int = 160  # demanding-lane count above which a
     # visit takes the inline scalar MT instead of the window
     # (break-even ~ scalar visit cost / window marginal cost).
+    bvh4: bool = True  # use the explicit-stack SAH BVH4 kernel
+    # (ops/pallas_bvh4.py) when the mesh carries prebuilt BVH4 tables
+    # (MeshData.bvh4, built host-side by ops/bvh4.build_bvh4). The
+    # heap kernel's complete pow2 topology forces equal-count splits,
+    # which the round-3 topology sim measured 1.25-1.7x worse on
+    # irregular-density meshes (terrain); scenes opt in at build time.
+    # False forces the heap kernel even when the tables are present.
     packet_packs: int = 1  # independent 1024-ray packets interleaved
     # per packet-kernel invocation: every loop trip ISSUES all packets'
     # node slabs + vote reductions before CONSUMING any, so the

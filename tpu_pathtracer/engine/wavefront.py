@@ -187,7 +187,13 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
              m.tex_coords,
              _material_table(scene.materials, safe_mid)], axis=1)
     if use_packet:
-        if config.mx_leaf:
+        if config.bvh4 and scene.mesh.bvh4 is not None:
+            # prebuilt SAH BVH4 tables (ops/bvh4): the explicit-stack
+            # kernel frees the tree topology — measurably better on
+            # irregular-density meshes (topo sim: terrain/stairs
+            # 1.25-1.7x fewer visit-weighted steps)
+            packet = scene.mesh.bvh4
+        elif config.mx_leaf:
             from tpu_pathtracer.ops.pallas_bvh_mx import build_packet_mx
             packet = build_packet_mx(scene.mesh,
                                      max_width=config.packet_width)
@@ -316,7 +322,12 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
     else:
         back = None
         o_s, d_s, tm = origin, direction, t_max_b
-    if hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
+    if hasattr(pk, "refs"):  # Bvh4Data: explicit-stack SAH BVH4 kernel
+        from tpu_pathtracer.ops.pallas_bvh4 import packet_trace4
+        outs, node_counts = packet_trace4(
+            o_s, d_s, tm, pk.bounds, pk.refs, pk.blocks, pk.tri_feat,
+            pk.width, t_min, pk.stack_cap, interpret=_interp(config))
+    elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_trace_mx
         outs, node_counts = packet_trace_mx(
             o_s, d_s, tm, pk.pm.nodes, pk.gblocks, pk.tri_geom,
@@ -362,20 +373,38 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
     pk = view.packet
     if hasattr(pk, "blocks_rg"):  # PacketRG: shadow stays on the
         pk = pk.pm                # scalar any-hit kernel
-    if hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
+    if hasattr(pk, "refs"):  # Bvh4Data: explicit-stack any-hit kernel
+        from tpu_pathtracer.ops.pallas_bvh4 import packet_occluded4
+        b4 = pk
+
+        def _call(o, d, tm):
+            return packet_occluded4(
+                o, d, tm, b4.bounds, b4.refs, b4.blocks, b4.width,
+                t_min, b4.stack_cap, interpret=_interp(config))
+    elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_occluded_mx
         mx = pk
 
-        def packet_occluded(o, d, tm, *_a, **_kw):
+        def _call(o, d, tm):
             return packet_occluded_mx(
                 o, d, tm, mx.pm.nodes, mx.gblocks, mx.pm.cl_first,
                 mx.pm.width, t_min, center=mx.center,
                 passes=config.mx_passes, interpret=_interp(config),
                 smem_nodes=mx.pm.smem_nodes, top_rows=mx.pm.top_rows,
                 nodes_top=mx.pm.nodes_top)
-        pk = pk.pm
     else:
         from tpu_pathtracer.ops.pallas_bvh import packet_occluded
+
+        def _call(o, d, tm):
+            return packet_occluded(
+                o, d, tm, pk.nodes, pk.blocks, pk.cl_first, pk.width,
+                t_min, interpret=_interp(config), stride=pk.stride,
+                cpb=pk.cpb, smem_nodes=pk.smem_nodes,
+                top_rows=pk.top_rows, nodes_top=pk.nodes_top,
+                quant=pk.quant, qparams=pk.qparams,
+                leaf_cull=config.leaf_cull,
+                approx_recip=config.fast_math,
+                packs=config.packet_packs, prefetch=config.prefetch)
 
     n = origin.x.shape[0]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -391,26 +420,10 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
         (_, back, ox, oy, oz, dx, dy, dz, tm) = jax.lax.sort(
             (key, iota, origin.x, origin.y, origin.z,
              direction.x, direction.y, direction.z, t_max_b), num_keys=1)
-        occ, node_counts = packet_occluded(
-            V3(ox, oy, oz), V3(dx, dy, dz), tm, pk.nodes, pk.blocks,
-            pk.cl_first, pk.width, t_min, interpret=_interp(config),
-            stride=pk.stride, cpb=pk.cpb, smem_nodes=pk.smem_nodes,
-            top_rows=pk.top_rows, nodes_top=pk.nodes_top,
-            quant=pk.quant, qparams=pk.qparams,
-            leaf_cull=config.leaf_cull, approx_recip=config.fast_math,
-            packs=config.packet_packs, prefetch=config.prefetch)
+        occ, node_counts = _call(V3(ox, oy, oz), V3(dx, dy, dz), tm)
         _, occ = jax.lax.sort((back, occ.astype(jnp.int32)), num_keys=1)
         return occ != 0, node_counts
-    return packet_occluded(origin, direction, t_max_b, pk.nodes, pk.blocks,
-                           pk.cl_first, pk.width, t_min,
-                           interpret=_interp(config),
-                           stride=pk.stride, cpb=pk.cpb,
-                           smem_nodes=pk.smem_nodes,
-                           top_rows=pk.top_rows, nodes_top=pk.nodes_top,
-                           quant=pk.quant, qparams=pk.qparams,
-                           leaf_cull=config.leaf_cull,
-                           approx_recip=config.fast_math,
-                           packs=config.packet_packs, prefetch=config.prefetch)
+    return _call(origin, direction, t_max_b)
 
 
 def _cols_from_rows(rows: jnp.ndarray) -> MatCols:

@@ -111,6 +111,11 @@ class MeshData:
     bounds_max: jnp.ndarray  # [3]
     first_leaf: int = dataclasses.field(metadata=dict(static=True))
     prims_per_leaf: int = dataclasses.field(metadata=dict(static=True))
+    # optional SAH BVH4 tables (ops/bvh4.Bvh4Data) for the
+    # explicit-stack packet kernel; carries its OWN reordered cluster
+    # blocks, so the heap fields above stay authoritative for every
+    # other path (CPU traversal, serialization, brute oracle)
+    bvh4: Optional[object] = None
 
     @property
     def num_tris(self) -> int:

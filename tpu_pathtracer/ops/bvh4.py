@@ -1,0 +1,355 @@
+"""Host-side SAH BVH4 builder for the explicit-stack packet kernel.
+
+The production packet kernel (ops/pallas_bvh.py) traverses an implicit
+complete pow2 heap (the reference's layout, kernels.cu:614) whose
+bitstack needs equal-count splits.  On irregular-density meshes
+(terrain, architectural interiors) equal-count topology is measurably
+bad: the round-3 topology simulation (experiments/topo_sim.py,
+PERFORMANCE.md) puts a true binned-SAH tree at 1.25-1.7x fewer
+visit-weighted packet steps on the terrain zoo scene, while the smooth
+parametric meshes (knot, dragon) are already topology-optimal.
+
+This module builds that variable topology host-side (NumPy, at scene
+construction — SAH builds are data-dependent and cannot be traced):
+
+  * binned SAH over the mesh's sane triangles, with the PACKET cost
+    model: a leaf visit costs the full cluster width regardless of
+    fill (the kernel's MT loop is fully unrolled over `width` slots),
+    so split costs count ceil(n/width) *visits*, not triangles.
+  * the binary tree is collapsed into a 4-wide BVH (each node's
+    children are its binary grandchildren where possible) so one
+    scalar vote round trip — the node step's latency floor — covers
+    two binary levels at every depth, like the production kernel's
+    4-ary grandchild step but over arbitrary topology.
+  * children keep the binary pairing (slots 0,1 = left subtree,
+    slots 2,3 = right) so the kernel's hierarchical near-first votes
+    (pair-vs-pair, then within the chosen pair) match the binary
+    near-first order the heap kernel uses (kernels.cu:183-187).
+
+Output is a :class:`Bvh4Data`: flat f32 child-bounds table + flat i32
+child-ref table (both DMA'd HBM→SMEM per packet), triangle cluster
+blocks in the same (16, 128) SoA layout the scalar MT loop consumes,
+and the 19-wide per-triangle feature rows for the post-kernel winner
+gather.  Ref encoding: 0 = empty slot, +k = interior node k-1,
+-(c+1) = leaf cluster c.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pathtracer.models.scene import MeshData
+
+# measured packet cost model (PERFORMANCE.md round-3 phase split)
+A_NS = 300.0     # per node step
+TRI_NS = 18.4    # per triangle slot of a leaf visit
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Bvh4Data:
+    """Device tables for the explicit-stack BVH4 packet kernel."""
+    bounds: jnp.ndarray    # [n_nodes*24] f32: node n child k bounds at
+    # 24n+6k (minx,miny,minz,maxx,maxy,maxz); empty slots inverted
+    refs: jnp.ndarray      # [n_nodes*4] i32: 0 empty / +k interior k-1 /
+    # -(c+1) leaf cluster c
+    blocks: jnp.ndarray    # [C, 16, 128] f32 cluster SoA DMA blocks
+    # (component rows padded to 128 lanes — same layout as the heap
+    # kernel's stride-128 blocks)
+    tri_feat: jnp.ndarray  # [C*width, 19] winner feature rows (SAH slot
+    # order): nx,ny,nz,tc0..5,mid,v0,e1,e2
+    tri_map: jnp.ndarray   # [C*width] i32 original mesh slot per SAH
+    # slot (-1 = padding) — tests/debug only; the engine needs only
+    # hit = slot >= 0
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+    stack_cap: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_clusters(self) -> int:
+        return self.blocks.shape[0]
+
+
+def _area3(mn, mx):
+    d = np.maximum(mx - mn, 0.0)
+    return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] \
+        + d[..., 2] * d[..., 0]
+
+
+def _build_sah_binary(v0, v1, v2, width, n_bins=16, ct=1.0):
+    """Binned-SAH binary tree under the per-VISIT packet cost model.
+
+    Returns (bmin [Nb,3], bmax [Nb,3], c0 [Nb], c1 [Nb], order [T],
+    leaf_first [Nb], leaf_count [Nb], depth): interior nodes have
+    c0/c1 = child indices; leaves have c0 = -1 and
+    leaf_first/leaf_count into `order` (the SAH triangle permutation).
+    """
+    ci = TRI_NS * width / A_NS  # node-steps per leaf visit (~3.9)
+    T = v0.shape[0]
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    cent = 0.5 * (tmin + tmax)
+
+    bmin_l, bmax_l, c0_l, c1_l, lf_l, lc_l = [], [], [], [], [], []
+    order = []
+    n_ordered = 0
+
+    def new_node():
+        for lst in (bmin_l, bmax_l):
+            lst.append(None)
+        for lst in (c0_l, c1_l, lf_l, lc_l):
+            lst.append(0)
+        return len(c0_l) - 1
+
+    root = new_node()
+    stack = [(root, np.arange(T, dtype=np.int64), 0)]
+    max_depth = 0
+    while stack:
+        node, idxs, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        bb_min = tmin[idxs].min(0)
+        bb_max = tmax[idxs].max(0)
+        bmin_l[node] = bb_min
+        bmax_l[node] = bb_max
+        nt = len(idxs)
+
+        best = None  # (sah_child_sum, left_mask)
+        c = cent[idxs]
+        for axis in range(3):
+            lo, hi = c[:, axis].min(), c[:, axis].max()
+            if hi - lo < 1e-12:
+                continue
+            bins = np.minimum(((c[:, axis] - lo) / (hi - lo)
+                               * n_bins).astype(np.int64), n_bins - 1)
+            cnt = np.bincount(bins, minlength=n_bins)
+            bmn = np.full((n_bins, 3), 1e30, np.float64)
+            bmx = np.full((n_bins, 3), -1e30, np.float64)
+            np.minimum.at(bmn, bins, tmin[idxs])
+            np.maximum.at(bmx, bins, tmax[idxs])
+            lmn = np.minimum.accumulate(bmn, 0)
+            lmx = np.maximum.accumulate(bmx, 0)
+            rmn = np.minimum.accumulate(bmn[::-1], 0)[::-1]
+            rmx = np.maximum.accumulate(bmx[::-1], 0)[::-1]
+            lc = np.cumsum(cnt)[:-1]
+            rc = nt - lc
+            vl = -(-lc // width)  # ceil: minimal leaf VISITS left
+            vr = -(-rc // width)
+            cost = _area3(lmn, lmx)[:-1] * vl \
+                + _area3(rmn[1:], rmx[1:]) * vr
+            valid = (lc > 0) & (rc > 0)
+            if not valid.any():
+                continue
+            j = int(np.argmin(np.where(valid, cost, 1e30)))
+            if best is None or cost[j] < best[0]:
+                best = (cost[j], bins <= j)
+
+        parent_area = max(_area3(bb_min, bb_max), 1e-30)
+        if nt <= width and (
+                best is None
+                or ct + ci * best[0] / parent_area >= ci * 1.0):
+            c0_l[node] = -1
+            lf_l[node] = n_ordered
+            lc_l[node] = nt
+            order.append(idxs)
+            n_ordered += nt
+            continue
+        if best is None:
+            # degenerate centroids: forced median halves
+            axis = int(np.argmax(bb_max - bb_min))
+            srt = np.argsort(cent[idxs][:, axis], kind="stable")
+            lmask = np.zeros(nt, bool)
+            lmask[srt[: nt // 2]] = True
+        else:
+            lmask = best[1]
+        l_id = new_node()
+        r_id = new_node()
+        c0_l[node] = l_id
+        c1_l[node] = r_id
+        stack.append((l_id, idxs[lmask], depth + 1))
+        stack.append((r_id, idxs[~lmask], depth + 1))
+
+    return (np.stack(bmin_l).astype(np.float32),
+            np.stack(bmax_l).astype(np.float32),
+            np.asarray(c0_l, np.int64), np.asarray(c1_l, np.int64),
+            np.concatenate(order) if order else np.zeros(0, np.int64),
+            np.asarray(lf_l, np.int64), np.asarray(lc_l, np.int64),
+            max_depth)
+
+
+def _collapse4(bmin, bmax, c0, c1, lf, lc):
+    """Collapse the binary tree to 4-wide nodes: each BVH4 node's
+    children are the binary node's grandchildren (a binary-leaf child
+    stays a direct child in slot 0 of its pair).  Returns
+    (bounds [Nn*24] f32, refs [Nn*4] i32, clusters list of
+    (first, count), depth4)."""
+    INV = np.array([1e30, 1e30, 1e30, -1e30, -1e30, -1e30], np.float32)
+
+    clusters = []  # (first, count) per BVH4 leaf cluster
+
+    def leaf_ref(b):
+        clusters.append((int(lf[b]), int(lc[b])))
+        return -len(clusters)  # -(c+1)
+
+    bounds_rows = []
+    refs_rows = []
+    # map binary interior node -> bvh4 node id, BFS so ids are stable
+    if c0[0] < 0:
+        # degenerate single-leaf tree: one node, one child slot
+        bounds = np.full(24, 0, np.float32)
+        bounds[:] = np.tile(INV, 4)
+        bounds[0:3] = bmin[0]
+        bounds[3:6] = bmax[0]
+        refs = np.zeros(4, np.int32)
+        refs[0] = leaf_ref(0)
+        return (bounds, refs, clusters, 1)
+
+    node_of = {0: 0}
+    queue = [0]
+    depth_of = {0: 1}
+    depth4 = 1
+    next_id = 1
+    # first pass: assign ids so refs can point forward
+    order4 = []
+    while queue:
+        b = queue.pop(0)
+        order4.append(b)
+        # expansion: for each binary child, its children if interior
+        slots = []
+        for ch in (c0[b], c1[b]):
+            if c0[ch] < 0:
+                slots.append((ch, True))
+                slots.append(None)
+            else:
+                for g in (c0[ch], c1[ch]):
+                    if c0[g] < 0:
+                        slots.append((g, True))
+                    else:
+                        slots.append((g, False))
+        for s in slots:
+            if s is not None and not s[1]:
+                g = s[0]
+                node_of[g] = next_id
+                depth_of[g] = depth_of[b] + 1
+                depth4 = max(depth4, depth_of[g])
+                next_id += 1
+                queue.append(g)
+
+    for b in order4:
+        row_b = np.tile(INV, 4).astype(np.float32)
+        row_r = np.zeros(4, np.int32)
+        slots = []
+        for ch in (c0[b], c1[b]):
+            if c0[ch] < 0:
+                slots.append(ch)
+                slots.append(None)
+            else:
+                slots.append(c0[ch])
+                slots.append(c1[ch])
+        for k, g in enumerate(slots):
+            if g is None:
+                continue
+            row_b[6 * k: 6 * k + 3] = bmin[g]
+            row_b[6 * k + 3: 6 * k + 6] = bmax[g]
+            if c0[g] < 0:
+                row_r[k] = leaf_ref(g)
+            else:
+                row_r[k] = node_of[g] + 1
+        bounds_rows.append(row_b)
+        refs_rows.append(row_r)
+
+    return (np.concatenate(bounds_rows), np.concatenate(refs_rows),
+            clusters, depth4)
+
+
+def build_bvh4(mesh: MeshData, width: int = 64,
+               n_bins: int = 16) -> Bvh4Data:
+    """Build the SAH BVH4 tables for ``mesh`` (host-side NumPy).
+
+    The mesh keeps its implicit-heap tree untouched (the CPU fallback
+    and serialization paths still use it); the BVH4 carries its OWN
+    reordered cluster blocks, so attaching it changes no existing
+    behavior until the dispatch selects the BVH4 kernel.
+    """
+    v0a = np.asarray(mesh.v0)
+    sane = np.isfinite(v0a).all(1)
+    slot_ids = np.nonzero(sane)[0].astype(np.int64)
+    v0 = v0a[sane]
+    v1 = np.asarray(mesh.v1)[sane]
+    v2 = np.asarray(mesh.v2)[sane]
+    tc = np.asarray(mesh.tex_coords)[sane]
+    mid = np.asarray(mesh.mesh_id)[sane]
+
+    bmin, bmax, c0, c1, order, lf, lc, _db = _build_sah_binary(
+        v0, v1, v2, width, n_bins)
+    bounds, refs, clusters, depth4 = _collapse4(bmin, bmax, c0, c1,
+                                                lf, lc)
+    C = len(clusters)
+    n_nodes = refs.shape[0] // 4
+
+    # padded per-slot triangle arrays in cluster order
+    S = C * width
+    pv0 = np.zeros((S, 3), np.float32)
+    pe1 = np.zeros((S, 3), np.float32)
+    pe2 = np.zeros((S, 3), np.float32)
+    ptc = np.zeros((S, 6), np.float32)
+    pmid = np.zeros(S, np.float32)
+    tri_map = np.full(S, -1, np.int32)
+    for ci_, (first, count) in enumerate(clusters):
+        sl = slice(ci_ * width, ci_ * width + count)
+        tids = order[first: first + count]
+        pv0[sl] = v0[tids]
+        pe1[sl] = v1[tids] - v0[tids]
+        pe2[sl] = v2[tids] - v0[tids]
+        ptc[sl] = tc[tids]
+        pmid[sl] = mid[tids]
+        tri_map[sl] = slot_ids[tids]
+
+    nrm = np.cross(pe1, pe2)  # zero rows for padding -> a=0 -> miss
+    comps = np.zeros((16, S), np.float32)
+    comps[0:3] = pv0.T
+    comps[3:6] = pe1.T
+    comps[6:9] = pe2.T
+    comps[9:12] = nrm.T
+    # (16, C, width) -> (C, 16, width) -> pad lanes to 128
+    blk = comps.reshape(16, C, width).transpose(1, 0, 2)
+    if width < 128:
+        blk = np.concatenate(
+            [blk, np.zeros((C, 16, 128 - width), np.float32)], axis=2)
+    tri_feat = np.concatenate(
+        [nrm, ptc, pmid[:, None], pv0, pe1, pe2],
+        axis=1).astype(np.float32)
+
+    return Bvh4Data(
+        bounds=jnp.asarray(bounds), refs=jnp.asarray(refs),
+        blocks=jnp.asarray(blk), tri_feat=jnp.asarray(tri_feat),
+        tri_map=jnp.asarray(tri_map),
+        n_nodes=int(n_nodes), width=int(width),
+        stack_cap=int(3 * depth4 + 8))
+
+
+# the kernel DMAs the whole node table HBM->SMEM per packet; leave
+# headroom under the ~512 KB SMEM for the cluster block + stack
+SMEM_TABLE_BUDGET = 400 << 10
+
+
+def attach_bvh4(mesh: MeshData, width: int = 64,
+                n_bins: int = 16) -> MeshData:
+    """Return ``mesh`` with SAH BVH4 tables attached (or unchanged, with
+    a warning, when the node table exceeds the SMEM budget — e.g. the
+    871k-tri dragon, whose ~5k-node table wants ~500 KB; that mesh class
+    stays on the heap kernel's quantized SMEM path)."""
+    data = build_bvh4(mesh, width=width, n_bins=n_bins)
+    table_bytes = (data.bounds.size + data.refs.size) * 4
+    if table_bytes > SMEM_TABLE_BUDGET:
+        import warnings
+        warnings.warn(
+            f"BVH4 node table ({table_bytes >> 10} KB for "
+            f"{data.n_nodes} nodes) exceeds the {SMEM_TABLE_BUDGET >> 10}"
+            " KB SMEM budget; keeping the implicit-heap packet kernel.",
+            RuntimeWarning, stacklevel=2)
+        return mesh
+    return dataclasses.replace(mesh, bvh4=data)

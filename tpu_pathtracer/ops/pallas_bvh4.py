@@ -1,0 +1,404 @@
+"""Explicit-stack packet traversal over SAH BVH4 tables.
+
+The production heap kernel (ops/pallas_bvh.py) encodes pending subtrees
+in a uint32 bitstack, which requires the complete pow2 topology the
+reference uses (kernels.cu:148-224).  This kernel trades the bitstack
+for a small scalar SMEM stack of child *refs*, which frees the tree
+shape entirely: the binned-SAH BVH4 built by ops/bvh4.py (variable
+leaf sizes, variable depth, 4-wide nodes) is what the topology
+simulation says irregular-density meshes want (terrain 1.25-1.7x,
+PERFORMANCE.md round 3).
+
+Per node step (one vector->scalar vote round trip, the measured
+~300 ns latency floor):
+
+  * 24 bounds + 4 refs scalar SMEM loads (the whole table is DMA'd
+    HBM->SMEM once per packet, like the heap kernel's flat table),
+  * 4 slab tests over the (8,128) lane tile + the same packed vote
+    reductions the heap kernel's 4-ary grandchild step uses
+    (_quad_votes — pair-vs-pair then within-pair, matching the
+    binary near-first order of kernels.cu:183-187),
+  * descend to the majority-nearest hit child; push the other hit
+    children far-first onto the SMEM stack (up to 3 predicated
+    scalar stores — a push is a store at the stack top plus a
+    predicate-gated pointer bump, so dead stores land above the live
+    top and are never read).
+
+Leaf visits (ref < 0) DMA the cluster block and run the same fully
+unrolled scalar-broadcast MT loop as the heap kernel — results are
+per-lane exact for the identical reasons (per-lane nearest masking),
+and t is bit-equal to the heap path (the winning t is a min over the
+same accepted set; only exact-t ties between distinct triangles could
+pick a different winner id).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pathtracer.ops.pallas_bvh import (_mt_scalar_tri, _pad_rays,
+                                           _quad_votes, _slab,
+                                           winner_features)
+
+_FLT_MAX = 3.4028235e38
+ROWS = 8
+
+
+def _stack_apply4(r0, r1, r2, r3, pk1, pk2, pk3, s_cd, n_lanes):
+    """Consume the four packed votes: pick the majority-nearest hit
+    child and order the remaining hit children for far-first pushes.
+
+    Returns (any_hit, chosen_ref, ((ref, pred) pushes far-first),
+    nb_inc, nsg_inc).  Vote semantics follow _quad_apply: pair L =
+    slots 0,1, pair R = slots 2,3; swap_* votes mean "the second
+    operand is nearer for the majority of lanes hitting both".
+    """
+    va = (pk1 & 0xFFFF) > 0
+    vb = (pk1 >> 16) > 0
+    vc = (pk2 & 0xFFFF) > 0
+    vd = (pk2 >> 16) > 0
+    swap_lr = (pk3 & 0xFFFF) > n_lanes
+    swap_ab = (pk3 >> 16) > n_lanes
+    swap_cd = s_cd > n_lanes
+    vl = va | vb
+    vr = vc | vd
+    any_hit = vl | vr
+    go_r = jnp.where(vl & vr, swap_lr, vr)
+    # chosen pair (c,d) if go_r else (a,b)
+    v0c = jnp.where(go_r, vc, va)
+    v1c = jnp.where(go_r, vd, vb)
+    swap_p = jnp.where(go_r, swap_cd, swap_ab)
+    sib = v0c & v1c
+    near_1 = jnp.where(sib, swap_p, v1c)  # child 1 of the pair chosen
+    p0 = jnp.where(go_r, r2, r0)
+    p1 = jnp.where(go_r, r3, r1)
+    chosen = jnp.where(near_1, p1, p0)
+    sib_ref = jnp.where(near_1, p0, p1)
+    # other pair
+    vo0 = jnp.where(go_r, va, vc)
+    vo1 = jnp.where(go_r, vb, vd)
+    swap_o = jnp.where(go_r, swap_ab, swap_cd)
+    o0 = jnp.where(go_r, r0, r2)
+    o1 = jnp.where(go_r, r1, r3)
+    both_o = vo0 & vo1
+    onear_1 = jnp.where(both_o, swap_o, vo1)
+    o_near = jnp.where(onear_1, o1, o0)
+    o_far = jnp.where(onear_1, o0, o1)
+    # push far-first so pops run near-first: other-far, other-near,
+    # then the chosen pair's sibling (popped first). All predicates
+    # are False when !any_hit.
+    pushes = ((o_far, both_o), (o_near, vo0 | vo1), (sib_ref, sib))
+    nb_inc = (vl & vr).astype(jnp.int32) + sib.astype(jnp.int32)
+    nsg_inc = (vl ^ vr).astype(jnp.int32) \
+        + (any_hit & (v0c ^ v1c)).astype(jnp.int32)
+    return any_hit, chosen, pushes, nb_inc, nsg_inc
+
+
+def _node_step4(ntab, rtab, stk, cur, sp, closest,
+                o1, o2, o3, i1, i2, i3, n1, n2, n3):
+    """One BVH4 node step: 4 slab tests, votes, descend + pushes.
+    Returns (new_cur, new_sp, nb_inc, nsg_inc)."""
+    nb_ = (cur - 1) * 24
+    rb = (cur - 1) * 4
+    boxes = tuple(tuple(ntab[nb_ + 6 * k + i] for i in range(6))
+                  for k in range(4))
+    h0 = _slab(boxes[0], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    h1 = _slab(boxes[1], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    h2 = _slab(boxes[2], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    h3 = _slab(boxes[3], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+    pk1, pk2, pk3, s_cd = _quad_votes(h0, h1, h2, h3, closest)
+    r0 = rtab[rb]
+    r1 = rtab[rb + 1]
+    r2 = rtab[rb + 2]
+    r3 = rtab[rb + 3]
+    any_hit, chosen, pushes, nbi, nsgi = _stack_apply4(
+        r0, r1, r2, r3, pk1, pk2, pk3, s_cd, h0.size)
+    for ref, pred in pushes:
+        stk[sp] = ref
+        sp = sp + pred.astype(jnp.int32)
+    spm = jnp.maximum(sp - 1, 0)
+    popped = stk[spm]
+    new_cur = jnp.where(any_hit, chosen,
+                        jnp.where(sp > 0, popped, 0))
+    new_sp = jnp.where(any_hit, sp, spm)
+    return new_cur, new_sp, nbi, nsgi
+
+
+def _stack_pop(stk, sp):
+    spm = jnp.maximum(sp - 1, 0)
+    popped = stk[spm]
+    return jnp.where(sp > 0, popped, 0), spm
+
+
+def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
+                     tri_out, feat_out, cnt_out, *,
+                     width, t_min, unroll, stack_cap):
+    def scoped(blk, sem, ntab, rtab, stk):
+        nd = pltpu.make_async_copy(bounds, ntab, sem)
+        nd.start()
+        nd.wait()
+        rd_ = pltpu.make_async_copy(refs, rtab, sem)
+        rd_.start()
+        rd_.wait()
+        o1 = ox[:, :]
+        o2 = oy[:, :]
+        o3 = oz[:, :]
+        d1 = dx[:, :]
+        d2 = dy[:, :]
+        d3 = dz[:, :]
+        i1 = 1.0 / d1
+        i2 = 1.0 / d2
+        i3 = 1.0 / d3
+        n1 = i1 < 0.0
+        n2 = i2 < 0.0
+        n3 = i3 < 0.0
+        shp = o1.shape
+
+        def node_fn(carry):
+            cur, sp, nb, nsg, nl, closest, besti = carry
+            new_cur, new_sp, nbi, nsgi = _node_step4(
+                ntab, rtab, stk, cur, sp, closest,
+                o1, o2, o3, i1, i2, i3, n1, n2, n3)
+            return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+                    closest, besti)
+
+        def leaf_fn(carry):
+            cur, sp, nb, nsg, nl, closest, besti = carry
+            c = -cur - 1
+            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+            dma.start()
+            dma.wait()
+
+            def tri(w, st):
+                closest, besti = st
+                t, u, v, bad = _mt_scalar_tri(
+                    blk, 0, w, 128, o1, o2, o3, d1, d2, d3,
+                    t_min, closest)
+                won = jnp.logical_not(bad)
+                closest = jnp.where(won, t, closest)
+                besti = jnp.where(won, c * width + w, besti)
+                return (closest, besti)
+
+            st = (closest, besti)
+            if unroll:
+                for w in range(width):
+                    st = tri(w, st)
+            else:
+                st = jax.lax.fori_loop(0, width, tri, st)
+            closest, besti = st
+            new_cur, new_sp = _stack_pop(stk, sp)
+            return (new_cur, new_sp, nb, nsg, nl + 1, closest, besti)
+
+        # fused body (same trick as the heap kernel): a node step that
+        # descends into a leaf runs the MT visit in the same trip
+        def body(carry):
+            carry = jax.lax.cond(carry[0] > 0, node_fn,
+                                 lambda c: c, carry)
+            return jax.lax.cond(carry[0] < 0, leaf_fn,
+                                lambda c: c, carry)
+
+        def cond(carry):
+            return carry[0] != 0
+
+        init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32))
+        _, _, nb, nsg, nl, closest, besti = jax.lax.while_loop(
+            cond, body, init)
+        ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+        tri_out[:, :] = besti
+        feat_out[:, :] = closest
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  ntab=pltpu.SMEM(bounds.shape, jnp.float32),
+                  rtab=pltpu.SMEM(refs.shape, jnp.int32),
+                  stk=pltpu.SMEM((stack_cap,), jnp.int32))
+
+
+def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
+                    occ_out, cnt_out, *, width, t_min, unroll,
+                    stack_cap):
+    def scoped(blk, sem, ntab, rtab, stk):
+        nd = pltpu.make_async_copy(bounds, ntab, sem)
+        nd.start()
+        nd.wait()
+        rd_ = pltpu.make_async_copy(refs, rtab, sem)
+        rd_.start()
+        rd_.wait()
+        o1 = ox[:, :]
+        o2 = oy[:, :]
+        o3 = oz[:, :]
+        d1 = dx[:, :]
+        d2 = dy[:, :]
+        d3 = dz[:, :]
+        i1 = 1.0 / d1
+        i2 = 1.0 / d2
+        i3 = 1.0 / d3
+        n1 = i1 < 0.0
+        n2 = i2 < 0.0
+        n3 = i3 < 0.0
+        shp = o1.shape
+
+        def node_fn(carry):
+            cur, sp, nb, nsg, nl, closest, occ = carry
+            new_cur, new_sp, nbi, nsgi = _node_step4(
+                ntab, rtab, stk, cur, sp, closest,
+                o1, o2, o3, i1, i2, i3, n1, n2, n3)
+            return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+                    closest, occ)
+
+        def leaf_fn(carry):
+            cur, sp, nb, nsg, nl, closest, occ = carry
+            c = -cur - 1
+            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+            dma.start()
+            dma.wait()
+
+            def tri(w, st):
+                closest, occ = st
+                t, u, v, bad = _mt_scalar_tri(
+                    blk, 0, w, 128, o1, o2, o3, d1, d2, d3,
+                    t_min, closest)
+                hit = jnp.logical_not(bad)
+                occ = jnp.where(hit, jnp.int32(1), occ)
+                # retire the lane: closest < 0 fails every further test
+                closest = jnp.where(hit, jnp.float32(-1e30), closest)
+                return (closest, occ)
+
+            st = (closest, occ)
+            if unroll:
+                for w in range(width):
+                    st = tri(w, st)
+            else:
+                st = jax.lax.fori_loop(0, width, tri, st)
+            closest, occ = st
+            new_cur, new_sp = _stack_pop(stk, sp)
+            # all lanes retired -> exit (any-hit early out,
+            # kernels.cu:207 lifted to the packet)
+            ndone = jnp.all(closest < 0.0)
+            new_cur = jnp.where(ndone, 0, new_cur)
+            return (new_cur, new_sp, nb, nsg, nl + 1, closest, occ)
+
+        def body(carry):
+            carry = jax.lax.cond(carry[0] > 0, node_fn,
+                                 lambda c: c, carry)
+            return jax.lax.cond(carry[0] < 0, leaf_fn,
+                                lambda c: c, carry)
+
+        def cond(carry):
+            return carry[0] != 0
+
+        init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), tmax[:, :], jnp.zeros(shp, jnp.int32))
+        _, _, nb, nsg, nl, _, occ = jax.lax.while_loop(cond, body, init)
+        ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        occ_out[:, :] = occ
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  ntab=pltpu.SMEM(bounds.shape, jnp.float32),
+                  rtab=pltpu.SMEM(refs.shape, jnp.int32),
+                  stk=pltpu.SMEM((stack_cap,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "t_min",
+                                             "interpret", "stack_cap"))
+def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
+                  tri_feat, width: int, t_min: float,
+                  stack_cap: int, interpret: bool = False):
+    """Nearest-hit BVH4 packet traversal (see packet_trace for the
+    output contract — identical, with tri ids in SAH cluster-slot
+    space)."""
+    n = origin.x.shape[0]
+    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
+        _pad_rays(origin.z, 0.0, n_pad),
+        _pad_rays(direction.x, 1.0, n_pad),
+        _pad_rays(direction.y, 0.0, n_pad),
+        _pad_rays(direction.z, 0.0, n_pad),
+        _pad_rays(t_max_b, 0.0, n_pad),  # pad lanes: closest=0 -> inert
+        bounds, refs, blocks,
+    ]
+    n_packets = n_pad // (ROWS * 128)
+    ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    kernel = functools.partial(
+        _kernel_nearest4, width=width, t_min=float(t_min),
+        unroll=not interpret, stack_cap=stack_cap)
+    tri, feat, cnt = pl.pallas_call(
+        kernel,
+        grid=(n_packets,),
+        in_specs=[ray_spec] * 7 + [hbm, hbm, hbm],
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+    )(*args)
+    tri = tri.reshape(-1)[:n]
+    t = feat.reshape(-1)[:n]
+    cnts = (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum(),
+            cnt[::ROWS, 2].sum())
+    return winner_features(origin, direction, t, tri, tri_feat), cnts
+
+
+@functools.partial(jax.jit, static_argnames=("width", "t_min",
+                                             "interpret", "stack_cap"))
+def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
+                     width: int, t_min: float, stack_cap: int,
+                     interpret: bool = False):
+    """Any-hit BVH4 packet traversal (see packet_occluded)."""
+    n = origin.x.shape[0]
+    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    args = [
+        _pad_rays(origin.x, 0.0, n_pad), _pad_rays(origin.y, 0.0, n_pad),
+        _pad_rays(origin.z, 0.0, n_pad),
+        _pad_rays(direction.x, 1.0, n_pad),
+        _pad_rays(direction.y, 0.0, n_pad),
+        _pad_rays(direction.z, 0.0, n_pad),
+        # pad lanes: closest<0 -> retired immediately
+        _pad_rays(t_max_b, -1.0, n_pad),
+        bounds, refs, blocks,
+    ]
+    n_packets = n_pad // (ROWS * 128)
+    ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    kernel = functools.partial(
+        _kernel_shadow4, width=width, t_min=float(t_min),
+        unroll=not interpret, stack_cap=stack_cap)
+    occ, cnt = pl.pallas_call(
+        kernel,
+        grid=(n_packets,),
+        in_specs=[ray_spec] * 7 + [hbm, hbm, hbm],
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+    )(*args)
+    return (occ.reshape(-1)[:n] != 0,
+            (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum(),
+             cnt[::ROWS, 2].sum()))
