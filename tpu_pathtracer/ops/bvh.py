@@ -52,7 +52,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               tex_coords: np.ndarray | None = None,
               mesh_id: np.ndarray | None = None,
               prims_per_leaf: int = 5,
-              builder: str = "auto") -> MeshData:
+              builder: str = "auto",
+              bvh4: str | bool = "auto") -> MeshData:
     """Build an implicit-heap BVH over triangles (host-side, NumPy).
 
     ``builder``: "auto" uses the native binned-SAH builder when available
@@ -62,6 +63,12 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     SAH is ~1.2x faster on the architectural staircase, ~1.2x SLOWER on
     the torus-knot tube — see PERFORMANCE.md. Both orders render
     identically up to fp tie order.
+
+    ``bvh4``: "auto" additionally attaches SAH BVH4 tables (ops/bvh4)
+    for packet-path meshes whose node table is estimated to fit the
+    SMEM budget — the e2e A/B (experiments/bvh4_e2e_ab.py) measured
+    terrain 1.33x / staircase-hires 1.68x / knot neutral vs the heap
+    kernel, identical images. True/False force/skip the attach.
 
     Median split: largest centroid-extent axis; the complete tree is
     packed left-first so every leaf except a right-edge tail is full.
@@ -122,13 +129,34 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     rmid = take(mesh_id, 0)
 
     bvh_min, bvh_max = _node_boxes(rv0, rv1, rv2, num_leaves, P)
-    return MeshData(
+    mesh = MeshData(
         v0=jnp.asarray(rv0), v1=jnp.asarray(rv1), v2=jnp.asarray(rv2),
         tex_coords=jnp.asarray(rtc), mesh_id=jnp.asarray(rmid),
         bvh_min=jnp.asarray(bvh_min), bvh_max=jnp.asarray(bvh_max),
         bounds_min=jnp.asarray(bvh_min[1]), bounds_max=jnp.asarray(bvh_max[1]),
         first_leaf=num_leaves, prims_per_leaf=P,
     )
+    if bvh4 is True or (bvh4 == "auto" and _bvh4_auto_eligible(T)):
+        from tpu_pathtracer.ops.bvh4 import attach_bvh4
+        mesh = attach_bvh4(mesh, silent=(bvh4 == "auto"))
+    return mesh
+
+
+def _bvh4_auto_eligible(n_tris: int, width: int = 64) -> bool:
+    """Build SAH BVH4 tables by default only for packet-path meshes
+    whose node table will plausibly fit the SMEM budget.
+
+    8192 is the brute/packet dispatch threshold (config.packet_threshold
+    default). The size estimate assumes >=1 cluster per node (measured
+    trees run ~2.0 clusters/node — terrain 3204/1593, knot 1910/965),
+    so it overestimates ~2x; the post-build budget check in attach_bvh4
+    is still authoritative. This skips the multi-minute host-side SAH
+    build for meshes (dragon-class, ~872k tris) that would only be
+    discarded, keeping them on the heap kernel's quantized-SMEM path
+    (which the topology sim says is already near-optimal for them)."""
+    from tpu_pathtracer.ops.bvh4 import SMEM_TABLE_BUDGET
+    est_nodes = -(-n_tris // width)
+    return n_tris > 8192 and 112 * est_nodes <= 2 * SMEM_TABLE_BUDGET
 
 
 def _median_order(centroids: np.ndarray, num_leaves: int, P: int) -> np.ndarray:

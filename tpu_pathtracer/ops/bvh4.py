@@ -337,19 +337,22 @@ SMEM_TABLE_BUDGET = 400 << 10
 
 
 def attach_bvh4(mesh: MeshData, width: int = 64,
-                n_bins: int = 16) -> MeshData:
+                n_bins: int = 16, silent: bool = False) -> MeshData:
     """Return ``mesh`` with SAH BVH4 tables attached (or unchanged, with
-    a warning, when the node table exceeds the SMEM budget — e.g. the
-    871k-tri dragon, whose ~5k-node table wants ~500 KB; that mesh class
-    stays on the heap kernel's quantized SMEM path)."""
+    a warning unless ``silent``, when the node table exceeds the SMEM
+    budget — e.g. the 871k-tri dragon, whose ~5k-node table wants
+    ~500 KB; that mesh class stays on the heap kernel's quantized SMEM
+    path)."""
     data = build_bvh4(mesh, width=width, n_bins=n_bins)
     table_bytes = (data.bounds.size + data.refs.size) * 4
     if table_bytes > SMEM_TABLE_BUDGET:
-        import warnings
-        warnings.warn(
-            f"BVH4 node table ({table_bytes >> 10} KB for "
-            f"{data.n_nodes} nodes) exceeds the {SMEM_TABLE_BUDGET >> 10}"
-            " KB SMEM budget; keeping the implicit-heap packet kernel.",
-            RuntimeWarning, stacklevel=2)
+        if not silent:
+            import warnings
+            warnings.warn(
+                f"BVH4 node table ({table_bytes >> 10} KB for "
+                f"{data.n_nodes} nodes) exceeds the "
+                f"{SMEM_TABLE_BUDGET >> 10} KB SMEM budget; keeping the "
+                "implicit-heap packet kernel.",
+                RuntimeWarning, stacklevel=2)
         return mesh
     return dataclasses.replace(mesh, bvh4=data)
