@@ -283,8 +283,16 @@ def build_bvh4(mesh: MeshData, width: int = 64,
     tc = np.asarray(mesh.tex_coords)[sane]
     mid = np.asarray(mesh.mesh_id)[sane]
 
-    bmin, bmax, c0, c1, order, lf, lc, _db = _build_sah_binary(
-        v0, v1, v2, width, n_bins)
+    built = None
+    try:
+        from tpu_pathtracer.native import native_bvh4_binary
+        built = native_bvh4_binary(v0, v1, v2, width, n_bins,
+                                   ci=TRI_NS * width / A_NS, ct=1.0)
+    except Exception:  # pragma: no cover - native lib is optional
+        built = None
+    if built is None:
+        built = _build_sah_binary(v0, v1, v2, width, n_bins)
+    bmin, bmax, c0, c1, order, lf, lc, _db = built
     bounds, refs, clusters, depth4 = _collapse4(bmin, bmax, c0, c1,
                                                 lf, lc)
     C = len(clusters)
