@@ -146,6 +146,31 @@ def test_occluded4_exact():
     np.testing.assert_array_equal(np.asarray(occ2), truth2)
 
 
+def test_prefetch_bit_identical():
+    """The double-buffered leaf DMA variant (config.bvh4_pf) only moves
+    the copies — every output must be bit-equal, nearest and any-hit."""
+    mesh = _mesh(t=2400, seed=3)
+    b4 = build_bvh4(mesh, width=32)
+    o, d, ov, dv = _rays(700, seed=4)
+    base = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks,
+                         b4.tri_feat, b4.width, 1e-3, b4.stack_cap,
+                         interpret=True)
+    pf = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks,
+                       b4.tri_feat, b4.width, 1e-3, b4.stack_cap,
+                       interpret=True, prefetch=True)
+    for a, b in zip(base[0], pf[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(base[1], pf[1]):
+        assert int(a) == int(b)
+
+    occ, _ = packet_occluded4(ov, dv, 12.0, b4.bounds, b4.refs, b4.blocks,
+                              b4.width, 1e-3, b4.stack_cap, interpret=True)
+    occ_pf, _ = packet_occluded4(ov, dv, 12.0, b4.bounds, b4.refs,
+                                 b4.blocks, b4.width, 1e-3, b4.stack_cap,
+                                 interpret=True, prefetch=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_pf))
+
+
 def test_bvh4_render_end_to_end():
     """Tiny forced-packet render with BVH4 tables == the jnp-traversal
     render: the SAH topology swaps traversal order only."""

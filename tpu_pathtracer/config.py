@@ -130,6 +130,10 @@ class RenderConfig:
     prefetch: bool = True  # sibling-pair cluster prefetch in the packet
     # kernels (pallas_bvh._kernel_nearest pf): pair DMAs issue under the
     # node step's vote latency; bit-exact. Knot bounce trace -17%.
+    bvh4_pf: bool = False  # double-buffered leaf DMA in the BVH4
+    # explicit-stack kernels: the stack top after a leaf pop names the
+    # NEXT cluster non-speculatively, so its copy starts before this
+    # visit's MT loop and completes under it. Off pending e2e A/B.
     leaf_cull: bool = False  # stale-leaf re-test in the packet kernels:
     # re-slab a popped leaf cluster's own box against the (shrunken)
     # per-lane closest before the MT loop. Exact (same conservative

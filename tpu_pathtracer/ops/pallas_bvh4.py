@@ -135,16 +135,92 @@ def _stack_pop(stk, sp):
     return jnp.where(sp > 0, popped, 0), spm
 
 
+def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk):
+    """Shared double-buffer leaf DMA for the explicit-stack kernels.
+
+    The explicit ref stack makes leaf prefetch NON-speculative: when a
+    leaf visit pops the stack and the new top is itself a leaf ref, that
+    cluster is GUARANTEED to be the next visit (the fused body goes
+    straight back into leaf_fn), so its DMA can start before this
+    visit's MT loop and complete under it — no misprediction, no drain
+    traffic (the two failure modes that capped the heap kernel's
+    speculative pair prefetch at −3% e2e). Two 16-row slots in one
+    (32,128) SMEM buffer; the MT loop addresses the active slot via a
+    per-visit hoisted row base (the heap pf kernel's proven pattern).
+
+    Returns (consume, issue):
+      consume(c, pfon, par) -> slot  — wait/sync-load cluster ``c``
+      issue(sp) -> (pfon', par', drain) — peek the stack top and start
+        its DMA into the other slot; ``drain(pred)`` force-waits the
+        just-issued copy under ``pred`` (shadow early-exit).
+    """
+    def consume(c, pfon, par):
+        pf_b = pfon > 0
+        cur_slot = jnp.where(pf_b, par, 0)
+
+        @pl.when(pf_b & (par == 0))
+        def _():
+            pltpu.make_async_copy(blocks.at[0], blk.at[pl.ds(0, 16)],
+                                  s0).wait()
+
+        @pl.when(pf_b & (par == 1))
+        def _():
+            pltpu.make_async_copy(blocks.at[0], blk.at[pl.ds(16, 16)],
+                                  s1).wait()
+
+        @pl.when(jnp.logical_not(pf_b))
+        def _():
+            dma = pltpu.make_async_copy(blocks.at[c],
+                                        blk.at[pl.ds(0, 16)], sem)
+            dma.start()
+            dma.wait()
+        return cur_slot
+
+    def issue(sp, cur_slot):
+        nxt = jnp.where(sp > 0, stk[jnp.maximum(sp - 1, 0)], 0)
+        do_pf = nxt < 0
+        nc = -nxt - 1
+        pf_slot = 1 - cur_slot
+
+        @pl.when(do_pf & (pf_slot == 0))
+        def _():
+            pltpu.make_async_copy(blocks.at[nc], blk.at[pl.ds(0, 16)],
+                                  s0).start()
+
+        @pl.when(do_pf & (pf_slot == 1))
+        def _():
+            pltpu.make_async_copy(blocks.at[nc], blk.at[pl.ds(16, 16)],
+                                  s1).start()
+
+        def drain(pred):
+            @pl.when(pred & do_pf & (pf_slot == 0))
+            def _():
+                pltpu.make_async_copy(blocks.at[0],
+                                      blk.at[pl.ds(0, 16)], s0).wait()
+
+            @pl.when(pred & do_pf & (pf_slot == 1))
+            def _():
+                pltpu.make_async_copy(blocks.at[0],
+                                      blk.at[pl.ds(16, 16)], s1).wait()
+
+        return do_pf.astype(jnp.int32), pf_slot, drain
+
+    return consume, issue
+
+
 def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
                      tri_out, feat_out, cnt_out, *,
-                     width, t_min, unroll, stack_cap):
-    def scoped(blk, sem, ntab, rtab, stk):
+                     width, t_min, unroll, stack_cap, prefetch):
+    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None):
         nd = pltpu.make_async_copy(bounds, ntab, sem)
         nd.start()
         nd.wait()
         rd_ = pltpu.make_async_copy(refs, rtab, sem)
         rd_.start()
         rd_.wait()
+        if prefetch:
+            pf_consume, pf_issue = _leaf_dma_helpers(
+                blocks, blk, sem, s0, s1, stk)
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -160,25 +236,33 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
         shp = o1.shape
 
         def node_fn(carry):
-            cur, sp, nb, nsg, nl, closest, besti = carry
+            cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3)
             return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
-                    closest, besti)
+                    closest, besti, pfon, par)
 
         def leaf_fn(carry):
-            cur, sp, nb, nsg, nl, closest, besti = carry
+            cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
             c = -cur - 1
-            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
-            dma.start()
-            dma.wait()
+            if prefetch:
+                cur_slot = pf_consume(c, pfon, par)
+                new_pfon, new_par, _drain = pf_issue(sp, cur_slot)
+                base = cur_slot * 16
+                mt_rows = [base + r for r in range(16)]
+            else:
+                dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+                dma.start()
+                dma.wait()
+                new_pfon, new_par = pfon, par
+                mt_rows = None
 
             def tri(w, st):
                 closest, besti = st
                 t, u, v, bad = _mt_scalar_tri(
                     blk, 0, w, 128, o1, o2, o3, d1, d2, d3,
-                    t_min, closest)
+                    t_min, closest, rows=mt_rows)
                 won = jnp.logical_not(bad)
                 closest = jnp.where(won, t, closest)
                 besti = jnp.where(won, c * width + w, besti)
@@ -192,7 +276,8 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
                 st = jax.lax.fori_loop(0, width, tri, st)
             closest, besti = st
             new_cur, new_sp = _stack_pop(stk, sp)
-            return (new_cur, new_sp, nb, nsg, nl + 1, closest, besti)
+            return (new_cur, new_sp, nb, nsg, nl + 1, closest, besti,
+                    new_pfon, new_par)
 
         # fused body (same trick as the heap kernel): a node step that
         # descends into a leaf runs the MT visit in the same trip
@@ -206,8 +291,9 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
             return carry[0] != 0
 
         init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32))
-        _, _, nb, nsg, nl, closest, besti = jax.lax.while_loop(
+                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32),
+                jnp.int32(0), jnp.int32(0))
+        _, _, nb, nsg, nl, closest, besti, _, _ = jax.lax.while_loop(
             cond, body, init)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
@@ -218,24 +304,31 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
         tri_out[:, :] = besti
         feat_out[:, :] = closest
 
-    pl.run_scoped(scoped,
-                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                  sem=pltpu.SemaphoreType.DMA(()),
-                  ntab=pltpu.SMEM(bounds.shape, jnp.float32),
-                  rtab=pltpu.SMEM(refs.shape, jnp.int32),
-                  stk=pltpu.SMEM((stack_cap,), jnp.int32))
+    kw = dict(blk=pltpu.SMEM((32, 128) if prefetch else blocks.shape[1:],
+                             jnp.float32),
+              sem=pltpu.SemaphoreType.DMA(()),
+              ntab=pltpu.SMEM(bounds.shape, jnp.float32),
+              rtab=pltpu.SMEM(refs.shape, jnp.int32),
+              stk=pltpu.SMEM((stack_cap,), jnp.int32))
+    if prefetch:
+        kw["s0"] = pltpu.SemaphoreType.DMA(())
+        kw["s1"] = pltpu.SemaphoreType.DMA(())
+    pl.run_scoped(scoped, **kw)
 
 
 def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
                     occ_out, cnt_out, *, width, t_min, unroll,
-                    stack_cap):
-    def scoped(blk, sem, ntab, rtab, stk):
+                    stack_cap, prefetch):
+    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None):
         nd = pltpu.make_async_copy(bounds, ntab, sem)
         nd.start()
         nd.wait()
         rd_ = pltpu.make_async_copy(refs, rtab, sem)
         rd_.start()
         rd_.wait()
+        if prefetch:
+            pf_consume, pf_issue = _leaf_dma_helpers(
+                blocks, blk, sem, s0, s1, stk)
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -251,25 +344,33 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
         shp = o1.shape
 
         def node_fn(carry):
-            cur, sp, nb, nsg, nl, closest, occ = carry
+            cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3)
             return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
-                    closest, occ)
+                    closest, occ, pfon, par)
 
         def leaf_fn(carry):
-            cur, sp, nb, nsg, nl, closest, occ = carry
+            cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
             c = -cur - 1
-            dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
-            dma.start()
-            dma.wait()
+            if prefetch:
+                cur_slot = pf_consume(c, pfon, par)
+                new_pfon, new_par, drain = pf_issue(sp, cur_slot)
+                base = cur_slot * 16
+                mt_rows = [base + r for r in range(16)]
+            else:
+                dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
+                dma.start()
+                dma.wait()
+                new_pfon, new_par = pfon, par
+                mt_rows = None
 
             def tri(w, st):
                 closest, occ = st
                 t, u, v, bad = _mt_scalar_tri(
                     blk, 0, w, 128, o1, o2, o3, d1, d2, d3,
-                    t_min, closest)
+                    t_min, closest, rows=mt_rows)
                 hit = jnp.logical_not(bad)
                 occ = jnp.where(hit, jnp.int32(1), occ)
                 # retire the lane: closest < 0 fails every further test
@@ -287,8 +388,15 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
             # all lanes retired -> exit (any-hit early out,
             # kernels.cu:207 lifted to the packet)
             ndone = jnp.all(closest < 0.0)
+            if prefetch:
+                # the early exit abandons the loop with the just-issued
+                # prefetch in flight — drain it so the kernel's DMA
+                # semaphores balance
+                drain(ndone)
+                new_pfon = jnp.where(ndone, 0, new_pfon)
             new_cur = jnp.where(ndone, 0, new_cur)
-            return (new_cur, new_sp, nb, nsg, nl + 1, closest, occ)
+            return (new_cur, new_sp, nb, nsg, nl + 1, closest, occ,
+                    new_pfon, new_par)
 
         def body(carry):
             carry = jax.lax.cond(carry[0] > 0, node_fn,
@@ -300,8 +408,10 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
             return carry[0] != 0
 
         init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.zeros(shp, jnp.int32))
-        _, _, nb, nsg, nl, _, occ = jax.lax.while_loop(cond, body, init)
+                jnp.int32(0), tmax[:, :], jnp.zeros(shp, jnp.int32),
+                jnp.int32(0), jnp.int32(0))
+        _, _, nb, nsg, nl, _, occ, _, _ = jax.lax.while_loop(
+            cond, body, init)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         occ_out[:, :] = occ
@@ -310,19 +420,25 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
             jnp.where((ii == 0) & (jj == 1), nsg,
                       jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
-    pl.run_scoped(scoped,
-                  blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
-                  sem=pltpu.SemaphoreType.DMA(()),
-                  ntab=pltpu.SMEM(bounds.shape, jnp.float32),
-                  rtab=pltpu.SMEM(refs.shape, jnp.int32),
-                  stk=pltpu.SMEM((stack_cap,), jnp.int32))
+    kw = dict(blk=pltpu.SMEM((32, 128) if prefetch else blocks.shape[1:],
+                             jnp.float32),
+              sem=pltpu.SemaphoreType.DMA(()),
+              ntab=pltpu.SMEM(bounds.shape, jnp.float32),
+              rtab=pltpu.SMEM(refs.shape, jnp.int32),
+              stk=pltpu.SMEM((stack_cap,), jnp.int32))
+    if prefetch:
+        kw["s0"] = pltpu.SemaphoreType.DMA(())
+        kw["s1"] = pltpu.SemaphoreType.DMA(())
+    pl.run_scoped(scoped, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "t_min",
-                                             "interpret", "stack_cap"))
+                                             "interpret", "stack_cap",
+                                             "prefetch"))
 def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
                   tri_feat, width: int, t_min: float,
-                  stack_cap: int, interpret: bool = False):
+                  stack_cap: int, interpret: bool = False,
+                  prefetch: bool = False):
     """Nearest-hit BVH4 packet traversal (see packet_trace for the
     output contract — identical, with tri ids in SAH cluster-slot
     space)."""
@@ -344,7 +460,7 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     kernel = functools.partial(
         _kernel_nearest4, width=width, t_min=float(t_min),
-        unroll=not interpret, stack_cap=stack_cap)
+        unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
@@ -364,10 +480,11 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "t_min",
-                                             "interpret", "stack_cap"))
+                                             "interpret", "stack_cap",
+                                             "prefetch"))
 def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
                      width: int, t_min: float, stack_cap: int,
-                     interpret: bool = False):
+                     interpret: bool = False, prefetch: bool = False):
     """Any-hit BVH4 packet traversal (see packet_occluded)."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
@@ -388,7 +505,7 @@ def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     kernel = functools.partial(
         _kernel_shadow4, width=width, t_min=float(t_min),
-        unroll=not interpret, stack_cap=stack_cap)
+        unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch)
     occ, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
