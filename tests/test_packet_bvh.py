@@ -116,6 +116,48 @@ def test_packet_quad_and_fused_variants_bit_identical():
                                   np.asarray(occ_quad))
 
 
+def test_packet_oct_step_bit_identical():
+    """The 8-ary great-grandchild step (oct=True) changes loop
+    structure only: outputs must be bit-identical to the binary and
+    4-ary kernels (same accepted set; ties aside, same winners)."""
+    mesh = _mesh(t=8000, seed=21, ppl=16)
+    pm = build_packet_mesh(mesh)
+    assert pm.smem_nodes and pm.cl_first >= 16  # oct path engages
+    o, d, ov, dv = _rays(700, seed=22)
+
+    def run(**kw):
+        outs, cnts = packet_trace(
+            ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat,
+            pm.cl_first, pm.width, 1e-3, interpret=True,
+            stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes, **kw)
+        return [np.asarray(x) for x in outs], cnts
+
+    base, _ = run(fused=False, quad=False)
+    quad, quad_c = run(fused=True, quad=True)
+    octs, oct_c = run(fused=True, quad=True, oct=True)
+    for b, g in zip(base, quad):
+        np.testing.assert_array_equal(b, g)
+    for b, g in zip(base, octs):
+        np.testing.assert_array_equal(b, g)
+    # telemetry fires (visit COUNTS may differ slightly: ordering votes
+    # see great-grandchild mins, so closest can shrink in a different
+    # order than the 4-ary walk)
+    assert int(oct_c[2]) > 0 and int(oct_c[0]) > 0
+
+    tmax = 15.0
+
+    def run_occ(**kw):
+        occ, _ = packet_occluded(
+            ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width,
+            1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb,
+            smem_nodes=pm.smem_nodes, **kw)
+        return np.asarray(occ)
+
+    np.testing.assert_array_equal(run_occ(fused=False, quad=False),
+                                  run_occ(fused=True, quad=True,
+                                          oct=True))
+
+
 def test_packet_occluded_matches_nearest():
     mesh = _mesh(t=1500, seed=3)
     pm = build_packet_mesh(mesh)
@@ -386,6 +428,15 @@ def test_packet_quantized_node_table():
     # conservative boxes: visits may only grow, and only slightly
     assert int(nl1) >= int(nl0)
     assert int(nl1) <= int(nl0) * 1.2 + 8
+    # the 8-ary step over the quantized table (dragon production shape)
+    if pmq.cl_first >= 16:
+        (t8, tri8, *_), _ = packet_trace(
+            ov, dv, FLT_MAX, pmq.nodes, pmq.blocks, pmq.tri_feat,
+            pmq.cl_first, pmq.width, 1e-3, interpret=True,
+            stride=pmq.stride, cpb=pmq.cpb, smem_nodes=True,
+            quant=True, qparams=pmq.qparams, oct=True)
+        np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri8))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t8))
     occ0, _ = packet_occluded(ov, dv, 14.0, pm32.nodes, pm32.blocks,
                               pm32.cl_first, pm32.width, 1e-3,
                               interpret=True, stride=pm32.stride,

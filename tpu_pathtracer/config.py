@@ -127,6 +127,19 @@ class RenderConfig:
     # saves (PERFORMANCE.md round 3). Kept as an opt-in decision
     # record; requires a flat SMEM node table (f32/quant), else the
     # single-packet kernel runs regardless.
+    oct: bool = False  # 8-ary great-grandchild node step on the heap
+    # packet kernels (3 binary levels per vector->scalar vote round
+    # trip, extending the landed 4-ary grandchild step): rows
+    # 8*idx..8*idx+7 slab-tested together, hierarchical near-first
+    # votes, up to 3 pending bits pushed — the binary bitstack's pop
+    # arithmetic is unchanged. Requires a flat SMEM node table
+    # (f32/quant) and cl_first >= 16; disables the pair-prefetch
+    # scheme (8 candidate clusters span 4 pairs — the 2 parity slots
+    # can't cover them). MEASURED NEUTRAL e2e (dragon 437.8 vs 438.6
+    # quad+pf; knot-heap 182.2 vs 178.0 — it only recovers what
+    # forfeiting pf costs): the wider vector step + one more cond
+    # level cancel the trip cut. Opt-in decision record
+    # (PERFORMANCE.md "8-ary great-grandchild node step").
     prefetch: bool = True  # sibling-pair cluster prefetch in the packet
     # kernels (pallas_bvh._kernel_nearest pf): pair DMAs issue under the
     # node step's vote latency; bit-exact. Knot bounce trace -17%.

@@ -357,6 +357,7 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                          qparams=pk.qparams,
                                          leaf_cull=config.leaf_cull,
                                          approx_recip=config.fast_math,
+                                         oct=config.oct,
                                          packs=config.packet_packs,
                                          prefetch=config.prefetch)
     if back is not None:
@@ -405,7 +406,7 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                 top_rows=pk.top_rows, nodes_top=pk.nodes_top,
                 quant=pk.quant, qparams=pk.qparams,
                 leaf_cull=config.leaf_cull,
-                approx_recip=config.fast_math,
+                approx_recip=config.fast_math, oct=config.oct,
                 packs=config.packet_packs, prefetch=config.prefetch)
 
     n = origin.x.shape[0]

@@ -471,6 +471,139 @@ def _quad_apply(idx, bs, pk1, pk2, pk3, s_cd, n_lanes):
     return new_idx, new_bs, nb_inc, nsg_inc
 
 
+def _oct_votes(h, closest):
+    """Vector half of the 8-ary step: hit counts for the eight
+    GREAT-grandchildren plus the seven hierarchical near-first ordering
+    votes (quad-vs-quad, pair-vs-pair within each quad, within each
+    pair), packed into eight cross-lane sums.  The hierarchy reproduces
+    binary near-first order (kernels.cu:183-187) lifted three levels."""
+    assert h[0].size < 32768, "packed vote fields overflow"
+    hi = [(x < closest).astype(jnp.int32) for x in h]
+    pk1 = jnp.sum(hi[0] + (hi[1] << 16), dtype=jnp.int32)
+    pk2 = jnp.sum(hi[2] + (hi[3] << 16), dtype=jnp.int32)
+    pk3 = jnp.sum(hi[4] + (hi[5] << 16), dtype=jnp.int32)
+    pk4 = jnp.sum(hi[6] + (hi[7] << 16), dtype=jnp.int32)
+
+    def pref(left, right):
+        # +1/lane bias (see _quad_votes): majority == sum > n_lanes
+        return jnp.where((left < closest) & (right < closest),
+                         jnp.where(right < left, 2, 0), 1)
+
+    m01 = jnp.minimum(h[0], h[1])
+    m23 = jnp.minimum(h[2], h[3])
+    m45 = jnp.minimum(h[4], h[5])
+    m67 = jnp.minimum(h[6], h[7])
+    p_q = pref(jnp.minimum(m01, m23), jnp.minimum(m45, m67))
+    pk5 = jnp.sum(p_q + (pref(m01, m23) << 16), dtype=jnp.int32)
+    pk6 = jnp.sum(pref(m45, m67) + (pref(h[0], h[1]) << 16),
+                  dtype=jnp.int32)
+    pk7 = jnp.sum(pref(h[2], h[3]) + (pref(h[4], h[5]) << 16),
+                  dtype=jnp.int32)
+    s8 = jnp.sum(pref(h[6], h[7]), dtype=jnp.int32)
+    return pk1, pk2, pk3, pk4, pk5, pk6, pk7, s8
+
+
+def _oct_apply(idx, bs, pk1, pk2, pk3, pk4, pk5, pk6, pk7, s8, n_lanes):
+    """Scalar half of the 8-ary step: consume the packed votes, descend
+    three levels to the majority-nearest hit great-grandchild, push one
+    pending bit per level (uncle quad / other pair / pair sibling) —
+    the binary bitstack's pop reconstruction (idx>>m)^1 is exactly
+    right for all three, as for the 4-ary step's two."""
+    va = (pk1 & 0xFFFF) > 0
+    vb = (pk1 >> 16) > 0
+    vc = (pk2 & 0xFFFF) > 0
+    vd = (pk2 >> 16) > 0
+    ve = (pk3 & 0xFFFF) > 0
+    vf = (pk3 >> 16) > 0
+    vg = (pk4 & 0xFFFF) > 0
+    vh = (pk4 >> 16) > 0
+    swap_q = (pk5 & 0xFFFF) > n_lanes
+    swap_p01 = (pk5 >> 16) > n_lanes
+    swap_p23 = (pk6 & 0xFFFF) > n_lanes
+    sw0 = (pk6 >> 16) > n_lanes
+    sw1 = (pk7 & 0xFFFF) > n_lanes
+    sw2 = (pk7 >> 16) > n_lanes
+    sw3 = s8 > n_lanes
+
+    vp0 = va | vb
+    vp1 = vc | vd
+    vp2 = ve | vf
+    vp3 = vg | vh
+    vq0 = vp0 | vp1
+    vq1 = vp2 | vp3
+    # level 1: which quad
+    go_q = jnp.where(vq0 & vq1, swap_q, vq1)
+    uncle = vq0 & vq1
+    # level 2: which pair within the chosen quad
+    cp0 = jnp.where(go_q, vp2, vp0)
+    cp1 = jnp.where(go_q, vp3, vp1)
+    sw_pp = jnp.where(go_q, swap_p23, swap_p01)
+    op = cp0 & cp1  # other pair pending
+    go_p = jnp.where(op, sw_pp, cp1)
+
+    def sel4(x0, x1, x2, x3):
+        return jnp.where(go_q, jnp.where(go_p, x3, x2),
+                         jnp.where(go_p, x1, x0))
+
+    # level 3: which child within the chosen pair
+    v0 = sel4(va, vc, ve, vg)
+    v1 = sel4(vb, vd, vf, vh)
+    sw = sel4(sw0, sw1, sw2, sw3)
+    sib = v0 & v1
+    k = jnp.where(sib, sw.astype(jnp.int32), v1.astype(jnp.int32))
+    new_idx_d = idx * 8 + go_q.astype(jnp.int32) * 4 \
+        + go_p.astype(jnp.int32) * 2 + k
+    new_bs_d = ((((bs << jnp.uint32(1)) | uncle.astype(jnp.uint32))
+                 << jnp.uint32(1)) | op.astype(jnp.uint32)) \
+        << jnp.uint32(1) | sib.astype(jnp.uint32)
+
+    idx_p, bs_p = _pop(idx, bs)
+    any_hit = vq0 | vq1
+    new_idx = jnp.where(any_hit, new_idx_d, idx_p)
+    new_bs = jnp.where(any_hit, new_bs_d, bs_p)
+    # telemetry: the three covered levels' visit classes
+    nb_inc = uncle.astype(jnp.int32) + op.astype(jnp.int32) \
+        + sib.astype(jnp.int32)
+    nsg_inc = ((vq0 ^ vq1).astype(jnp.int32)
+               + (any_hit & (cp0 ^ cp1)).astype(jnp.int32)
+               + (any_hit & (v0 ^ v1)).astype(jnp.int32))
+    return new_idx, new_bs, nb_inc, nsg_inc
+
+
+def _node_bounds8(ntab, g, quant=False, qparams=None):
+    """Eight great-grandchildren boxes at rows ``g``..g+7 (g = 8*idx)
+    from a flat SMEM node table (f32 or quantized)."""
+    if quant:
+        sx, sy, sz, lox, loy, loz = qparams
+        b = g * 3
+        w = [ntab[b + i] for i in range(24)]
+
+        def dq(word, sh, s, o):
+            q = (word >> sh) & 0xFFFF if sh else word & 0xFFFF
+            return q.astype(jnp.float32) * s + o
+
+        def box(w0, w1, w2):
+            return (dq(w0, 0, sx, lox), dq(w0, 16, sy, loy),
+                    dq(w1, 0, sz, loz), dq(w1, 16, sx, lox),
+                    dq(w2, 0, sy, loy), dq(w2, 16, sz, loz))
+
+        return tuple(box(w[3 * k], w[3 * k + 1], w[3 * k + 2])
+                     for k in range(8))
+    b = g * 6
+    return tuple(tuple(ntab[b + 6 * k + i] for i in range(6))
+                 for k in range(8))
+
+
+def _oct_step(ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
+              n1, n2, n3, quant, qscal):
+    """One 8-ary node step: slab-test the eight great-grandchildren and
+    advance three levels (see _oct_apply)."""
+    boxes = _node_bounds8(ntab, idx * 8, quant, qscal)
+    h = tuple(_slab(bx, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
+              for bx in boxes)
+    return _oct_apply(idx, bs, *_oct_votes(h, closest), h[0].size)
+
+
 def _node_bounds4(ntab, g, quant=False, qparams=None):
     """Four grandchildren boxes at rows ``g``..g+3 (g = 4*idx) from a
     flat SMEM node table (f32 or quantized) — the quad step is only
@@ -677,7 +810,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     cl_first, width, stride, cpb, t_min, unroll,
                     smem_nodes, top_rows, quant=False, qparams=None,
                     leaf_cull=True, approx_recip=False, fused=True,
-                    quad=True, tree_min=False, prefetch=False):
+                    quad=True, oct=False, tree_min=False,
+                    prefetch=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -687,6 +821,11 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     # the 4-ary step reads grandchild rows from a flat SMEM table only
     quad_ok = quad and (smem_nodes or quant) and not top_rows \
         and cl_first >= 8
+    # 8-ary great-grandchild step (3 binary levels per vote round trip);
+    # incompatible with the pair-prefetch scheme (8 candidate clusters
+    # span 4 pairs — the 2 parity slots can't cover them), so oct wins
+    # the conflict and pf is disabled below
+    oct_ok = oct and quad_ok and cl_first >= 16
     # pf: sibling-pair cluster prefetch. In the complete pow2 tree,
     # every leaf's 2-cluster pair is known at the node step that
     # descends into it, and a far sibling is always visited IMMEDIATELY
@@ -697,7 +836,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     # remainder. Measured sync DMA+consume is ~390 ns/visit of which
     # double-buffering recovers ~250 (experiments/dma_probe.py).
     pf = (prefetch and fused and cpb == 1 and stride % 128 == 0
-          and stride >= 128 and not leaf_cull and cl_first >= 2)
+          and stride >= 128 and not leaf_cull and cl_first >= 2
+          and not oct_ok)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
@@ -803,7 +943,24 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
                     besti, p0, p1)
 
-        if quad_ok:
+        def node_oct(carry):
+            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
+            new_idx, new_bs, nbi, nsgi = _oct_step(
+                ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
+                n1, n2, n3, quant, qscal)
+            return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
+                    besti, p0, p1)
+
+        if oct_ok:
+            # 8-ary triple step where great-grandchildren exist; the
+            # 4-ary / binary steps cover the two boundary levels
+            def node_fn(carry):
+                def deep(c):
+                    return jax.lax.cond(c[0] < cl_first // 2, node_quad,
+                                        node_bin, c)
+                return jax.lax.cond(carry[0] < cl_first // 4, node_oct,
+                                    deep, carry)
+        elif quad_ok:
             # 4-ary double step above the last interior level (children
             # of the last level are leaves -> binary step handles them)
             def node_fn(carry):
@@ -987,7 +1144,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                    cl_first, width, stride, cpb, t_min,
                    unroll, smem_nodes, top_rows, quant=False, qparams=None,
                    leaf_cull=True, approx_recip=False, fused=True,
-                   quad=True, prefetch=False):
+                   quad=True, oct=False, prefetch=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -996,9 +1153,11 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     log2cpb = cpb.bit_length() - 1
     quad_ok = quad and (smem_nodes or quant) and not top_rows \
         and cl_first >= 8
+    oct_ok = oct and quad_ok and cl_first >= 16
     # sibling-pair prefetch — see _kernel_nearest
     pf = (prefetch and fused and cpb == 1 and stride % 128 == 0
-          and stride >= 128 and not leaf_cull and cl_first >= 2)
+          and stride >= 128 and not leaf_cull and cl_first >= 2
+          and not oct_ok)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
@@ -1094,7 +1253,22 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
                     occ, ndone, p0, p1)
 
-        if quad_ok:
+        def node_oct(carry):
+            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
+            new_idx, new_bs, nbi, nsgi = _oct_step(
+                ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
+                n1, n2, n3, quant, qscal)
+            return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
+                    occ, ndone, p0, p1)
+
+        if oct_ok:
+            def node_fn(carry):
+                def deep(c):
+                    return jax.lax.cond(c[0] < cl_first // 2, node_quad,
+                                        node_bin, c)
+                return jax.lax.cond(carry[0] < cl_first // 4, node_oct,
+                                    deep, carry)
+        elif quad_ok:
             def node_fn(carry):
                 return jax.lax.cond(carry[0] < cl_first // 2, node_quad,
                                     node_bin, carry)
@@ -1640,7 +1814,7 @@ def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
                                              "top_rows", "quant",
                                              "leaf_cull",
                                              "approx_recip", "fused",
-                                             "quad", "packs",
+                                             "quad", "oct", "packs",
                                              "tree_min", "prefetch"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
@@ -1649,7 +1823,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  smem_nodes: bool = False, top_rows: int = 0,
                  nodes_top=None, quant: bool = False, qparams=None,
                  leaf_cull: bool = False, approx_recip: bool = False,
-                 fused: bool = True, quad: bool = True, packs: int = 1,
+                 fused: bool = True, quad: bool = True, oct: bool = False,
+                 packs: int = 1,
                  tree_min: bool = False, prefetch: bool = True):
     """Nearest-hit packet traversal over the whole ray batch.
 
@@ -1662,11 +1837,13 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
     see _kernel_nearest_mp) when the mesh layout is eligible.
     """
     mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
+    oct_ok = oct and quad and (smem_nodes or quant) and not top_rows \
+        and cl_first >= 16
     # sibling-pair prefetch (see _kernel_nearest): flatten blocks to
     # (C*rpc, 128) so pair DMAs are single aligned dim-0 slices
     pf = (prefetch and not mp and fused and cpb == 1
           and stride % 128 == 0 and stride >= 128
-          and not leaf_cull and cl_first >= 2)
+          and not leaf_cull and cl_first >= 2 and not oct_ok)
     if pf:
         blocks = blocks.reshape(-1, 128)
     rows_blk = rows * (packs if mp else 1)
@@ -1710,7 +1887,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
             stride=stride, cpb=cpb, t_min=float(t_min),
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
-            approx_recip=approx_recip, fused=fused, quad=quad,
+            approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
             tree_min=tree_min, prefetch=pf)
     tri, feat, cnt = pl.pallas_call(
         kernel,
@@ -1771,7 +1948,7 @@ def winner_features(origin, direction, t, tri, tri_feat):
                                              "top_rows", "quant",
                                              "leaf_cull",
                                              "approx_recip", "fused",
-                                             "quad", "packs",
+                                             "quad", "oct", "packs",
                                              "prefetch"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
@@ -1780,14 +1957,17 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     nodes_top=None, quant: bool = False, qparams=None,
                     leaf_cull: bool = False, approx_recip: bool = False,
                     fused: bool = True, quad: bool = True,
+                    oct: bool = False,
                     packs: int = 1, prefetch: bool = True):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single, leaf_visits) scalar telemetry). ``packs`` as in
     :func:`packet_trace`."""
     mp = _mp_eligible(packs, smem_nodes, quant, top_rows, cpb)
+    oct_ok = oct and quad and (smem_nodes or quant) and not top_rows \
+        and cl_first >= 16
     pf = (prefetch and not mp and fused and cpb == 1
           and stride % 128 == 0 and stride >= 128
-          and not leaf_cull and cl_first >= 2)
+          and not leaf_cull and cl_first >= 2 and not oct_ok)
     if pf:
         blocks = blocks.reshape(-1, 128)
     rows_blk = rows * (packs if mp else 1)
@@ -1832,7 +2012,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
             stride=stride, cpb=cpb, t_min=float(t_min),
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
-            approx_recip=approx_recip, fused=fused, quad=quad,
+            approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
             prefetch=pf)
     occ, cnt = pl.pallas_call(
         kernel,
