@@ -171,6 +171,89 @@ def test_prefetch_bit_identical():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_pf))
 
 
+def test_bvh4_quantized_table_exact():
+    """The uint16-quantized BVH4 table tier (dragon-class tables that
+    miss the f32 SMEM budget) must stay EXACT: outward-rounded boxes
+    contain the true boxes, so only visit counts may grow — hits, ids,
+    and t are identical to the f32-table kernel, nearest and any-hit."""
+    mesh = _mesh(t=3000, seed=11, ppl=16)
+    b4 = build_bvh4(mesh, width=32)
+    mq = attach_bvh4(mesh, width=32, quant=True)
+    q4 = mq.bvh4
+    assert q4.quant and q4.qparams is not None
+    assert q4.bounds.dtype == jnp.int32
+    assert q4.bounds.shape == (q4.n_nodes * 12,)
+    np.testing.assert_array_equal(np.asarray(b4.refs), np.asarray(q4.refs))
+
+    # every live dequantized box contains its f32 box; empty slots stay
+    # inverted (never spuriously hittable)
+    qp = np.asarray(q4.qparams, np.float64)
+    words = np.asarray(q4.bounds).view(np.uint32).reshape(-1, 4, 3)
+    qmin = np.stack([words[..., 0] & 0xFFFF, words[..., 0] >> 16,
+                     words[..., 1] & 0xFFFF], -1).astype(np.float32)
+    qmax = np.stack([words[..., 1] >> 16, words[..., 2] & 0xFFFF,
+                     words[..., 2] >> 16], -1).astype(np.float32)
+    dq_lo = qmin * qp[0:3].astype(np.float32) + qp[3:6].astype(np.float32)
+    dq_hi = qmax * qp[0:3].astype(np.float32) + qp[3:6].astype(np.float32)
+    fb = np.asarray(b4.bounds).reshape(-1, 4, 6)
+    live = np.asarray(b4.refs).reshape(-1, 4) != 0
+    assert (dq_lo[live] <= fb[live][:, 0:3]).all()
+    assert (dq_hi[live] >= fb[live][:, 3:6]).all()
+    assert (qmin[~live] > qmax[~live]).all()
+
+    o, d, ov, dv = _rays(600, seed=12)
+    (t0, tri0, *_), (nb0, ns0, nl0) = packet_trace4(
+        ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks, b4.tri_feat,
+        b4.width, 1e-3, b4.stack_cap, interpret=True)
+    (t1, tri1, *_), (nb1, ns1, nl1) = packet_trace4(
+        ov, dv, FLT_MAX, q4.bounds, q4.refs, q4.blocks, q4.tri_feat,
+        q4.width, 1e-3, q4.stack_cap, interpret=True,
+        quant=True, qparams=q4.qparams)
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    # conservative boxes: visits may only grow, and only slightly
+    assert int(nl1) >= int(nl0)
+    assert int(nl1) <= int(nl0) * 1.2 + 8
+
+    occ0, _ = packet_occluded4(ov, dv, 14.0, b4.bounds, b4.refs,
+                               b4.blocks, b4.width, 1e-3, b4.stack_cap,
+                               interpret=True)
+    occ1, _ = packet_occluded4(ov, dv, 14.0, q4.bounds, q4.refs,
+                               q4.blocks, q4.width, 1e-3, q4.stack_cap,
+                               interpret=True, quant=True,
+                               qparams=q4.qparams)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+
+    # prefetch composes with quant (leaf DMAs don't touch the table)
+    (t2, tri2, *_), _ = packet_trace4(
+        ov, dv, FLT_MAX, q4.bounds, q4.refs, q4.blocks, q4.tri_feat,
+        q4.width, 1e-3, q4.stack_cap, interpret=True,
+        quant=True, qparams=q4.qparams, prefetch=True)
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri2))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t2))
+
+
+def test_bvh4_quantized_render_end_to_end():
+    """Forced-quant BVH4 render through the engine dispatch == the
+    jnp-traversal render (quant/qparams plumbed via config.bvh4)."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.engine.render import render_image
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+    from tpu_pathtracer.utils.golden import rmse
+
+    cfg = RenderConfig(nx=16, ny=8, ns=1, max_depth=3, rays_per_chunk=128,
+                       textures=False)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=48, nv=12,
+                                prims_per_leaf=32)
+    ref = render_image(scene, cam, cfg)
+    scene4 = dataclasses.replace(
+        scene, mesh=attach_bvh4(scene.mesh, width=32, quant=True))
+    assert scene4.mesh.bvh4.quant
+    forced = cfg.replace(force_feat_kernels=True, packet_threshold=1)
+    img = render_image(scene4, cam, forced)
+    assert rmse(ref, img) < 1e-5
+
+
 def test_bvh4_render_end_to_end():
     """Tiny forced-packet render with BVH4 tables == the jnp-traversal
     render: the SAH topology swaps traversal order only."""

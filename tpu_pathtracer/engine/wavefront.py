@@ -327,7 +327,7 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
         outs, node_counts = packet_trace4(
             o_s, d_s, tm, pk.bounds, pk.refs, pk.blocks, pk.tri_feat,
             pk.width, t_min, pk.stack_cap, interpret=_interp(config),
-            prefetch=config.bvh4_pf)
+            prefetch=config.bvh4_pf, quant=pk.quant, qparams=pk.qparams)
     elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_trace_mx
         outs, node_counts = packet_trace_mx(
@@ -383,7 +383,8 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
             return packet_occluded4(
                 o, d, tm, b4.bounds, b4.refs, b4.blocks, b4.width,
                 t_min, b4.stack_cap, interpret=_interp(config),
-                prefetch=config.bvh4_pf)
+                prefetch=config.bvh4_pf, quant=b4.quant,
+                qparams=b4.qparams)
     elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_occluded_mx
         mx = pk

@@ -68,6 +68,13 @@ class Bvh4Data:
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     width: int = dataclasses.field(metadata=dict(static=True))
     stack_cap: int = dataclasses.field(metadata=dict(static=True))
+    # quantized tier (dragon-class tables): ``bounds`` holds the packed
+    # [n_nodes*12] int32 uint16-quantized table instead of f32, with the
+    # dequant scales/offsets in ``qparams`` ([8] f32:
+    # sx,sy,sz,lox,loy,loz,0,0 — the heap kernel's layout)
+    quant: bool = dataclasses.field(default=False,
+                                    metadata=dict(static=True))
+    qparams: object = None
 
     @property
     def n_clusters(self) -> int:
@@ -339,27 +346,91 @@ def build_bvh4(mesh: MeshData, width: int = 64,
         stack_cap=int(3 * depth4 + 8))
 
 
+def _quantize4(bounds: np.ndarray, refs: np.ndarray):
+    """Pack the [Nn*24] f32 child-bounds table into [Nn*12] int32 words
+    of uint16 bounds relative to the root box, rounded OUTWARD plus a
+    one-quantum pad, so every dequantized box provably contains the
+    true box — traversal stays exact (conservative boxes add visits,
+    never miss hits), the same contract as the heap kernel's quantized
+    tables (ops/pallas_bvh.build_packet_mesh).  Empty child slots
+    (ref == 0) are forced to inverted quantized boxes (qlo=65535,
+    qhi=0) so the slab test can never hit them.
+
+    Word layout matches ops/pallas_bvh._node_bounds4's dequant:
+    w0 = qminx | qminy<<16, w1 = qminz | qmaxx<<16,
+    w2 = qmaxy | qmaxz<<16; dq(q) = f32(q) * s_axis + lo_axis.
+    Returns (words [Nn*12] int32, qparams [8] f32).
+    """
+    b = bounds.reshape(-1, 4, 6).astype(np.float64)
+    live = refs.reshape(-1, 4) != 0
+    mins = b[..., 0:3]
+    maxs = b[..., 3:6]
+    root_lo = np.where(live[..., None], mins, 1e30).min(axis=(0, 1))
+    root_hi = np.where(live[..., None], maxs, -1e30).max(axis=(0, 1))
+    # final f32 dequant constants; offset rounded DOWN so dq(0) <= lo
+    lo32 = np.nextafter(root_lo.astype(np.float32),
+                        np.float32(-np.inf)).astype(np.float64)
+    # /65000 leaves headroom above qhi ~= 65002 and keeps the 1-quantum
+    # pad >> the f32 rounding error of q*s+lo (~2^-24 * extent)
+    s32 = (np.maximum(root_hi - root_lo, 1e-20) / 65000.0) \
+        .astype(np.float32).astype(np.float64)
+    qlo = np.clip(np.floor((mins - lo32) / s32) - 1, 0, 65535)
+    qhi = np.clip(np.ceil((maxs - lo32) / s32) + 1, 0, 65535)
+    qlo = np.where(live[..., None], qlo, 65535).astype(np.uint32)
+    qhi = np.where(live[..., None], qhi, 0).astype(np.uint32)
+    w0 = qlo[..., 0] | (qlo[..., 1] << 16)
+    w1 = qlo[..., 2] | (qhi[..., 0] << 16)
+    w2 = qhi[..., 1] | (qhi[..., 2] << 16)
+    words = np.stack([w0, w1, w2], axis=-1).reshape(-1) \
+        .astype(np.uint32).view(np.int32)
+    qparams = np.concatenate(
+        [s32, lo32, np.zeros(2)]).astype(np.float32)
+    return words, qparams
+
+
 # the kernel DMAs the whole node table HBM->SMEM per packet; leave
 # headroom under the ~512 KB SMEM for the cluster block + stack
 SMEM_TABLE_BUDGET = 400 << 10
+# quantized tables are 12+4 words/node (vs 28 f32) and ride the SMEM
+# ceiling the heap kernel probed to 768 KB; the dragon's 7,887-node
+# table is 492 KB here (vs 862 KB f32)
+QUANT_TABLE_BUDGET = 640 << 10
 
 
 def attach_bvh4(mesh: MeshData, width: int = 64,
-                n_bins: int = 16, silent: bool = False) -> MeshData:
-    """Return ``mesh`` with SAH BVH4 tables attached (or unchanged, with
-    a warning unless ``silent``, when the node table exceeds the SMEM
-    budget — e.g. the 871k-tri dragon, whose ~5k-node table wants
-    ~500 KB; that mesh class stays on the heap kernel's quantized SMEM
-    path)."""
+                n_bins: int = 16, silent: bool = False,
+                quant: str | bool = "auto") -> MeshData:
+    """Return ``mesh`` with SAH BVH4 tables attached.
+
+    Tables that fit ``SMEM_TABLE_BUDGET`` stay f32.  Bigger tables
+    (dragon-class: 7,887 nodes = 862 KB f32) fall to the uint16
+    quantized tier when they fit ``QUANT_TABLE_BUDGET`` (dragon:
+    492 KB) — outward-rounded boxes keep traversal exact, same
+    contract as the heap kernel's quantized path.  ``quant=True``
+    forces quantization (tests); ``False`` disables the tier.  A mesh
+    fitting neither budget is returned unchanged (warning unless
+    ``silent``) and stays on the heap kernel."""
     data = build_bvh4(mesh, width=width, n_bins=n_bins)
     table_bytes = (data.bounds.size + data.refs.size) * 4
+    qtable_bytes = (data.n_nodes * 12 + data.refs.size) * 4
+    if quant is True or (quant == "auto"
+                         and table_bytes > SMEM_TABLE_BUDGET
+                         and qtable_bytes <= QUANT_TABLE_BUDGET):
+        words, qp = _quantize4(np.asarray(data.bounds),
+                               np.asarray(data.refs))
+        data = dataclasses.replace(
+            data, bounds=jnp.asarray(words), quant=True,
+            qparams=jnp.asarray(qp))
+        return dataclasses.replace(mesh, bvh4=data)
     if table_bytes > SMEM_TABLE_BUDGET:
         if not silent:
             import warnings
             warnings.warn(
                 f"BVH4 node table ({table_bytes >> 10} KB for "
-                f"{data.n_nodes} nodes) exceeds the "
-                f"{SMEM_TABLE_BUDGET >> 10} KB SMEM budget; keeping the "
+                f"{data.n_nodes} nodes; {qtable_bytes >> 10} KB "
+                f"quantized) exceeds the SMEM budgets "
+                f"({SMEM_TABLE_BUDGET >> 10}/"
+                f"{QUANT_TABLE_BUDGET >> 10} KB); keeping the "
                 "implicit-heap packet kernel.",
                 RuntimeWarning, stacklevel=2)
         return mesh

@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_pathtracer.ops.pallas_bvh import (_mt_scalar_tri, _pad_rays,
-                                           _quad_votes, _slab,
+from tpu_pathtracer.ops.pallas_bvh import (_mt_scalar_tri, _node_bounds4,
+                                           _pad_rays, _quad_votes, _slab,
                                            winner_features)
 
 _FLT_MAX = 3.4028235e38
@@ -100,13 +100,15 @@ def _stack_apply4(r0, r1, r2, r3, pk1, pk2, pk3, s_cd, n_lanes):
 
 
 def _node_step4(ntab, rtab, stk, cur, sp, closest,
-                o1, o2, o3, i1, i2, i3, n1, n2, n3):
+                o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                quant=False, qscal=None):
     """One BVH4 node step: 4 slab tests, votes, descend + pushes.
-    Returns (new_cur, new_sp, nb_inc, nsg_inc)."""
-    nb_ = (cur - 1) * 24
+    Returns (new_cur, new_sp, nb_inc, nsg_inc).  ``quant`` reads the
+    packed uint16 table through the heap kernel's dequant
+    (_node_bounds4: 12 int32 words/node, outward-rounded boxes — extra
+    visits possible, hits never missed, results unchanged)."""
     rb = (cur - 1) * 4
-    boxes = tuple(tuple(ntab[nb_ + 6 * k + i] for i in range(6))
-                  for k in range(4))
+    boxes = _node_bounds4(ntab, rb, quant, qscal)
     h0 = _slab(boxes[0], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
     h1 = _slab(boxes[1], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
     h2 = _slab(boxes[2], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -208,9 +210,13 @@ def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk):
     return consume, issue
 
 
-def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
-                     tri_out, feat_out, cnt_out, *,
-                     width, t_min, unroll, stack_cap, prefetch):
+def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
+                     width, t_min, unroll, stack_cap, prefetch,
+                     quant=False):
+    rest = list(rest)
+    qp = rest.pop(0) if quant else None
+    blocks, tri_out, feat_out, cnt_out = rest
+
     def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None):
         nd = pltpu.make_async_copy(bounds, ntab, sem)
         nd.start()
@@ -218,6 +224,7 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
         rd_ = pltpu.make_async_copy(refs, rtab, sem)
         rd_.start()
         rd_.wait()
+        qscal = tuple(qp[i] for i in range(6)) if quant else None
         if prefetch:
             pf_consume, pf_issue = _leaf_dma_helpers(
                 blocks, blk, sem, s0, s1, stk)
@@ -239,7 +246,7 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
             cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
-                o1, o2, o3, i1, i2, i3, n1, n2, n3)
+                o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal)
             return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
                     closest, besti, pfon, par)
 
@@ -307,7 +314,8 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
     kw = dict(blk=pltpu.SMEM((32, 128) if prefetch else blocks.shape[1:],
                              jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()),
-              ntab=pltpu.SMEM(bounds.shape, jnp.float32),
+              ntab=pltpu.SMEM(bounds.shape,
+                              jnp.int32 if quant else jnp.float32),
               rtab=pltpu.SMEM(refs.shape, jnp.int32),
               stk=pltpu.SMEM((stack_cap,), jnp.int32))
     if prefetch:
@@ -316,9 +324,13 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
     pl.run_scoped(scoped, **kw)
 
 
-def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
-                    occ_out, cnt_out, *, width, t_min, unroll,
-                    stack_cap, prefetch):
+def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
+                    width, t_min, unroll, stack_cap, prefetch,
+                    quant=False):
+    rest = list(rest)
+    qp = rest.pop(0) if quant else None
+    blocks, occ_out, cnt_out = rest
+
     def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None):
         nd = pltpu.make_async_copy(bounds, ntab, sem)
         nd.start()
@@ -326,6 +338,7 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
         rd_ = pltpu.make_async_copy(refs, rtab, sem)
         rd_.start()
         rd_.wait()
+        qscal = tuple(qp[i] for i in range(6)) if quant else None
         if prefetch:
             pf_consume, pf_issue = _leaf_dma_helpers(
                 blocks, blk, sem, s0, s1, stk)
@@ -347,7 +360,7 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
             cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
-                o1, o2, o3, i1, i2, i3, n1, n2, n3)
+                o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal)
             return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
                     closest, occ, pfon, par)
 
@@ -423,7 +436,8 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
     kw = dict(blk=pltpu.SMEM((32, 128) if prefetch else blocks.shape[1:],
                              jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()),
-              ntab=pltpu.SMEM(bounds.shape, jnp.float32),
+              ntab=pltpu.SMEM(bounds.shape,
+                              jnp.int32 if quant else jnp.float32),
               rtab=pltpu.SMEM(refs.shape, jnp.int32),
               stk=pltpu.SMEM((stack_cap,), jnp.int32))
     if prefetch:
@@ -434,14 +448,17 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, blocks,
 
 @functools.partial(jax.jit, static_argnames=("width", "t_min",
                                              "interpret", "stack_cap",
-                                             "prefetch"))
+                                             "prefetch", "quant"))
 def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
                   tri_feat, width: int, t_min: float,
                   stack_cap: int, interpret: bool = False,
-                  prefetch: bool = False):
+                  prefetch: bool = False, quant: bool = False,
+                  qparams=None):
     """Nearest-hit BVH4 packet traversal (see packet_trace for the
     output contract — identical, with tri ids in SAH cluster-slot
-    space)."""
+    space).  ``quant``: ``bounds`` is the packed uint16 table
+    (ops/bvh4._quantize4) and ``qparams`` the [8] f32 dequant
+    scales/offsets, riding SMEM like the heap kernel's."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -452,19 +469,21 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
         _pad_rays(direction.y, 0.0, n_pad),
         _pad_rays(direction.z, 0.0, n_pad),
         _pad_rays(t_max_b, 0.0, n_pad),  # pad lanes: closest=0 -> inert
-        bounds, refs, blocks,
-    ]
+        bounds, refs,
+    ] + ([qparams] if quant else []) + [blocks]
     n_packets = n_pad // (ROWS * 128)
     ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    qspec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if quant else []
     kernel = functools.partial(
         _kernel_nearest4, width=width, t_min=float(t_min),
-        unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch)
+        unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch,
+        quant=quant)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
-        in_specs=[ray_spec] * 7 + [hbm, hbm, hbm],
+        in_specs=[ray_spec] * 7 + [hbm, hbm] + qspec + [hbm],
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
@@ -481,10 +500,11 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
 
 @functools.partial(jax.jit, static_argnames=("width", "t_min",
                                              "interpret", "stack_cap",
-                                             "prefetch"))
+                                             "prefetch", "quant"))
 def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
                      width: int, t_min: float, stack_cap: int,
-                     interpret: bool = False, prefetch: bool = False):
+                     interpret: bool = False, prefetch: bool = False,
+                     quant: bool = False, qparams=None):
     """Any-hit BVH4 packet traversal (see packet_occluded)."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
@@ -497,19 +517,21 @@ def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
         _pad_rays(direction.z, 0.0, n_pad),
         # pad lanes: closest<0 -> retired immediately
         _pad_rays(t_max_b, -1.0, n_pad),
-        bounds, refs, blocks,
-    ]
+        bounds, refs,
+    ] + ([qparams] if quant else []) + [blocks]
     n_packets = n_pad // (ROWS * 128)
     ray_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    qspec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if quant else []
     kernel = functools.partial(
         _kernel_shadow4, width=width, t_min=float(t_min),
-        unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch)
+        unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch,
+        quant=quant)
     occ, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
-        in_specs=[ray_spec] * 7 + [hbm, hbm, hbm],
+        in_specs=[ray_spec] * 7 + [hbm, hbm] + qspec + [hbm],
         out_specs=(ray_spec, ray_spec),
         out_shape=(jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32),
                    jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.int32)),
