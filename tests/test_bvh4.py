@@ -171,6 +171,27 @@ def test_prefetch_bit_identical():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_pf))
 
 
+def test_scratch_state_bit_identical():
+    """The VMEM scratch-ref lane state variant (config.bvh4_scratch)
+    only moves where closest/besti live — every output must be
+    bit-equal, alone and composed with prefetch."""
+    mesh = _mesh(t=2400, seed=5)
+    b4 = build_bvh4(mesh, width=32)
+    o, d, ov, dv = _rays(700, seed=6)
+    base = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks,
+                         b4.tri_feat, b4.width, 1e-3, b4.stack_cap,
+                         interpret=True)
+    for pf in (False, True):
+        scr = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs,
+                            b4.blocks, b4.tri_feat, b4.width, 1e-3,
+                            b4.stack_cap, interpret=True, scratch=True,
+                            prefetch=pf)
+        for a, b in zip(base[0], scr[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(base[1], scr[1]):
+            assert int(a) == int(b)
+
+
 def test_bvh4_quantized_table_exact():
     """The uint16-quantized BVH4 table tier (dragon-class tables that
     miss the f32 SMEM budget) must stay EXACT: outward-rounded boxes

@@ -147,6 +147,13 @@ class RenderConfig:
     # explicit-stack kernels: the stack top after a leaf pop names the
     # NEXT cluster non-speculatively, so its copy starts before this
     # visit's MT loop and completes under it. Off pending e2e A/B.
+    bvh4_scratch: bool = False  # keep the per-lane closest/besti tiles
+    # in VMEM scratch refs instead of the traversal while-loop carry:
+    # the node/leaf lax.cond joins then carry only scalars, so no
+    # (8,128) tile is materialized/relaid-out at the two branch
+    # boundaries of every trip (the measured per-trip serialization —
+    # PERFORMANCE.md round 3 "regrouped leaf phase"). Bit-identical
+    # results (tested); off pending e2e A/B.
     leaf_cull: bool = False  # stale-leaf re-test in the packet kernels:
     # re-slab a popped leaf cluster's own box against the (shrunken)
     # per-lane closest before the MT loop. Exact (same conservative

@@ -327,7 +327,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
         outs, node_counts = packet_trace4(
             o_s, d_s, tm, pk.bounds, pk.refs, pk.blocks, pk.tri_feat,
             pk.width, t_min, pk.stack_cap, interpret=_interp(config),
-            prefetch=config.bvh4_pf, quant=pk.quant, qparams=pk.qparams)
+            prefetch=config.bvh4_pf, quant=pk.quant, qparams=pk.qparams,
+            scratch=config.bvh4_scratch)
     elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_trace_mx
         outs, node_counts = packet_trace_mx(

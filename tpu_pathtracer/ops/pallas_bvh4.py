@@ -212,12 +212,13 @@ def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk):
 
 def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                      width, t_min, unroll, stack_cap, prefetch,
-                     quant=False):
+                     quant=False, scratch=False):
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
 
-    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None):
+    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None,
+               cls=None, bst=None):
         nd = pltpu.make_async_copy(bounds, ntab, sem)
         nd.start()
         nd.wait()
@@ -241,17 +242,38 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         n2 = i2 < 0.0
         n3 = i3 < 0.0
         shp = o1.shape
+        if scratch:
+            # mutable per-lane state lives in VMEM scratch instead of
+            # the while-loop carry: the node/leaf lax.cond joins then
+            # carry only scalars, so no (8,128) tile has to be
+            # materialized/relaid-out at the two branch boundaries of
+            # every trip (the measured per-trip serialization is the
+            # leaf-phase bound — PERFORMANCE.md round 3).
+            cls[:, :] = tmax[:, :]
+            bst[:, :] = jnp.full(shp, -1, jnp.int32)
 
         def node_fn(carry):
-            cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
+            if scratch:
+                cur, sp, nb, nsg, nl, pfon, par = carry
+                closest = cls[:, :]
+            else:
+                cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal)
+            if scratch:
+                return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+                        pfon, par)
             return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
                     closest, besti, pfon, par)
 
         def leaf_fn(carry):
-            cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
+            if scratch:
+                cur, sp, nb, nsg, nl, pfon, par = carry
+                closest = cls[:, :]
+                besti = bst[:, :]
+            else:
+                cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
             c = -cur - 1
             if prefetch:
                 cur_slot = pf_consume(c, pfon, par)
@@ -283,6 +305,11 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                 st = jax.lax.fori_loop(0, width, tri, st)
             closest, besti = st
             new_cur, new_sp = _stack_pop(stk, sp)
+            if scratch:
+                cls[:, :] = closest
+                bst[:, :] = besti
+                return (new_cur, new_sp, nb, nsg, nl + 1,
+                        new_pfon, new_par)
             return (new_cur, new_sp, nb, nsg, nl + 1, closest, besti,
                     new_pfon, new_par)
 
@@ -297,11 +324,21 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         def cond(carry):
             return carry[0] != 0
 
-        init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32),
-                jnp.int32(0), jnp.int32(0))
-        _, _, nb, nsg, nl, closest, besti, _, _ = jax.lax.while_loop(
-            cond, body, init)
+        if scratch:
+            init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0))
+            _, _, nb, nsg, nl, _, _ = jax.lax.while_loop(
+                cond, body, init)
+            closest = cls[:, :]
+            besti = bst[:, :]
+        else:
+            init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), tmax[:, :],
+                    jnp.full(shp, -1, jnp.int32),
+                    jnp.int32(0), jnp.int32(0))
+            _, _, nb, nsg, nl, closest, besti, _, _ = jax.lax.while_loop(
+                cond, body, init)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
@@ -321,6 +358,9 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
     if prefetch:
         kw["s0"] = pltpu.SemaphoreType.DMA(())
         kw["s1"] = pltpu.SemaphoreType.DMA(())
+    if scratch:
+        kw["cls"] = pltpu.VMEM((ROWS, 128), jnp.float32)
+        kw["bst"] = pltpu.VMEM((ROWS, 128), jnp.int32)
     pl.run_scoped(scoped, **kw)
 
 
@@ -448,12 +488,13 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
 
 @functools.partial(jax.jit, static_argnames=("width", "t_min",
                                              "interpret", "stack_cap",
-                                             "prefetch", "quant"))
+                                             "prefetch", "quant",
+                                             "scratch"))
 def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
                   tri_feat, width: int, t_min: float,
                   stack_cap: int, interpret: bool = False,
                   prefetch: bool = False, quant: bool = False,
-                  qparams=None):
+                  qparams=None, scratch: bool = False):
     """Nearest-hit BVH4 packet traversal (see packet_trace for the
     output contract — identical, with tri ids in SAH cluster-slot
     space).  ``quant``: ``bounds`` is the packed uint16 table
@@ -479,7 +520,7 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
     kernel = functools.partial(
         _kernel_nearest4, width=width, t_min=float(t_min),
         unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch,
-        quant=quant)
+        quant=quant, scratch=scratch)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
