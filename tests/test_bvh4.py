@@ -191,6 +191,16 @@ def test_scratch_state_bit_identical():
         for a, b in zip(base[1], scr[1]):
             assert int(a) == int(b)
 
+    occ, _ = packet_occluded4(ov, dv, 12.0, b4.bounds, b4.refs,
+                              b4.blocks, b4.width, 1e-3, b4.stack_cap,
+                              interpret=True)
+    for pf in (False, True):
+        occ_s, _ = packet_occluded4(ov, dv, 12.0, b4.bounds, b4.refs,
+                                    b4.blocks, b4.width, 1e-3,
+                                    b4.stack_cap, interpret=True,
+                                    scratch=True, prefetch=pf)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_s))
+
 
 def test_bvh4_quantized_table_exact():
     """The uint16-quantized BVH4 table tier (dragon-class tables that

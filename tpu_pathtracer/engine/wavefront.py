@@ -385,7 +385,7 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                 o, d, tm, b4.bounds, b4.refs, b4.blocks, b4.width,
                 t_min, b4.stack_cap, interpret=_interp(config),
                 prefetch=config.bvh4_pf, quant=b4.quant,
-                qparams=b4.qparams)
+                qparams=b4.qparams, scratch=config.bvh4_scratch)
     elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_occluded_mx
         mx = pk

@@ -366,12 +366,13 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
 
 def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                     width, t_min, unroll, stack_cap, prefetch,
-                    quant=False):
+                    quant=False, scratch=False):
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, occ_out, cnt_out = rest
 
-    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None):
+    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None,
+               cls=None, occr=None):
         nd = pltpu.make_async_copy(bounds, ntab, sem)
         nd.start()
         nd.wait()
@@ -395,17 +396,32 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         n2 = i2 < 0.0
         n3 = i3 < 0.0
         shp = o1.shape
+        if scratch:
+            cls[:, :] = tmax[:, :]
+            occr[:, :] = jnp.zeros(shp, jnp.int32)
 
         def node_fn(carry):
-            cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
+            if scratch:
+                cur, sp, nb, nsg, nl, pfon, par = carry
+                closest = cls[:, :]
+            else:
+                cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal)
+            if scratch:
+                return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+                        pfon, par)
             return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
                     closest, occ, pfon, par)
 
         def leaf_fn(carry):
-            cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
+            if scratch:
+                cur, sp, nb, nsg, nl, pfon, par = carry
+                closest = cls[:, :]
+                occ = occr[:, :]
+            else:
+                cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
             c = -cur - 1
             if prefetch:
                 cur_slot = pf_consume(c, pfon, par)
@@ -448,6 +464,11 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                 drain(ndone)
                 new_pfon = jnp.where(ndone, 0, new_pfon)
             new_cur = jnp.where(ndone, 0, new_cur)
+            if scratch:
+                cls[:, :] = closest
+                occr[:, :] = occ
+                return (new_cur, new_sp, nb, nsg, nl + 1,
+                        new_pfon, new_par)
             return (new_cur, new_sp, nb, nsg, nl + 1, closest, occ,
                     new_pfon, new_par)
 
@@ -460,11 +481,20 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         def cond(carry):
             return carry[0] != 0
 
-        init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.zeros(shp, jnp.int32),
-                jnp.int32(0), jnp.int32(0))
-        _, _, nb, nsg, nl, _, occ, _, _ = jax.lax.while_loop(
-            cond, body, init)
+        if scratch:
+            init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0))
+            _, _, nb, nsg, nl, _, _ = jax.lax.while_loop(
+                cond, body, init)
+            occ = occr[:, :]
+        else:
+            init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), tmax[:, :],
+                    jnp.zeros(shp, jnp.int32),
+                    jnp.int32(0), jnp.int32(0))
+            _, _, nb, nsg, nl, _, occ, _, _ = jax.lax.while_loop(
+                cond, body, init)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         occ_out[:, :] = occ
@@ -483,6 +513,9 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
     if prefetch:
         kw["s0"] = pltpu.SemaphoreType.DMA(())
         kw["s1"] = pltpu.SemaphoreType.DMA(())
+    if scratch:
+        kw["cls"] = pltpu.VMEM((ROWS, 128), jnp.float32)
+        kw["occr"] = pltpu.VMEM((ROWS, 128), jnp.int32)
     pl.run_scoped(scoped, **kw)
 
 
@@ -541,11 +574,13 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
 
 @functools.partial(jax.jit, static_argnames=("width", "t_min",
                                              "interpret", "stack_cap",
-                                             "prefetch", "quant"))
+                                             "prefetch", "quant",
+                                             "scratch"))
 def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
                      width: int, t_min: float, stack_cap: int,
                      interpret: bool = False, prefetch: bool = False,
-                     quant: bool = False, qparams=None):
+                     quant: bool = False, qparams=None,
+                     scratch: bool = False):
     """Any-hit BVH4 packet traversal (see packet_occluded)."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
@@ -568,7 +603,7 @@ def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
     kernel = functools.partial(
         _kernel_shadow4, width=width, t_min=float(t_min),
         unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch,
-        quant=quant)
+        quant=quant, scratch=scratch)
     occ, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
