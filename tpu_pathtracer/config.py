@@ -143,17 +143,21 @@ class RenderConfig:
     prefetch: bool = True  # sibling-pair cluster prefetch in the packet
     # kernels (pallas_bvh._kernel_nearest pf): pair DMAs issue under the
     # node step's vote latency; bit-exact. Knot bounce trace -17%.
-    bvh4_pf: bool = False  # double-buffered leaf DMA in the BVH4
+    bvh4_pf: bool = True  # double-buffered leaf DMA in the BVH4
     # explicit-stack kernels: the stack top after a leaf pop names the
     # NEXT cluster non-speculatively, so its copy starts before this
-    # visit's MT loop and completes under it. Off pending e2e A/B.
-    bvh4_scratch: bool = False  # keep the per-lane closest/besti tiles
+    # visit's MT loop and completes under it. Within-run e2e A/B
+    # (experiments/bvh4_state_ab.py): knot -5.7%, terrain -8%,
+    # stairs -2.5%, bit-identical images — default ON.
+    bvh4_scratch: bool = True  # keep the per-lane closest/besti tiles
     # in VMEM scratch refs instead of the traversal while-loop carry:
     # the node/leaf lax.cond joins then carry only scalars, so no
     # (8,128) tile is materialized/relaid-out at the two branch
     # boundaries of every trip (the measured per-trip serialization —
     # PERFORMANCE.md round 3 "regrouped leaf phase"). Bit-identical
-    # results (tested); off pending e2e A/B.
+    # (tested); alone it is NEUTRAL (the carry tiles don't cost until
+    # the trip shortens), but composed with bvh4_pf it adds ~1-2%
+    # everywhere (knot 168.7 -> 166.0 ms/spp) — default ON with it.
     leaf_cull: bool = False  # stale-leaf re-test in the packet kernels:
     # re-slab a popped leaf cluster's own box against the (shrunken)
     # per-lane closest before the MT loop. Exact (same conservative
