@@ -116,6 +116,34 @@ def test_packet_quad_and_fused_variants_bit_identical():
                                   np.asarray(occ_quad))
 
 
+def test_packet_scratch_state_bit_identical():
+    """The VMEM scratch-ref lane state variant (config.packet_scratch)
+    only moves where closest/besti (nearest) and closest/occ (any-hit)
+    live — every output must be bit-equal, alone and with prefetch."""
+    mesh = _mesh(t=4000, seed=31, ppl=16)
+    pm = build_packet_mesh(mesh)
+    o, d, ov, dv = _rays(700, seed=32)
+    kw = dict(interpret=True, stride=pm.stride, cpb=pm.cpb,
+              smem_nodes=pm.smem_nodes)
+    base, cb = packet_trace(ov, dv, FLT_MAX, pm.nodes, pm.blocks,
+                            pm.tri_feat, pm.cl_first, pm.width, 1e-3,
+                            **kw)
+    occ_b, _ = packet_occluded(ov, dv, 15.0, pm.nodes, pm.blocks,
+                               pm.cl_first, pm.width, 1e-3, **kw)
+    for pf in (False, True):
+        got, cg = packet_trace(ov, dv, FLT_MAX, pm.nodes, pm.blocks,
+                               pm.tri_feat, pm.cl_first, pm.width,
+                               1e-3, scratch=True, prefetch=pf, **kw)
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(g))
+        assert all(int(x) == int(y) for x, y in zip(cb, cg))
+        occ_s, _ = packet_occluded(ov, dv, 15.0, pm.nodes, pm.blocks,
+                                   pm.cl_first, pm.width, 1e-3,
+                                   scratch=True, prefetch=pf, **kw)
+        np.testing.assert_array_equal(np.asarray(occ_b),
+                                      np.asarray(occ_s))
+
+
 def test_packet_oct_step_bit_identical():
     """The 8-ary great-grandchild step (oct=True) changes loop
     structure only: outputs must be bit-identical to the binary and

@@ -149,6 +149,13 @@ class RenderConfig:
     # visit's MT loop and completes under it. Within-run e2e A/B
     # (experiments/bvh4_state_ab.py): knot -5.7%, terrain -8%,
     # stairs -2.5%, bit-identical images — default ON.
+    packet_scratch: bool = True  # heap-kernel version of bvh4_scratch:
+    # closest/besti (nearest) and closest/occ (any-hit) tiles live in
+    # VMEM scratch refs instead of the while carry, so every cond join
+    # of the trip (fused body + quad/oct nesting) carries scalars only.
+    # Dragon e2e A/B (experiments/dragon_scratch_ab.py): 470.7 ->
+    # 465.9 ms/spp (1.010x), bit-identical, faster in all reps —
+    # default ON.
     bvh4_scratch: bool = True  # keep the per-lane closest/besti tiles
     # in VMEM scratch refs instead of the traversal while-loop carry:
     # the node/leaf lax.cond joins then carry only scalars, so no

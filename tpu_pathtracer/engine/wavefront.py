@@ -360,7 +360,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                          approx_recip=config.fast_math,
                                          oct=config.oct,
                                          packs=config.packet_packs,
-                                         prefetch=config.prefetch)
+                                         prefetch=config.prefetch,
+                                         scratch=config.packet_scratch)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -409,7 +410,8 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                 quant=pk.quant, qparams=pk.qparams,
                 leaf_cull=config.leaf_cull,
                 approx_recip=config.fast_math, oct=config.oct,
-                packs=config.packet_packs, prefetch=config.prefetch)
+                packs=config.packet_packs, prefetch=config.prefetch,
+                scratch=config.packet_scratch)
 
     n = origin.x.shape[0]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

@@ -711,7 +711,7 @@ def _node_box(smem_nodes, top_rows, nodes, ntab, r, quant=False,
 
 
 def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
-                          rpc=0):
+                          rpc=0, scratch_shapes=()):
     if rpc:
         # prefetch layout: two pair slots (4 clusters x rpc rows) + one
         # DMA semaphore per slot; blocks arrives flattened (C*rpc, 128)
@@ -726,6 +726,11 @@ def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
         kw["ntab"] = pltpu.SMEM(nodes.shape, nodes.dtype)
     elif top_rows:
         kw["ntab"] = pltpu.SMEM((top_rows * 8,), jnp.float32)
+    for name, dt in scratch_shapes:
+        # scratch-ref lane state (config.packet_scratch): (8,128) tiles
+        # that would otherwise ride the while-loop carry through every
+        # lax.cond join of the trip
+        kw[name] = pltpu.VMEM((8, 128), dt)
     pl.run_scoped(scoped, **kw)
 
 
@@ -811,7 +816,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     smem_nodes, top_rows, quant=False, qparams=None,
                     leaf_cull=True, approx_recip=False, fused=True,
                     quad=True, oct=False, tree_min=False,
-                    prefetch=False):
+                    prefetch=False, scratch=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -841,7 +846,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
-    def scoped(blk, sem, s0=None, s1=None, ntab=None):
+    def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
+               bst=None):
         def pf_drain(ss, lo):
             pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
                                   blk.at[pl.ds(lo, PAIR)], ss).wait()
@@ -903,7 +909,11 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         shp = o1.shape
 
         def node_bin(carry):
-            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
+            if scratch:
+                idx, bs, nb, nsg, nl, p0, p1 = carry
+                closest = cls[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
             l = idx * 2
             if pf:
                 # children are leaves -> issue their pair's DMA before
@@ -923,10 +933,16 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                                      closest, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
+            if scratch:
+                return (new_idx, new_bs, nb, nsg, nl, p0, p1)
             return (new_idx, new_bs, nb, nsg, nl, closest, besti, p0, p1)
 
         def node_quad(carry):
-            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
+            if scratch:
+                idx, bs, nb, nsg, nl, p0, p1 = carry
+                closest = cls[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
             if pf:
                 # grandchildren are leaves -> both candidate pairs,
                 # complementary parities, issued before the 4 slabs
@@ -940,14 +956,24 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             new_idx, new_bs, nbi, nsgi = _quad_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
+            if scratch:
+                return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl,
+                        p0, p1)
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
                     besti, p0, p1)
 
         def node_oct(carry):
-            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
+            if scratch:
+                idx, bs, nb, nsg, nl, p0, p1 = carry
+                closest = cls[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
             new_idx, new_bs, nbi, nsgi = _oct_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
+            if scratch:
+                return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl,
+                        p0, p1)
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
                     besti, p0, p1)
 
@@ -970,7 +996,12 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             node_fn = node_bin
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
+            if scratch:
+                idx, bs, nb, nsg, nl, p0, p1 = carry
+                closest = cls[:, :]
+                besti = bst[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
@@ -1089,6 +1120,10 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
+            if scratch:
+                cls[:, :] = closest
+                bst[:, :] = besti
+                return (new_idx, new_bs, nb, nsg, nl, p0, p1)
             return (new_idx, new_bs, nb, nsg, nl, closest, besti, p0, p1)
 
         if fused:
@@ -1111,11 +1146,23 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         def cond(carry):
             return carry[0] > 0
 
-        init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.full(shp, -1, jnp.int32),
-                jnp.int32(0), jnp.int32(0))
-        _, _, nb, nsg, nl, closest, besti, p0f, p1f = jax.lax.while_loop(
-            cond, body, init)
+        if scratch:
+            cls[:, :] = tmax[:, :]
+            bst[:, :] = jnp.full(shp, -1, jnp.int32)
+            init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0))
+            _, _, nb, nsg, nl, p0f, p1f = jax.lax.while_loop(
+                cond, body, init)
+            closest = cls[:, :]
+            besti = bst[:, :]
+        else:
+            init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), tmax[:, :],
+                    jnp.full(shp, -1, jnp.int32),
+                    jnp.int32(0), jnp.int32(0))
+            _, _, nb, nsg, nl, closest, besti, p0f, p1f = \
+                jax.lax.while_loop(cond, body, init)
         if pf:
             # drain speculative pair copies never consumed by a visit
             @pl.when(p0f > 0)
@@ -1137,14 +1184,17 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         feat_out[:, :] = closest
 
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
-                          rpc=rpc if pf else 0)
+                          rpc=rpc if pf else 0,
+                          scratch_shapes=((("cls", jnp.float32),
+                                           ("bst", jnp.int32))
+                                          if scratch else ()))
 
 
 def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                    cl_first, width, stride, cpb, t_min,
                    unroll, smem_nodes, top_rows, quant=False, qparams=None,
                    leaf_cull=True, approx_recip=False, fused=True,
-                   quad=True, oct=False, prefetch=False):
+                   quad=True, oct=False, prefetch=False, scratch=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -1161,7 +1211,8 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
-    def scoped(blk, sem, s0=None, s1=None, ntab=None):
+    def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
+               bst=None):
         def pf_drain(ss, lo):
             pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
                                   blk.at[pl.ds(lo, PAIR)], ss).wait()
@@ -1216,7 +1267,13 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         n3 = i3 < 0.0
 
         def node_bin(carry):
-            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
+            if scratch:
+                # cls/bst hold closest/occ (same tile dtypes as the
+                # nearest kernel's closest/besti scratch)
+                idx, bs, nb, nsg, nl, ndone, p0, p1 = carry
+                closest = cls[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
             l = idx * 2
             if pf:
                 isleaf = l >= cl_first
@@ -1234,11 +1291,17 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                                      closest, l)
             nb = nb + both.astype(jnp.int32)
             nsg = nsg + single.astype(jnp.int32)
+            if scratch:
+                return (new_idx, new_bs, nb, nsg, nl, ndone, p0, p1)
             return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone,
                     p0, p1)
 
         def node_quad(carry):
-            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
+            if scratch:
+                idx, bs, nb, nsg, nl, ndone, p0, p1 = carry
+                closest = cls[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
             if pf:
                 g = idx * 4
                 isleaf = g >= cl_first
@@ -1250,14 +1313,24 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             new_idx, new_bs, nbi, nsgi = _quad_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
+            if scratch:
+                return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl,
+                        ndone, p0, p1)
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
                     occ, ndone, p0, p1)
 
         def node_oct(carry):
-            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
+            if scratch:
+                idx, bs, nb, nsg, nl, ndone, p0, p1 = carry
+                closest = cls[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
             new_idx, new_bs, nbi, nsgi = _oct_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
+            if scratch:
+                return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl,
+                        ndone, p0, p1)
             return (new_idx, new_bs, nb + nbi, nsg + nsgi, nl, closest,
                     occ, ndone, p0, p1)
 
@@ -1276,7 +1349,12 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             node_fn = node_bin
 
         def leaf_fn(carry):
-            idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
+            if scratch:
+                idx, bs, nb, nsg, nl, ndone, p0, p1 = carry
+                closest = cls[:, :]
+                occ = bst[:, :]
+            else:
+                idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
             c = idx - cl_first
             # cpb == 1: keep SMEM row indices compile-time constants
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
@@ -1346,6 +1424,10 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             m = jnp.where(bs > 0, _ctz32(bs), 0)
             new_bs = (bs >> m.astype(jnp.uint32)) ^ jnp.uint32(1)
             new_idx = (idx >> m) ^ 1
+            if scratch:
+                cls[:, :] = closest
+                bst[:, :] = occ
+                return (new_idx, new_bs, nb, nsg, nl, ndone, p0, p1)
             return (new_idx, new_bs, nb, nsg, nl, closest, occ, ndone,
                     p0, p1)
 
@@ -1361,14 +1443,26 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                     node_fn, carry)
 
         def cond(carry):
-            return (carry[0] > 0) & (carry[7] == 0)
+            ndone = carry[5] if scratch else carry[7]
+            return (carry[0] > 0) & (ndone == 0)
 
         shp = o1.shape
-        init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0), jnp.int32(0),
-                jnp.int32(0), tmax[:, :], jnp.zeros(shp, jnp.int32),
-                jnp.int32(0), jnp.int32(0), jnp.int32(0))
-        _, _, nb, nsg, nl, _, occ, _, p0f, p1f = jax.lax.while_loop(
-            cond, body, init)
+        if scratch:
+            cls[:, :] = tmax[:, :]
+            bst[:, :] = jnp.zeros(shp, jnp.int32)
+            init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0))
+            _, _, nb, nsg, nl, _, p0f, p1f = jax.lax.while_loop(
+                cond, body, init)
+            occ = bst[:, :]
+        else:
+            init = (jnp.int32(1), jnp.uint32(1), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0), tmax[:, :],
+                    jnp.zeros(shp, jnp.int32),
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            _, _, nb, nsg, nl, _, occ, _, p0f, p1f = jax.lax.while_loop(
+                cond, body, init)
         if pf:
             # drain speculative copies (early-out can exit mid-pair)
             @pl.when(p0f > 0)
@@ -1387,7 +1481,10 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                       jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
-                          rpc=rpc if pf else 0)
+                          rpc=rpc if pf else 0,
+                          scratch_shapes=((("cls", jnp.float32),
+                                           ("bst", jnp.int32))
+                                          if scratch else ()))
 
 
 def _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs):
@@ -1815,7 +1912,8 @@ def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
                                              "leaf_cull",
                                              "approx_recip", "fused",
                                              "quad", "oct", "packs",
-                                             "tree_min", "prefetch"))
+                                             "tree_min", "prefetch",
+                                             "scratch"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
@@ -1825,7 +1923,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  leaf_cull: bool = False, approx_recip: bool = False,
                  fused: bool = True, quad: bool = True, oct: bool = False,
                  packs: int = 1,
-                 tree_min: bool = False, prefetch: bool = True):
+                 tree_min: bool = False, prefetch: bool = True,
+                 scratch: bool = False):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -1888,7 +1987,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
             approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
-            tree_min=tree_min, prefetch=pf)
+            tree_min=tree_min, prefetch=pf, scratch=scratch)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
@@ -1949,7 +2048,7 @@ def winner_features(origin, direction, t, tri, tri_feat):
                                              "leaf_cull",
                                              "approx_recip", "fused",
                                              "quad", "oct", "packs",
-                                             "prefetch"))
+                                             "prefetch", "scratch"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
@@ -1958,7 +2057,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     leaf_cull: bool = False, approx_recip: bool = False,
                     fused: bool = True, quad: bool = True,
                     oct: bool = False,
-                    packs: int = 1, prefetch: bool = True):
+                    packs: int = 1, prefetch: bool = True,
+                    scratch: bool = False):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single, leaf_visits) scalar telemetry). ``packs`` as in
     :func:`packet_trace`."""
@@ -2013,7 +2113,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
             approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
-            prefetch=pf)
+            prefetch=pf, scratch=scratch)
     occ, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
