@@ -537,22 +537,27 @@ def test_multipacket_bit_identical_to_single():
     for b, g in zip(base, base_bin):
         np.testing.assert_array_equal(b, g)
     for packs in (2, 4):
-        got, got_c = run(packs=packs)
-        for b, g in zip(base, got):
-            np.testing.assert_array_equal(b, g, err_msg=f"packs={packs}")
-        assert base_c == got_c, f"packs={packs}: {base_c} != {got_c}"
+        for scratch in (False, True):
+            got, got_c = run(packs=packs, scratch=scratch)
+            for b, g in zip(base, got):
+                np.testing.assert_array_equal(
+                    b, g, err_msg=f"packs={packs} scratch={scratch}")
+            assert base_c == got_c, \
+                f"packs={packs} scratch={scratch}: {base_c} != {got_c}"
 
     tmax = 15.0
     occ_base, occ_bc = packet_occluded(
         ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
         interpret=True, stride=pm.stride, cpb=pm.cpb,
         smem_nodes=pm.smem_nodes, fused=True, quad=True)
-    occ_mp, occ_mc = packet_occluded(
-        ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
-        interpret=True, stride=pm.stride, cpb=pm.cpb,
-        smem_nodes=pm.smem_nodes, packs=4)
-    np.testing.assert_array_equal(np.asarray(occ_base), np.asarray(occ_mp))
-    assert [int(c) for c in occ_bc] == [int(c) for c in occ_mc]
+    for scratch in (False, True):
+        occ_mp, occ_mc = packet_occluded(
+            ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width,
+            1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb,
+            smem_nodes=pm.smem_nodes, packs=4, scratch=scratch)
+        np.testing.assert_array_equal(np.asarray(occ_base),
+                                      np.asarray(occ_mp))
+        assert [int(c) for c in occ_bc] == [int(c) for c in occ_mc]
 
 
 def test_multipacket_quantized_table():

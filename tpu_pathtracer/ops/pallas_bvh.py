@@ -1504,7 +1504,7 @@ def _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs):
 def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                        cl_first, width, stride, t_min, unroll, packs,
                        quant=False, approx_recip=False, fused=True,
-                       quad=True):
+                       quad=True, scratch=False):
     """Multi-packet nearest-hit traversal: ``packs`` independent
     1024-ray packets share one kernel invocation, and every trip issues
     ALL packets' slab tests + vote reductions (phase 1) before consuming
@@ -1516,25 +1516,45 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     (each packet's state advances by the same rules); only wall-clock
     changes. Requires a flat SMEM node table (f32 or quantized) and the
     cpb==1 block layout.
+
+    ``scratch``: per-pack closest/besti tiles live in VMEM scratch refs
+    instead of the while-loop carry (the single-kernel
+    ``packet_scratch`` pattern) — the round-2 multi-packet loss was
+    attributed partly to P packs' worth of (8,128) state crossing every
+    per-trip ``lax.cond`` join; scratch refs remove exactly that.
+    Phase-1 reads happen at trip top (all tiles die in the vote
+    reductions before any branch); leaf visits re-read and write their
+    own pack's slice inside the branch, so trip semantics are unchanged.
     """
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
 
-    def scoped(blk, sem, ntab):
+    def scoped(blk, sem, ntab, cls=None, bst=None):
         nd = pltpu.make_async_copy(nodes, ntab, sem)
         nd.start()
         nd.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         quad_ok = quad and cl_first >= 8
         views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
+        if scratch:
+            for p in range(packs):
+                cls[pl.ds(8 * p, 8), :] = views[p][12]
+                bst[pl.ds(8 * p, 8), :] = jnp.full((8, 128), -1,
+                                                   jnp.int32)
 
         def body(carry):
             idxs = carry[0]
             bss = carry[1]
-            closests = carry[2]
-            bestis = carry[3]
-            nb, nsg, nl = carry[4]
+            if scratch:
+                closests = [cls[pl.ds(8 * p, 8), :]
+                            for p in range(packs)]
+                bestis = None
+                nb, nsg, nl = carry[2]
+            else:
+                closests = carry[2]
+                bestis = carry[3]
+                nb, nsg, nl = carry[4]
             # ---- phase 1: issue every packet's slabs + packed votes
             votes = []
             for p in range(packs):
@@ -1587,9 +1607,9 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 (o1, o2, o3, d1, d2, d3, _i1, _i2, _i3, _n1, _n2, _n3,
                  _tm) = views[p]
 
-                def leaf_visit(idx, bs, closest, besti, nl, p=p, o1=o1,
-                               o2=o2, o3=o3, d1=d1, d2=d2, d3=d3):
-                    """MT one cluster (``idx`` is AT a leaf row), pop."""
+                def mt_cluster(idx, closest, besti, p=p, o1=o1, o2=o2,
+                               o3=o3, d1=d1, d2=d2, d3=d3):
+                    """DMA + MT one cluster (``idx`` AT a leaf row)."""
                     c = idx - cl_first
                     dma = pltpu.make_async_copy(blocks.at[c], blk.at[p],
                                                 sem)
@@ -1612,19 +1632,29 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                             st = tri(w, st)
                     else:
                         st = jax.lax.fori_loop(0, width, tri, st)
-                    closest, besti = st
+                    return st
+
+                def leaf_visit(idx, bs, closest, besti, nl,
+                               mt_cluster=mt_cluster):
+                    closest, besti = mt_cluster(idx, closest, besti)
                     new_idx, new_bs = _pop(idx, bs)
                     return (new_idx, new_bs, closest, besti, nl + 1)
 
-                def leaf_branch(op, leaf_visit=leaf_visit):
-                    idx, bs, closest, besti, nb, nsg, nl = op
-                    idx, bs, closest, besti, nl = leaf_visit(
-                        idx, bs, closest, besti, nl)
-                    return (idx, bs, closest, besti, nb, nsg, nl)
+                def leaf_visit_s(idx, bs, nl, p=p,
+                                 mt_cluster=mt_cluster):
+                    """Scratch flavor: lane state reads/writes the
+                    pack's VMEM slice inside the branch — only scalars
+                    cross the cond joins."""
+                    sl = pl.ds(8 * p, 8)
+                    closest, besti = mt_cluster(idx, cls[sl, :],
+                                                bst[sl, :])
+                    cls[sl, :] = closest
+                    bst[sl, :] = besti
+                    new_idx, new_bs = _pop(idx, bs)
+                    return (new_idx, new_bs, nl + 1)
 
-                def node_branch(op, packed=packed, s_pref=s_pref, lq=lq,
-                                qvotes=qvotes, leaf_visit=leaf_visit):
-                    idx, bs, closest, besti, nb, nsg, nl = op
+                def apply_votes(idx, bs, packed=packed, s_pref=s_pref,
+                                lq=lq, qvotes=qvotes):
                     if quad_ok:
                         def apply_q(_):
                             return _quad_apply(idx, bs, *qvotes, 1024)
@@ -1635,13 +1665,23 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                             return (ni, nbs, both.astype(jnp.int32),
                                     single.astype(jnp.int32))
 
-                        ni, nbs, nbi, nsgi = jax.lax.cond(
+                        return jax.lax.cond(
                             idx < cl_first // 2, apply_q, apply_b, None)
-                    else:
-                        ni, nbs, both, single = _advance_apply(
-                            idx, bs, packed, s_pref, lq)
-                        nbi = both.astype(jnp.int32)
-                        nsgi = single.astype(jnp.int32)
+                    ni, nbs, both, single = _advance_apply(
+                        idx, bs, packed, s_pref, lq)
+                    return (ni, nbs, both.astype(jnp.int32),
+                            single.astype(jnp.int32))
+
+                def leaf_branch(op, leaf_visit=leaf_visit):
+                    idx, bs, closest, besti, nb, nsg, nl = op
+                    idx, bs, closest, besti, nl = leaf_visit(
+                        idx, bs, closest, besti, nl)
+                    return (idx, bs, closest, besti, nb, nsg, nl)
+
+                def node_branch(op, apply_votes=apply_votes,
+                                leaf_visit=leaf_visit):
+                    idx, bs, closest, besti, nb, nsg, nl = op
+                    ni, nbs, nbi, nsgi = apply_votes(idx, bs)
                     dead = idx <= 0
                     ni = jnp.where(dead, 0, ni)
                     nbs = jnp.where(dead, jnp.uint32(0), nbs)
@@ -1662,14 +1702,45 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                             (ni, nbs, closest, besti, nl))
                     return (ni, nbs, closest, besti, nb, nsg, nl)
 
-                idx, bs, closest, besti, nb, nsg, nl = jax.lax.cond(
-                    idxs[p] >= cl_first, leaf_branch, node_branch,
-                    (idxs[p], bss[p], closests[p], bestis[p], nb, nsg,
-                     nl))
+                def leaf_branch_s(op, leaf_visit_s=leaf_visit_s):
+                    idx, bs, nb, nsg, nl = op
+                    idx, bs, nl = leaf_visit_s(idx, bs, nl)
+                    return (idx, bs, nb, nsg, nl)
+
+                def node_branch_s(op, apply_votes=apply_votes,
+                                  leaf_visit_s=leaf_visit_s):
+                    idx, bs, nb, nsg, nl = op
+                    ni, nbs, nbi, nsgi = apply_votes(idx, bs)
+                    dead = idx <= 0
+                    ni = jnp.where(dead, 0, ni)
+                    nbs = jnp.where(dead, jnp.uint32(0), nbs)
+                    live = jnp.logical_not(dead).astype(jnp.int32)
+                    nb = nb + nbi * live
+                    nsg = nsg + nsgi * live
+                    if fused:
+                        def desc(st):
+                            return leaf_visit_s(*st)
+
+                        ni, nbs, nl = jax.lax.cond(
+                            ni >= cl_first, desc, lambda st: st,
+                            (ni, nbs, nl))
+                    return (ni, nbs, nb, nsg, nl)
+
+                if scratch:
+                    idx, bs, nb, nsg, nl = jax.lax.cond(
+                        idxs[p] >= cl_first, leaf_branch_s,
+                        node_branch_s, (idxs[p], bss[p], nb, nsg, nl))
+                else:
+                    idx, bs, closest, besti, nb, nsg, nl = jax.lax.cond(
+                        idxs[p] >= cl_first, leaf_branch, node_branch,
+                        (idxs[p], bss[p], closests[p], bestis[p], nb,
+                         nsg, nl))
+                    n_cl.append(closest)
+                    n_bi.append(besti)
                 n_idx.append(idx)
                 n_bs.append(bs)
-                n_cl.append(closest)
-                n_bi.append(besti)
+            if scratch:
+                return (tuple(n_idx), tuple(n_bs), (nb, nsg, nl))
             return (tuple(n_idx), tuple(n_bs), tuple(n_cl), tuple(n_bi),
                     (nb, nsg, nl))
 
@@ -1680,15 +1751,25 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             return alive
 
         shp = (8, 128)
-        init = (tuple(jnp.int32(1) for _ in range(packs)),
-                tuple(jnp.uint32(1) for _ in range(packs)),
-                tuple(v[12] for v in views),
-                tuple(jnp.full(shp, -1, jnp.int32) for _ in range(packs)),
-                (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-        out = jax.lax.while_loop(cond, body, init)
-        closest_all = jnp.concatenate(list(out[2]), axis=0)
-        besti_all = jnp.concatenate(list(out[3]), axis=0)
-        nb, nsg, nl = out[4]
+        if scratch:
+            init = (tuple(jnp.int32(1) for _ in range(packs)),
+                    tuple(jnp.uint32(1) for _ in range(packs)),
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            out = jax.lax.while_loop(cond, body, init)
+            closest_all = cls[:, :]
+            besti_all = bst[:, :]
+            nb, nsg, nl = out[2]
+        else:
+            init = (tuple(jnp.int32(1) for _ in range(packs)),
+                    tuple(jnp.uint32(1) for _ in range(packs)),
+                    tuple(v[12] for v in views),
+                    tuple(jnp.full(shp, -1, jnp.int32)
+                          for _ in range(packs)),
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            out = jax.lax.while_loop(cond, body, init)
+            closest_all = jnp.concatenate(list(out[2]), axis=0)
+            besti_all = jnp.concatenate(list(out[3]), axis=0)
+            nb, nsg, nl = out[4]
         oshp = (8 * packs, 128)
         ii = jax.lax.broadcasted_iota(jnp.int32, oshp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, oshp, 1)
@@ -1699,34 +1780,48 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
         tri_out[:, :] = besti_all
         feat_out[:, :] = closest_all
 
-    pl.run_scoped(scoped,
-                  blk=pltpu.SMEM((packs,) + blocks.shape[1:],
-                                 jnp.float32),
-                  sem=pltpu.SemaphoreType.DMA(()),
-                  ntab=pltpu.SMEM(nodes.shape, nodes.dtype))
+    kw = dict(blk=pltpu.SMEM((packs,) + blocks.shape[1:], jnp.float32),
+              sem=pltpu.SemaphoreType.DMA(()),
+              ntab=pltpu.SMEM(nodes.shape, nodes.dtype))
+    if scratch:
+        kw["cls"] = pltpu.VMEM((8 * packs, 128), jnp.float32)
+        kw["bst"] = pltpu.VMEM((8 * packs, 128), jnp.int32)
+    pl.run_scoped(scoped, **kw)
 
 
 def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                       cl_first, width, stride, t_min, unroll, packs,
                       quant=False, approx_recip=False, fused=True,
-                      quad=True):
+                      quad=True, scratch=False):
     """Multi-packet any-hit traversal (see _kernel_nearest_mp). A packet
     whose lanes have all retired sets its index to 0 — same exit rule as
-    the single-packet shadow kernel's ndone carry."""
+    the single-packet shadow kernel's ndone carry. ``scratch``: per-pack
+    closest/occ tiles in VMEM scratch refs (see _kernel_nearest_mp)."""
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, occ_out, cnt_out = rest
 
-    def scoped(blk, sem, ntab):
+    def scoped(blk, sem, ntab, cls=None, occr=None):
         nd = pltpu.make_async_copy(nodes, ntab, sem)
         nd.start()
         nd.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         quad_ok = quad and cl_first >= 8
         views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
+        if scratch:
+            for p in range(packs):
+                cls[pl.ds(8 * p, 8), :] = views[p][12]
+                occr[pl.ds(8 * p, 8), :] = jnp.zeros((8, 128),
+                                                     jnp.int32)
 
         def body(carry):
-            idxs, bss, closests, occs, cnts = carry
+            if scratch:
+                idxs, bss, cnts = carry
+                closests = [cls[pl.ds(8 * p, 8), :]
+                            for p in range(packs)]
+                occs = None
+            else:
+                idxs, bss, closests, occs, cnts = carry
             nb, nsg, nl = cnts
             votes = []
             for p in range(packs):
@@ -1775,8 +1870,8 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 (o1, o2, o3, d1, d2, d3, _i1, _i2, _i3, _n1, _n2, _n3,
                  _tm) = views[p]
 
-                def leaf_visit(idx, bs, closest, occ, nl, p=p, o1=o1,
-                               o2=o2, o3=o3, d1=d1, d2=d2, d3=d3):
+                def mt_cluster(idx, closest, occ, p=p, o1=o1, o2=o2,
+                               o3=o3, d1=d1, d2=d2, d3=d3):
                     c = idx - cl_first
                     dma = pltpu.make_async_copy(blocks.at[c], blk.at[p],
                                                 sem)
@@ -1800,21 +1895,30 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                             st = tri(w, st)
                     else:
                         st = jax.lax.fori_loop(0, width, tri, st)
-                    closest, occ = st
+                    return st
+
+                def leaf_visit(idx, bs, closest, occ, nl,
+                               mt_cluster=mt_cluster):
+                    closest, occ = mt_cluster(idx, closest, occ)
                     ndone = jnp.all(closest < 0.0)
                     new_idx, new_bs = _pop(idx, bs)
                     new_idx = jnp.where(ndone, 0, new_idx)
                     return (new_idx, new_bs, closest, occ, nl + 1)
 
-                def leaf_branch(op, leaf_visit=leaf_visit):
-                    idx, bs, closest, occ, nb, nsg, nl = op
-                    idx, bs, closest, occ, nl = leaf_visit(
-                        idx, bs, closest, occ, nl)
-                    return (idx, bs, closest, occ, nb, nsg, nl)
+                def leaf_visit_s(idx, bs, nl, p=p,
+                                 mt_cluster=mt_cluster):
+                    sl = pl.ds(8 * p, 8)
+                    closest, occ = mt_cluster(idx, cls[sl, :],
+                                              occr[sl, :])
+                    cls[sl, :] = closest
+                    occr[sl, :] = occ
+                    ndone = jnp.all(closest < 0.0)
+                    new_idx, new_bs = _pop(idx, bs)
+                    new_idx = jnp.where(ndone, 0, new_idx)
+                    return (new_idx, new_bs, nl + 1)
 
-                def node_branch(op, packed=packed, s_pref=s_pref, lq=lq,
-                                qvotes=qvotes, leaf_visit=leaf_visit):
-                    idx, bs, closest, occ, nb, nsg, nl = op
+                def apply_votes(idx, bs, packed=packed, s_pref=s_pref,
+                                lq=lq, qvotes=qvotes):
                     if quad_ok:
                         def apply_q(_):
                             return _quad_apply(idx, bs, *qvotes, 1024)
@@ -1825,13 +1929,23 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                             return (ni, nbs, both.astype(jnp.int32),
                                     single.astype(jnp.int32))
 
-                        ni, nbs, nbi, nsgi = jax.lax.cond(
+                        return jax.lax.cond(
                             idx < cl_first // 2, apply_q, apply_b, None)
-                    else:
-                        ni, nbs, both, single = _advance_apply(
-                            idx, bs, packed, s_pref, lq)
-                        nbi = both.astype(jnp.int32)
-                        nsgi = single.astype(jnp.int32)
+                    ni, nbs, both, single = _advance_apply(
+                        idx, bs, packed, s_pref, lq)
+                    return (ni, nbs, both.astype(jnp.int32),
+                            single.astype(jnp.int32))
+
+                def leaf_branch(op, leaf_visit=leaf_visit):
+                    idx, bs, closest, occ, nb, nsg, nl = op
+                    idx, bs, closest, occ, nl = leaf_visit(
+                        idx, bs, closest, occ, nl)
+                    return (idx, bs, closest, occ, nb, nsg, nl)
+
+                def node_branch(op, apply_votes=apply_votes,
+                                leaf_visit=leaf_visit):
+                    idx, bs, closest, occ, nb, nsg, nl = op
+                    ni, nbs, nbi, nsgi = apply_votes(idx, bs)
                     dead = idx <= 0
                     ni = jnp.where(dead, 0, ni)
                     nbs = jnp.where(dead, jnp.uint32(0), nbs)
@@ -1848,14 +1962,45 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                             (ni, nbs, closest, occ, nl))
                     return (ni, nbs, closest, occ, nb, nsg, nl)
 
-                idx, bs, closest, occ, nb, nsg, nl = jax.lax.cond(
-                    idxs[p] >= cl_first, leaf_branch, node_branch,
-                    (idxs[p], bss[p], closests[p], occs[p], nb, nsg,
-                     nl))
+                def leaf_branch_s(op, leaf_visit_s=leaf_visit_s):
+                    idx, bs, nb, nsg, nl = op
+                    idx, bs, nl = leaf_visit_s(idx, bs, nl)
+                    return (idx, bs, nb, nsg, nl)
+
+                def node_branch_s(op, apply_votes=apply_votes,
+                                  leaf_visit_s=leaf_visit_s):
+                    idx, bs, nb, nsg, nl = op
+                    ni, nbs, nbi, nsgi = apply_votes(idx, bs)
+                    dead = idx <= 0
+                    ni = jnp.where(dead, 0, ni)
+                    nbs = jnp.where(dead, jnp.uint32(0), nbs)
+                    live = jnp.logical_not(dead).astype(jnp.int32)
+                    nb = nb + nbi * live
+                    nsg = nsg + nsgi * live
+                    if fused:
+                        def desc(st):
+                            return leaf_visit_s(*st)
+
+                        ni, nbs, nl = jax.lax.cond(
+                            ni >= cl_first, desc, lambda st: st,
+                            (ni, nbs, nl))
+                    return (ni, nbs, nb, nsg, nl)
+
+                if scratch:
+                    idx, bs, nb, nsg, nl = jax.lax.cond(
+                        idxs[p] >= cl_first, leaf_branch_s,
+                        node_branch_s, (idxs[p], bss[p], nb, nsg, nl))
+                else:
+                    idx, bs, closest, occ, nb, nsg, nl = jax.lax.cond(
+                        idxs[p] >= cl_first, leaf_branch, node_branch,
+                        (idxs[p], bss[p], closests[p], occs[p], nb, nsg,
+                         nl))
+                    n_cl.append(closest)
+                    n_oc.append(occ)
                 n_idx.append(idx)
                 n_bs.append(bs)
-                n_cl.append(closest)
-                n_oc.append(occ)
+            if scratch:
+                return (tuple(n_idx), tuple(n_bs), (nb, nsg, nl))
             return (tuple(n_idx), tuple(n_bs), tuple(n_cl), tuple(n_oc),
                     (nb, nsg, nl))
 
@@ -1866,14 +2011,23 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             return alive
 
         shp = (8, 128)
-        init = (tuple(jnp.int32(1) for _ in range(packs)),
-                tuple(jnp.uint32(1) for _ in range(packs)),
-                tuple(v[12] for v in views),
-                tuple(jnp.zeros(shp, jnp.int32) for _ in range(packs)),
-                (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-        out = jax.lax.while_loop(cond, body, init)
-        occ_all = jnp.concatenate(list(out[3]), axis=0)
-        nb, nsg, nl = out[4]
+        if scratch:
+            init = (tuple(jnp.int32(1) for _ in range(packs)),
+                    tuple(jnp.uint32(1) for _ in range(packs)),
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            out = jax.lax.while_loop(cond, body, init)
+            occ_all = occr[:, :]
+            nb, nsg, nl = out[2]
+        else:
+            init = (tuple(jnp.int32(1) for _ in range(packs)),
+                    tuple(jnp.uint32(1) for _ in range(packs)),
+                    tuple(v[12] for v in views),
+                    tuple(jnp.zeros(shp, jnp.int32)
+                          for _ in range(packs)),
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            out = jax.lax.while_loop(cond, body, init)
+            occ_all = jnp.concatenate(list(out[3]), axis=0)
+            nb, nsg, nl = out[4]
         oshp = (8 * packs, 128)
         ii = jax.lax.broadcasted_iota(jnp.int32, oshp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, oshp, 1)
@@ -1883,11 +2037,13 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             jnp.where((ii == 0) & (jj == 1), nsg,
                       jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
-    pl.run_scoped(scoped,
-                  blk=pltpu.SMEM((packs,) + blocks.shape[1:],
-                                 jnp.float32),
-                  sem=pltpu.SemaphoreType.DMA(()),
-                  ntab=pltpu.SMEM(nodes.shape, nodes.dtype))
+    kw = dict(blk=pltpu.SMEM((packs,) + blocks.shape[1:], jnp.float32),
+              sem=pltpu.SemaphoreType.DMA(()),
+              ntab=pltpu.SMEM(nodes.shape, nodes.dtype))
+    if scratch:
+        kw["cls"] = pltpu.VMEM((8 * packs, 128), jnp.float32)
+        kw["occr"] = pltpu.VMEM((8 * packs, 128), jnp.int32)
+    pl.run_scoped(scoped, **kw)
 
 
 def _pad_rays(a, fill, n_pad):
@@ -1979,7 +2135,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
             _kernel_nearest_mp, cl_first=cl_first, width=width,
             stride=stride, t_min=float(t_min), unroll=not interpret,
             packs=packs, quant=quant, approx_recip=approx_recip,
-            fused=fused, quad=quad)
+            fused=fused, quad=quad, scratch=scratch)
     else:
         kernel = functools.partial(
             _kernel_nearest, cl_first=cl_first, width=width,
@@ -2105,7 +2261,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
             _kernel_shadow_mp, cl_first=cl_first, width=width,
             stride=stride, t_min=float(t_min), unroll=not interpret,
             packs=packs, quant=quant, approx_recip=approx_recip,
-            fused=fused, quad=quad)
+            fused=fused, quad=quad, scratch=scratch)
     else:
         kernel = functools.partial(
             _kernel_shadow, cl_first=cl_first, width=width,
