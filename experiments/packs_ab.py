@@ -1,6 +1,10 @@
 """E2E A/B of packet_packs (multi-packet kernel interleave) on TPU.
 
 Usage: python experiments/packs_ab.py [--dragon|--terrain|--stairs] [packs ...]
+
+A packs token with an ``s`` suffix (e.g. ``2s``) runs the split-trip
+multi-packet kernels (config.packet_split: leaf DMAs + MT consumption
+phase-split across packs, see _kernel_nearest_mps).
 """
 
 import sys
@@ -17,7 +21,7 @@ scene_name = "knot"
 if argv and argv[0].startswith("--"):
     scene_name = argv[0][2:]
     argv = argv[1:]
-packs_list = [int(x) for x in argv] or [1, 2, 4]
+packs_list = argv or ["1", "2", "4"]
 print("devices:", jax.devices(), flush=True)
 
 if scene_name == "stairs":
@@ -38,8 +42,10 @@ else:
     base = RenderConfig(nx=512, ny=512, max_depth=50, textures=False)
     ns = 4 if scene_name == "dragon" else 16
 
-for packs in packs_list:
-    cfg = base.replace(packet_packs=packs)
+for tok in packs_list:
+    split = str(tok).endswith("s")
+    packs = int(str(tok).rstrip("s"))
+    cfg = base.replace(packet_packs=packs, packet_split=split)
     fb = _render_regen_jit(scene, cam, cfg, jnp.uint32(1), jnp.uint32(0),
                            normalize=False)
     fb.block_until_ready()
@@ -51,5 +57,5 @@ for packs in packs_list:
         fb.block_until_ready()
         best = min(best, time.perf_counter() - t0)
     import numpy as np
-    print(f"packs={packs}: {best / ns * 1e3:7.1f} ms/spp "
+    print(f"packs={tok}: {best / ns * 1e3:7.1f} ms/spp "
           f"(mean={np.asarray(fb).mean() / ns:.5f})", flush=True)

@@ -537,24 +537,25 @@ def test_multipacket_bit_identical_to_single():
     for b, g in zip(base, base_bin):
         np.testing.assert_array_equal(b, g)
     for packs in (2, 4):
-        for scratch in (False, True):
-            got, got_c = run(packs=packs, scratch=scratch)
+        for kw in ({"scratch": False}, {"scratch": True},
+                   {"split": True}):
+            got, got_c = run(packs=packs, **kw)
             for b, g in zip(base, got):
                 np.testing.assert_array_equal(
-                    b, g, err_msg=f"packs={packs} scratch={scratch}")
+                    b, g, err_msg=f"packs={packs} {kw}")
             assert base_c == got_c, \
-                f"packs={packs} scratch={scratch}: {base_c} != {got_c}"
+                f"packs={packs} {kw}: {base_c} != {got_c}"
 
     tmax = 15.0
     occ_base, occ_bc = packet_occluded(
         ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width, 1e-3,
         interpret=True, stride=pm.stride, cpb=pm.cpb,
         smem_nodes=pm.smem_nodes, fused=True, quad=True)
-    for scratch in (False, True):
+    for kw in ({"scratch": False}, {"scratch": True}, {"split": True}):
         occ_mp, occ_mc = packet_occluded(
             ov, dv, tmax, pm.nodes, pm.blocks, pm.cl_first, pm.width,
             1e-3, interpret=True, stride=pm.stride, cpb=pm.cpb,
-            smem_nodes=pm.smem_nodes, packs=4, scratch=scratch)
+            smem_nodes=pm.smem_nodes, packs=4, **kw)
         np.testing.assert_array_equal(np.asarray(occ_base),
                                       np.asarray(occ_mp))
         assert [int(c) for c in occ_bc] == [int(c) for c in occ_mc]
@@ -579,4 +580,7 @@ def test_multipacket_quantized_table():
     base = run(fused=False, quad=False)
     got = run(packs=4)
     for b, g in zip(base, got):
+        np.testing.assert_array_equal(b, g)
+    got_s = run(packs=4, split=True)
+    for b, g in zip(base, got_s):
         np.testing.assert_array_equal(b, g)

@@ -127,6 +127,15 @@ class RenderConfig:
     # saves (PERFORMANCE.md round 3). Kept as an opt-in decision
     # record; requires a flat SMEM node table (f32/quant), else the
     # single-packet kernel runs regardless.
+    packet_split: bool = False  # split-trip multi-packet kernels
+    # (needs packet_packs > 1): the issue/consume phase split extended
+    # to the LEAF phase — phase 1 issues every pack's slabs + votes +
+    # pop-entered leaf cluster DMAs (per-pack semaphores), phase 2a
+    # advances scalar state and issues fused-descend DMAs, phase 2b
+    # runs all MT loops back-to-back against VMEM lane-state refs. The
+    # ~590 ns/visit non-compute leaf serialization (PERFORMANCE.md r3
+    # phase split) amortizes across packs instead of serializing.
+    # Results and counters identical to packs=1 (tested).
     oct: bool = False  # 8-ary great-grandchild node step on the heap
     # packet kernels (3 binary levels per vector->scalar vote round
     # trip, extending the landed 4-ary grandchild step): rows

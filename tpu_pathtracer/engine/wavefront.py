@@ -361,7 +361,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                          oct=config.oct,
                                          packs=config.packet_packs,
                                          prefetch=config.prefetch,
-                                         scratch=config.packet_scratch)
+                                         scratch=config.packet_scratch,
+                                         split=config.packet_split)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -411,7 +412,8 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                 leaf_cull=config.leaf_cull,
                 approx_recip=config.fast_math, oct=config.oct,
                 packs=config.packet_packs, prefetch=config.prefetch,
-                scratch=config.packet_scratch)
+                scratch=config.packet_scratch,
+                split=config.packet_split)
 
     n = origin.x.shape[0]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

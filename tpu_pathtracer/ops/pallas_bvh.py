@@ -2046,6 +2046,349 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     pl.run_scoped(scoped, **kw)
 
 
+def _mps_phase1(views, idxs, closests, ntab, cl_first, quad_ok, quant,
+                qscal, blocks, blk, sems, packs):
+    """Split-trip phase 1: for every pack, issue the pop-entered leaf
+    cluster DMA (scalar-predicated — rides under the other packs' slab
+    work) and the node slabs + packed vote reductions (clamped rows for
+    leaf/dead packs, harmless — phase 2 discards them). Returns
+    (votes, s_leafs)."""
+    votes, s_leafs = [], []
+    for p in range(packs):
+        (o1, o2, o3, _d1, _d2, _d3, i1, i2, i3, n1, n2, n3,
+         _tm) = views[p]
+        s_leaf = idxs[p] >= cl_first
+        s_leafs.append(s_leaf)
+
+        @pl.when(s_leaf)
+        def _(p=p, idx=idxs[p]):
+            pltpu.make_async_copy(blocks.at[idx - cl_first], blk.at[p],
+                                  sems.at[p]).start()
+
+        lq = jnp.clip(idxs[p], 1, cl_first - 1) * 2
+        if quad_ok:
+            is_q = idxs[p] < cl_first // 2
+            gq = jnp.clip(idxs[p], 1, cl_first // 2 - 1) * 4
+            r01 = jnp.where(is_q, gq, lq)
+            r23 = jnp.where(is_q, gq + 2, lq)
+            b0, b1 = _node_bounds(True, 0, None, ntab, r01, quant, qscal)
+            b2, b3 = _node_bounds(True, 0, None, ntab, r23, quant, qscal)
+            args_s = (o1, o2, o3, i1, i2, i3, n1, n2, n3, closests[p])
+            h0 = _slab(b0, *args_s)
+            h1 = _slab(b1, *args_s)
+            h2 = _slab(b2, *args_s)
+            h3 = _slab(b3, *args_s)
+            votes.append((_advance_votes(h0, h1, closests[p]),
+                          _quad_votes(h0, h1, h2, h3, closests[p]), lq))
+        else:
+            bl, br = _node_bounds(True, 0, None, ntab, lq, quant, qscal)
+            lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                         closests[p])
+            rhit = _slab(br, o1, o2, o3, i1, i2, i3, n1, n2, n3,
+                         closests[p])
+            votes.append((_advance_votes(lhit, rhit, closests[p]), None,
+                          lq))
+    return votes, s_leafs
+
+
+def _mps_advance(idx, bs, s_leaf, nb, nsg, nl, votes_p, cl_first,
+                 quad_ok):
+    """Split-trip phase 2a: one pack's scalar state advance. Leaf packs
+    pop; node packs apply the phase-1 votes (fused: a step that descends
+    into a leaf schedules its MT and pops past it). Returns
+    (idx', bs', nb, nsg, nl, mt, c): ``mt`` nonzero schedules an MT loop
+    on cluster ``c`` in phase 2b. Traversal order, results, and
+    counters are identical to the fused single-packet kernel."""
+    (packed, s_pref), qvotes, lq = votes_p
+
+    def apply_votes(idx, bs):
+        if quad_ok:
+            def apply_q(_):
+                return _quad_apply(idx, bs, *qvotes, 1024)
+
+            def apply_b(_):
+                ni, nbs, both, single = _advance_apply(idx, bs, packed,
+                                                       s_pref, lq)
+                return (ni, nbs, both.astype(jnp.int32),
+                        single.astype(jnp.int32))
+
+            return jax.lax.cond(idx < cl_first // 2, apply_q, apply_b,
+                                None)
+        ni, nbs, both, single = _advance_apply(idx, bs, packed, s_pref,
+                                               lq)
+        return (ni, nbs, both.astype(jnp.int32),
+                single.astype(jnp.int32))
+
+    def leaf_br(op):
+        idx, bs, nb, nsg, nl = op
+        ni, nbs = _pop(idx, bs)
+        return (ni, nbs, nb, nsg, nl + 1, jnp.int32(1), idx - cl_first)
+
+    def node_br(op):
+        idx, bs, nb, nsg, nl = op
+        ni, nbs, nbi, nsgi = apply_votes(idx, bs)
+        dead = idx <= 0
+        ni = jnp.where(dead, 0, ni)
+        nbs = jnp.where(dead, jnp.uint32(0), nbs)
+        live = jnp.logical_not(dead).astype(jnp.int32)
+        nb = nb + nbi * live
+        nsg = nsg + nsgi * live
+        # fused descend: the MT itself runs in phase 2b; pop past the
+        # leaf now so the next trip continues from the sibling
+        desc = ni >= cl_first
+        c = jnp.maximum(ni - cl_first, 0)
+        pi, pbs = _pop(ni, nbs)
+        mt = desc.astype(jnp.int32)
+        ni = jnp.where(desc, pi, ni)
+        nbs = jnp.where(desc, pbs, nbs)
+        return (ni, nbs, nb, nsg, nl + mt, mt, c)
+
+    return jax.lax.cond(s_leaf, leaf_br, node_br, (idx, bs, nb, nsg, nl))
+
+
+def _kernel_nearest_mps(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
+                        cl_first, width, stride, t_min, unroll, packs,
+                        quant=False, approx_recip=False, quad=True):
+    """Split-trip multi-packet nearest-hit traversal
+    (``config.packet_split``): the _mp kernels' issue/consume phase
+    split extended to the LEAF phase. Per while-trip: phase 1 issues
+    every pack's slab tests + vote reductions AND the pop-entered leaf
+    cluster DMAs (per-pack semaphores); phase 2a advances every pack's
+    scalar state (vote apply / pop, fused-descend DMAs issued as soon
+    as the target is known); phase 2b runs all scheduled MT loops
+    back-to-back against the VMEM lane-state refs. Compared to the _mp
+    kernels (whose per-pack leaf visit runs DMA start+wait+MT serially
+    inside its branch), every leaf DMA is in flight before any MT
+    consumes and the vote round trips hide under MT compute — the
+    ~590 ns/visit non-compute serialization (PERFORMANCE.md phase
+    split) amortizes across packs instead of serializing. Per-packet
+    traversal order, results, and counters are identical to the fused
+    single-packet kernel (tested). Requires a flat SMEM node table and
+    cpb==1; lane state always lives in scratch refs (the _mp
+    ``scratch`` flavor — only scalars cross the cond joins)."""
+    rest = list(rest)
+    qp = rest.pop(0) if quant else None
+    blocks, tri_out, feat_out, cnt_out = rest
+
+    def scoped(blk, sem, sems, ntab, cls, bst):
+        nd = pltpu.make_async_copy(nodes, ntab, sem)
+        nd.start()
+        nd.wait()
+        qscal = tuple(qp[i] for i in range(6)) if quant else None
+        quad_ok = quad and cl_first >= 8
+        views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
+        for p in range(packs):
+            cls[pl.ds(8 * p, 8), :] = views[p][12]
+            bst[pl.ds(8 * p, 8), :] = jnp.full((8, 128), -1, jnp.int32)
+
+        def body(carry):
+            idxs = carry[0]
+            bss = carry[1]
+            nb, nsg, nl = carry[2]
+            closests = [cls[pl.ds(8 * p, 8), :] for p in range(packs)]
+            votes, s_leafs = _mps_phase1(views, idxs, closests, ntab,
+                                         cl_first, quad_ok, quant,
+                                         qscal, blocks, blk, sems, packs)
+            # ---- phase 2a: scalar advance + fused-descend DMA issue
+            n_idx, n_bs, mts, mcs = [], [], [], []
+            for p in range(packs):
+                idx, bs, nb, nsg, nl, mt, c = _mps_advance(
+                    idxs[p], bss[p], s_leafs[p], nb, nsg, nl, votes[p],
+                    cl_first, quad_ok)
+
+                @pl.when((mt > 0) & jnp.logical_not(s_leafs[p]))
+                def _(p=p, c=c):
+                    pltpu.make_async_copy(blocks.at[c], blk.at[p],
+                                          sems.at[p]).start()
+
+                n_idx.append(idx)
+                n_bs.append(bs)
+                mts.append(mt)
+                mcs.append(c)
+            # ---- phase 2b: consume — all packs' MT loops back-to-back
+            for p in range(packs):
+                (o1, o2, o3, d1, d2, d3, _i1, _i2, _i3, _n1, _n2, _n3,
+                 _tm) = views[p]
+
+                @pl.when(mts[p] > 0)
+                def _(p=p, c=mcs[p], o1=o1, o2=o2, o3=o3, d1=d1, d2=d2,
+                      d3=d3):
+                    pltpu.make_async_copy(blocks.at[c], blk.at[p],
+                                          sems.at[p]).wait()
+                    sl = pl.ds(8 * p, 8)
+
+                    def tri(w, st):
+                        closest, besti = st
+                        t, u, v, bad = _mt_scalar_tri(
+                            blk.at[p], 0, w, stride, o1, o2, o3,
+                            d1, d2, d3, t_min, closest, approx_recip)
+                        won = jnp.logical_not(bad)
+                        closest = jnp.where(won, t, closest)
+                        besti = jnp.where(won, c * width + w, besti)
+                        return (closest, besti)
+
+                    st = (cls[sl, :], bst[sl, :])
+                    if unroll:
+                        for w in range(width):
+                            st = tri(w, st)
+                    else:
+                        st = jax.lax.fori_loop(0, width, tri, st)
+                    cls[sl, :] = st[0]
+                    bst[sl, :] = st[1]
+            return (tuple(n_idx), tuple(n_bs), (nb, nsg, nl))
+
+        def cond(carry):
+            alive = carry[0][0] > 0
+            for p in range(1, packs):
+                alive = alive | (carry[0][p] > 0)
+            return alive
+
+        init = (tuple(jnp.int32(1) for _ in range(packs)),
+                tuple(jnp.uint32(1) for _ in range(packs)),
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        out = jax.lax.while_loop(cond, body, init)
+        nb, nsg, nl = out[2]
+        oshp = (8 * packs, 128)
+        ii = jax.lax.broadcasted_iota(jnp.int32, oshp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, oshp, 1)
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+        tri_out[:, :] = bst[:, :]
+        feat_out[:, :] = cls[:, :]
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM((packs,) + blocks.shape[1:],
+                                 jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  sems=pltpu.SemaphoreType.DMA((packs,)),
+                  ntab=pltpu.SMEM(nodes.shape, nodes.dtype),
+                  cls=pltpu.VMEM((8 * packs, 128), jnp.float32),
+                  bst=pltpu.VMEM((8 * packs, 128), jnp.int32))
+
+
+def _kernel_shadow_mps(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
+                       cl_first, width, stride, t_min, unroll, packs,
+                       quant=False, approx_recip=False, quad=True):
+    """Split-trip multi-packet any-hit traversal (see
+    _kernel_nearest_mps). Retirement (all lanes occluded -> pack index
+    0) is decided by a reduction inside the phase-2b MT, after the
+    phase-2a pop already advanced the pack — the retire flag lives in
+    an SMEM scratch and zeroes the pack's index at the next trip's
+    top, where the dead-pack path keeps counters and state inert, so
+    results and counters still match the fused single-packet kernel
+    exactly (one extra harmless trip of pre-issued work per retired
+    pack is the only difference, and it is wall-clock only)."""
+    rest = list(rest)
+    qp = rest.pop(0) if quant else None
+    blocks, occ_out, cnt_out = rest
+
+    def scoped(blk, sem, sems, ntab, cls, occr, ret):
+        nd = pltpu.make_async_copy(nodes, ntab, sem)
+        nd.start()
+        nd.wait()
+        qscal = tuple(qp[i] for i in range(6)) if quant else None
+        quad_ok = quad and cl_first >= 8
+        views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
+        for p in range(packs):
+            cls[pl.ds(8 * p, 8), :] = views[p][12]
+            occr[pl.ds(8 * p, 8), :] = jnp.zeros((8, 128), jnp.int32)
+            ret[p] = jnp.int32(0)
+
+        def body(carry):
+            # retire flags land one trip late (phase 2b writes them
+            # after phase 2a advanced the pack) — apply them here
+            idxs = tuple(jnp.where(ret[p] > 0, 0, carry[0][p])
+                         for p in range(packs))
+            bss = carry[1]
+            nb, nsg, nl = carry[2]
+            closests = [cls[pl.ds(8 * p, 8), :] for p in range(packs)]
+            votes, s_leafs = _mps_phase1(views, idxs, closests, ntab,
+                                         cl_first, quad_ok, quant,
+                                         qscal, blocks, blk, sems, packs)
+            n_idx, n_bs, mts, mcs = [], [], [], []
+            for p in range(packs):
+                idx, bs, nb, nsg, nl, mt, c = _mps_advance(
+                    idxs[p], bss[p], s_leafs[p], nb, nsg, nl, votes[p],
+                    cl_first, quad_ok)
+
+                @pl.when((mt > 0) & jnp.logical_not(s_leafs[p]))
+                def _(p=p, c=c):
+                    pltpu.make_async_copy(blocks.at[c], blk.at[p],
+                                          sems.at[p]).start()
+
+                n_idx.append(idx)
+                n_bs.append(bs)
+                mts.append(mt)
+                mcs.append(c)
+            for p in range(packs):
+                (o1, o2, o3, d1, d2, d3, _i1, _i2, _i3, _n1, _n2, _n3,
+                 _tm) = views[p]
+
+                @pl.when(mts[p] > 0)
+                def _(p=p, c=mcs[p], o1=o1, o2=o2, o3=o3, d1=d1, d2=d2,
+                      d3=d3):
+                    pltpu.make_async_copy(blocks.at[c], blk.at[p],
+                                          sems.at[p]).wait()
+                    sl = pl.ds(8 * p, 8)
+
+                    def tri(w, st):
+                        closest, occ = st
+                        t, u, v, bad = _mt_scalar_tri(
+                            blk.at[p], 0, w, stride, o1, o2, o3,
+                            d1, d2, d3, t_min, closest, approx_recip)
+                        hit = jnp.logical_not(bad)
+                        occ = jnp.where(hit, jnp.int32(1), occ)
+                        closest = jnp.where(hit, jnp.float32(-1e30),
+                                            closest)
+                        return (closest, occ)
+
+                    st = (cls[sl, :], occr[sl, :])
+                    if unroll:
+                        for w in range(width):
+                            st = tri(w, st)
+                    else:
+                        st = jax.lax.fori_loop(0, width, tri, st)
+                    cls[sl, :] = st[0]
+                    occr[sl, :] = st[1]
+                    ndone = jnp.all(st[0] < 0.0)
+                    ret[p] = jnp.where(ndone, jnp.int32(1), ret[p])
+            return (tuple(n_idx), tuple(n_bs), (nb, nsg, nl))
+
+        def cond(carry):
+            # a fully-retired pack exits one trip late (the flag is
+            # applied at body top); its extra trip is dead-path inert
+            alive = (carry[0][0] > 0) & (ret[0] == 0)
+            for p in range(1, packs):
+                alive = alive | ((carry[0][p] > 0) & (ret[p] == 0))
+            return alive
+
+        init = (tuple(jnp.int32(1) for _ in range(packs)),
+                tuple(jnp.uint32(1) for _ in range(packs)),
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        out = jax.lax.while_loop(cond, body, init)
+        nb, nsg, nl = out[2]
+        oshp = (8 * packs, 128)
+        ii = jax.lax.broadcasted_iota(jnp.int32, oshp, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, oshp, 1)
+        occ_out[:, :] = occr[:, :]
+        cnt_out[:, :] = jnp.where(
+            (ii == 0) & (jj == 0), nb,
+            jnp.where((ii == 0) & (jj == 1), nsg,
+                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+
+    pl.run_scoped(scoped,
+                  blk=pltpu.SMEM((packs,) + blocks.shape[1:],
+                                 jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  sems=pltpu.SemaphoreType.DMA((packs,)),
+                  ntab=pltpu.SMEM(nodes.shape, nodes.dtype),
+                  cls=pltpu.VMEM((8 * packs, 128), jnp.float32),
+                  occr=pltpu.VMEM((8 * packs, 128), jnp.int32),
+                  ret=pltpu.SMEM((packs,), jnp.int32))
+
+
 def _pad_rays(a, fill, n_pad):
     n = a.shape[0]
     if n_pad != n:
@@ -2069,7 +2412,7 @@ def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
                                              "approx_recip", "fused",
                                              "quad", "oct", "packs",
                                              "tree_min", "prefetch",
-                                             "scratch"))
+                                             "scratch", "split"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
@@ -2080,7 +2423,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  fused: bool = True, quad: bool = True, oct: bool = False,
                  packs: int = 1,
                  tree_min: bool = False, prefetch: bool = True,
-                 scratch: bool = False):
+                 scratch: bool = False, split: bool = False):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -2130,7 +2473,13 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
         # dequant scales/offsets ride in SMEM (they are device values —
         # the table is built inside jit where no static floats exist)
         extra = extra + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    if mp:
+    if mp and split:
+        kernel = functools.partial(
+            _kernel_nearest_mps, cl_first=cl_first, width=width,
+            stride=stride, t_min=float(t_min), unroll=not interpret,
+            packs=packs, quant=quant, approx_recip=approx_recip,
+            quad=quad)
+    elif mp:
         kernel = functools.partial(
             _kernel_nearest_mp, cl_first=cl_first, width=width,
             stride=stride, t_min=float(t_min), unroll=not interpret,
@@ -2204,7 +2553,8 @@ def winner_features(origin, direction, t, tri, tri_feat):
                                              "leaf_cull",
                                              "approx_recip", "fused",
                                              "quad", "oct", "packs",
-                                             "prefetch", "scratch"))
+                                             "prefetch", "scratch",
+                                             "split"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
@@ -2214,7 +2564,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     fused: bool = True, quad: bool = True,
                     oct: bool = False,
                     packs: int = 1, prefetch: bool = True,
-                    scratch: bool = False):
+                    scratch: bool = False, split: bool = False):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single, leaf_visits) scalar telemetry). ``packs`` as in
     :func:`packet_trace`."""
@@ -2256,7 +2606,13 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
         # dequant scales/offsets ride in SMEM (they are device values —
         # the table is built inside jit where no static floats exist)
         extra = extra + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    if mp:
+    if mp and split:
+        kernel = functools.partial(
+            _kernel_shadow_mps, cl_first=cl_first, width=width,
+            stride=stride, t_min=float(t_min), unroll=not interpret,
+            packs=packs, quant=quant, approx_recip=approx_recip,
+            quad=quad)
+    elif mp:
         kernel = functools.partial(
             _kernel_shadow_mp, cl_first=cl_first, width=width,
             stride=stride, t_min=float(t_min), unroll=not interpret,
