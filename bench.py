@@ -82,6 +82,30 @@ def _gate(name, img, ny=None, nx=None):
     print(f"  image gate {name}: rmse {err:.2e} OK", file=sys.stderr)
 
 
+def _oracle_gate(name, scene, cam, cfg, rmse_tol, ssim_min):
+    """On-hardware oracle cross-check (VERDICT r3 item 7): a low-res
+    render on the TPU must match the independent NumPy oracle
+    (same RNG streams — reference analogue: the no-BVH slow-oracle
+    path, kernels.cu:307–321). Unlike ``_gate`` this re-anchors every
+    hardware run to an independent implementation, so TPU-only numeric
+    drift can't be ratified into the stored goldens."""
+    import numpy as np
+
+    from tpu_pathtracer.oracle import render_oracle
+    from tpu_pathtracer.utils import golden
+
+    _, img = _render_batched(scene, cam, cfg, cfg.ns, cfg.ns)
+    img = np.asarray(img).reshape(cfg.ny, cfg.nx, 3)
+    ref = render_oracle(scene, cam, cfg)
+    err, ss = golden.rmse(img, ref), golden.ssim(img, ref)
+    if err >= rmse_tol or ss < ssim_min:
+        raise ImageGateError(
+            f"oracle gate FAILED for {name}: rmse {err:.2e} "
+            f"(tol {rmse_tol:.0e}) ssim {ss:.4f} (min {ssim_min})")
+    print(f"  oracle gate {name}: rmse {err:.2e} ssim {ss:.4f} OK",
+          file=sys.stderr)
+
+
 def _render_batched(scene, cam, cfg, ns, batch):
     """Timed render of `ns` samples in `batch`-spp dispatches; returns
     (seconds, mean image). Timing matches the reference driver, which
@@ -149,6 +173,11 @@ def bench_headline():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.spheres import random_spheres_scene
 
+    gcfg = RenderConfig(nx=96, ny=64, ns=4, max_depth=8)
+    gscene, gcam = random_spheres_scene(gcfg.nx, gcfg.ny)
+    _oracle_gate("spheres", gscene, gcam, gcfg,
+                 rmse_tol=5e-3, ssim_min=0.99)
+
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=50)
     scene, cam = random_spheres_scene(cfg.nx, cfg.ny)
     elapsed, img = _render_batched(scene, cam, cfg, 100, 100)
@@ -169,6 +198,11 @@ def bench_headline():
 def bench_staircase():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.mesh import procedural_staircase_scene
+
+    gcfg = RenderConfig(nx=96, ny=64, ns=4, max_depth=8)
+    gscene, gcam = procedural_staircase_scene(gcfg.nx, gcfg.ny)
+    _oracle_gate("staircase_mesh", gscene, gcam, gcfg,
+                 rmse_tol=1e-2, ssim_min=0.97)
 
     cfg = RenderConfig(nx=1200, ny=800, ns=100, max_depth=64)
     scene, cam = procedural_staircase_scene(cfg.nx, cfg.ny)
@@ -232,6 +266,16 @@ def bench_staircase_hires():
 def bench_knot():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.shapes import knot_zoo_scene
+
+    # packet-path family oracle gate: a small knot FORCED onto the
+    # packet BVH kernels (packet_threshold=1 — same dispatch the tests
+    # use) so hardware runs cross-check the traversal kernels, not
+    # just the brute path
+    gcfg = RenderConfig(nx=64, ny=48, ns=4, max_depth=8, textures=False,
+                        packet_threshold=1)
+    gscene, gcam = knot_zoo_scene(gcfg.nx, gcfg.ny, nu=48, nv=24)
+    _oracle_gate("knot_packet", gscene, gcam, gcfg,
+                 rmse_tol=1e-2, ssim_min=0.97)
 
     cfg = RenderConfig(nx=512, ny=512, ns=16, max_depth=50, textures=False)
     scene, cam = knot_zoo_scene(cfg.nx, cfg.ny)

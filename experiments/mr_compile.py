@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_pathtracer.models.shapes import knot_zoo_scene
-from tpu_pathtracer.ops.pallas_bvh_mr import (build_packet_mr,
+from pallas_bvh_mr import (build_packet_mr,
                                               packet_occluded_mr,
                                               packet_trace_mr)
 from tpu_pathtracer.ops.v3 import V3

@@ -21,7 +21,7 @@ import numpy as np
 from tpu_pathtracer.engine.wavefront import _ray_sort_key
 from tpu_pathtracer.models.shapes import knot_zoo_scene
 from tpu_pathtracer.ops.pallas_bvh import build_packet_mesh, packet_trace
-from tpu_pathtracer.ops.pallas_bvh_mr import build_packet_mr, packet_trace_mr
+from pallas_bvh_mr import build_packet_mr, packet_trace_mr
 from tpu_pathtracer.ops.pallas_bvh_mx import build_packet_mx, packet_trace_mx
 from tpu_pathtracer.ops.v3 import V3
 from tpu_pathtracer.ops.vec import FLT_MAX

@@ -368,68 +368,6 @@ def test_auto_pool_size_on_packet_path():
     assert _pool_size(override, override.num_pixels, scene) == 4096
 
 
-def test_multirow_trace_exact_vs_brute_force():
-    """The multirow kernel (8 independent 128-ray packets per tile,
-    queued leaf phases) must match brute force exactly: the policy-Q
-    stale-cull only enlarges visit sets, never skips a winner."""
-    from tpu_pathtracer.ops.pallas_bvh_mr import (build_packet_mr,
-                                                  packet_occluded_mr,
-                                                  packet_trace_mr)
-
-    mesh = _mesh(t=2000, ppl=16)
-    pm = build_packet_mr(mesh, max_width=32)
-    o, d, ov, dv = _rays(600)
-    ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3,
-                        FLT_MAX)
-    (t, tri, u, v, nx, ny, nz, tu, tv, mid), cnts = packet_trace_mr(
-        ov, dv, FLT_MAX, pm.ntab, pm.blocks, pm.tri_feat, pm.cl_first,
-        pm.width, pm.n_blocks, 1e-3, interpret=True)
-    assert int(cnts[2]) > 0  # leaf-visit telemetry fires
-
-    rt, ri = np.asarray(ref.t), np.asarray(ref.tri_id)
-    np.testing.assert_array_equal(ri >= 0, np.asarray(tri) >= 0)
-    hit = ri >= 0
-    np.testing.assert_array_equal(ri[hit], np.asarray(tri)[hit])
-    np.testing.assert_allclose(rt[hit], np.asarray(t)[hit], rtol=2e-6)
-    np.testing.assert_allclose(np.asarray(ref.u)[hit],
-                               np.asarray(u)[hit], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ref.v)[hit],
-                               np.asarray(v)[hit], atol=1e-5)
-
-    occ, _c = packet_occluded_mr(ov, dv, 14.0, pm.ntab, pm.blocks,
-                                 pm.cl_first, pm.width, pm.n_blocks,
-                                 1e-3, interpret=True)
-    truth = hit & (np.asarray(ref.t) < 14.0)
-    np.testing.assert_array_equal(np.asarray(occ), truth)
-
-
-def test_multirow_matches_packet_kernel():
-    """Multirow and single-state packet kernels agree bit-for-bit on
-    hits (both compute the same MT arithmetic on the true winner)."""
-    from tpu_pathtracer.ops.pallas_bvh_mr import (build_packet_mr,
-                                                  packet_trace_mr)
-
-    mesh = _mesh(t=3000, seed=7, ppl=8)
-    pm1 = build_packet_mesh(mesh, max_width=32)
-    pmr = build_packet_mr(mesh, max_width=32)
-    o, d, ov, dv = _rays(700, seed=8)
-    (t1, tri1, u1, v1, *_), _ = packet_trace(
-        ov, dv, FLT_MAX, pm1.nodes, pm1.blocks, pm1.tri_feat,
-        pm1.cl_first, pm1.width, 1e-3, interpret=True, stride=pm1.stride,
-        cpb=pm1.cpb, smem_nodes=pm1.smem_nodes)
-    (t2, tri2, u2, v2, *_), _ = packet_trace_mr(
-        ov, dv, FLT_MAX, pmr.ntab, pmr.blocks, pmr.tri_feat,
-        pmr.cl_first, pmr.width, pmr.n_blocks, 1e-3, interpret=True)
-    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
-    hit = np.asarray(tri1) >= 0
-    np.testing.assert_array_equal(np.asarray(t1)[hit],
-                                  np.asarray(t2)[hit])
-    np.testing.assert_array_equal(np.asarray(u1)[hit],
-                                  np.asarray(u2)[hit])
-    np.testing.assert_array_equal(np.asarray(v1)[hit],
-                                  np.asarray(v2)[hit])
-
-
 def test_packet_quantized_node_table():
     """Quantized node tables (uint16 bounds vs the root box, packed 3
     int32 words/node, rounded outward at build time) must stay EXACT:

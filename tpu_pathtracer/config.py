@@ -11,6 +11,7 @@ Fields are hashable / static so a config can be closed over by ``jax.jit``.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,3 +194,59 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+    def validate(self) -> list:
+        """Mutually-constrained knob combos that would otherwise no-op
+        silently (the reference's #define matrix, kernels.cu:13–24,
+        fails such combos at compile time). Returns the list of
+        warning strings; ``__post_init__`` emits them as
+        RuntimeWarnings so every constructed config is checked.
+
+        Mesh-dependent constraints (packet_packs > 1 without a flat
+        SMEM node table, oct on a hybrid/top-rows table) cannot be
+        checked here — ops/pallas_bvh.packet_trace warns at trace time
+        when those force a fallback."""
+        w = []
+        if self.packet_split and self.packet_packs <= 1:
+            w.append("packet_split requires packet_packs > 1 — the "
+                     "split-trip kernels never engage; set packet_packs")
+        if self.oct and self.packet_packs > 1:
+            w.append("oct is ignored by the multi-packet kernels "
+                     "(packet_packs > 1): they implement only the "
+                     "binary/4-ary node steps")
+        if self.oct and self.prefetch:
+            w.append("oct disables the sibling-pair cluster prefetch "
+                     "(its 8 candidate clusters span 4 pairs — the 2 "
+                     "parity slots can't cover them); prefetch=True "
+                     "is ignored wherever the oct step engages")
+        if self.leaf_cull and self.prefetch:
+            w.append("leaf_cull disables the sibling-pair cluster "
+                     "prefetch (the re-test invalidates the "
+                     "prefetched pair's addresses); prefetch=True is "
+                     "ignored while leaf_cull is on")
+        if self.mx_leaf and self.regroup:
+            w.append("mx_leaf takes dispatch precedence over regroup "
+                     "(engine/wavefront.make_view) — regroup is "
+                     "ignored")
+        if (self.fast_math and (self.mx_leaf or self.regroup)):
+            w.append("fast_math (approximate-reciprocal MT) only "
+                     "affects the heap packet kernels; the mx_leaf / "
+                     "regroup paths ignore it")
+        if self.regroup and self.regroup_dense >= 1024:
+            w.append("regroup_dense is clamped to ws-1 = 1023 (a "
+                     "statically-never-dense kernel measured 5x "
+                     "slower AND produced a hardware-only winner "
+                     "mismatch — PERFORMANCE.md round 3)")
+        if self.check_nans and not self.stats:
+            w.append("check_nans counts into Stats.nans, which is "
+                     "only collected/reported when stats=True")
+        if self.packet_width & (self.packet_width - 1):
+            w.append("packet_width should be a power of two (leaf "
+                     "clusters are grouped in pow2 sub-blocks of the "
+                     "tree's prims_per_leaf); non-pow2 widths fall "
+                     "back to the tree's own leaf width")
+        return w
+
+    def __post_init__(self):
+        for msg in self.validate():
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)

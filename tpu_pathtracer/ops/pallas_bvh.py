@@ -37,6 +37,7 @@ packet path is bit-compatible with the brute-force oracle.
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -2398,10 +2399,18 @@ def _pad_rays(a, fill, n_pad):
 
 def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
     """Multi-packet kernels need a flat SMEM node table (f32 or quant)
-    and cpb==1 blocks; anything else falls back to the single-packet
-    kernel silently."""
-    return (packs > 1 and (smem_nodes or quant) and not top_rows
-            and cpb == 1)
+    and cpb==1 blocks; any other layout falls back to the
+    single-packet kernel — with a trace-time warning, so the fallback
+    is never silent (VERDICT r3 item 6)."""
+    mp = (packs > 1 and (smem_nodes or quant) and not top_rows
+          and cpb == 1)
+    if packs > 1 and not mp:
+        warnings.warn(
+            f"packet_packs={packs} requires a flat SMEM node table "
+            "(f32 or quantized, no top-rows hybrid, cpb=1) -- "
+            "running the single-packet kernel",
+            RuntimeWarning, stacklevel=3)
+    return mp
 
 
 @functools.partial(jax.jit, static_argnames=("cl_first", "width", "t_min",
