@@ -248,6 +248,26 @@ def bench_terrain():
     return elapsed / 8
 
 
+def bench_terrain_big():
+    """Dragon-scale irregular mesh (~668k real tris): exercises the SAH
+    BVH4 quant tier chosen by the per-mesh expected-cost tier selection
+    (VERDICT r3 item 8). Reference scale anchor: the model-zoo dragon
+    row, TODO.txt:283–298."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.shapes import terrain_big_zoo_scene
+
+    cfg = RenderConfig(nx=512, ny=512, ns=4, max_depth=50, textures=False)
+    scene, cam = terrain_big_zoo_scene(cfg.nx, cfg.ny)
+    assert scene.mesh.bvh4 is not None and scene.mesh.bvh4.quant, \
+        "terrain-big must auto-select the quant BVH4 tier"
+    elapsed, img = _render_batched(scene, cam, cfg, 4, 4)
+    _gate("terrain_big_4spp", img, cfg.ny, cfg.nx)
+    print(f"terrain-big-668k 512x512@4spp (quant BVH4): {elapsed:.3f} s "
+          f"({elapsed / 4 * 1e3:.0f} ms/spp, mean={img.mean():.4f})",
+          file=sys.stderr)
+    return elapsed / 4
+
+
 def bench_staircase_hires():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.mesh import procedural_staircase_scene
@@ -314,6 +334,11 @@ def main():
             _retry(bench_terrain) * 1e3, 1)
     except Exception as e:
         print(f"terrain bench failed: {e!r}"[:200], file=sys.stderr)
+    try:
+        extra["terrain_big_668k_ms_per_spp"] = round(
+            _retry(bench_terrain_big) * 1e3, 1)
+    except Exception as e:
+        print(f"terrain-big bench failed: {e!r}"[:200], file=sys.stderr)
     try:
         s_per_spp = _retry(bench_staircase_hires)
         extra["staircase_hires_154k_s_per_spp"] = round(s_per_spp, 4)

@@ -49,6 +49,11 @@ def build(args):
         # irregular mesh: fBm terrain + thin-strut lattice (~168k tris)
         from tpu_pathtracer.models.shapes import terrain_zoo_scene
         scene, cam = terrain_zoo_scene(cfg.nx, cfg.ny)
+    elif args.scene == "terrain-big":
+        # dragon-scale irregular mesh (~668k tris): exercises the SAH
+        # BVH4 quant tier via per-mesh expected-cost tier selection
+        from tpu_pathtracer.models.shapes import terrain_big_zoo_scene
+        scene, cam = terrain_big_zoo_scene(cfg.nx, cfg.ny)
     elif args.scene.endswith(".bvh"):
         scene, cam = mesh_scenes.load_staircase_scene(
             args.scene, args.texture_dir, cfg.nx, cfg.ny)
@@ -61,7 +66,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", default="staircase",
                    help="spheres | three-sphere | staircase | "
-                        "staircase-hires | knot | dragon | terrain | "
+                        "staircase-hires | knot | dragon | terrain | terrain-big | "
                         "zoo-{coat,diffuse,glass,sss} | path/to/file.obj | "
                         "path/to/file.bvh")
     p.add_argument("--texture-dir", default=None)

@@ -331,3 +331,55 @@ def test_bvh4_regen_and_tiled_match_plain():
                                atol=1e-6)
     tiled = render_image_tiled(scene, cam, cfg)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(tiled))
+
+
+def test_auto_tier_selection_per_mesh():
+    """Per-mesh tier auto-selection (VERDICT r3 item 8): the tier is
+    chosen from the mesh, not opted into per scene.
+
+    - f32 tier: table fits SMEM_TABLE_BUDGET -> always attached
+      (measured >= neutral on every workload).
+    - quant tier: dragon-scale meshes attach the uint16 tables only
+      when expected_cost_ratio predicts the SAH topology >=15% cheaper
+      than the heap walk (QUANT_AUTO_RATIO) — irregular terrain yes
+      (~0.74), the parametric dragon knot no (~0.95, measured 0.97x on
+      hardware)."""
+    from tpu_pathtracer.models.shapes import (knot_zoo_scene,
+                                              terrain_big_zoo_scene)
+    from tpu_pathtracer.ops.bvh4 import QUANT_TABLE_BUDGET
+
+    s, _ = knot_zoo_scene(32, 32)  # 131k tris: f32 tier
+    assert s.mesh.bvh4 is not None and not s.mesh.bvh4.quant
+
+    s, _ = terrain_big_zoo_scene(32, 32)  # ~668k tris, irregular
+    b4 = s.mesh.bvh4
+    assert b4 is not None and b4.quant
+    assert (b4.bounds.size + b4.refs.size) * 4 <= QUANT_TABLE_BUDGET
+
+    s, _ = knot_zoo_scene(32, 32, nu=1664, nv=262)  # dragon: heap
+    assert s.mesh.bvh4 is None
+
+
+def test_expected_cost_ratio_orders_topologies():
+    """The SA-heuristic tier criterion must order the measured
+    workloads correctly: irregular terrain well under the threshold,
+    the parametric knot well over (PERFORMANCE.md r3/r4 A/Bs)."""
+    from tpu_pathtracer.models.shapes import (knot_zoo_scene,
+                                              terrain_zoo_scene)
+    from tpu_pathtracer.ops.bvh4 import (QUANT_AUTO_RATIO, _collapse4,
+                                         _sah_binary_for,
+                                         expected_cost_ratio)
+
+    def ratio(scene):
+        m = scene.mesh
+        tris, built = _sah_binary_for(m, 64, 16)
+        bounds, refs, _cl, _d = _collapse4(*built[:4], *built[5:7])
+        return expected_cost_ratio(m, bounds, refs, 64)
+
+    s, _ = terrain_zoo_scene(32, 32)
+    r_terrain = ratio(s)
+    s, _ = knot_zoo_scene(32, 32)
+    r_knot = ratio(s)
+    assert r_terrain < QUANT_AUTO_RATIO < r_knot
+    assert r_terrain < 0.8      # measured 0.743
+    assert r_knot > 0.9         # measured 0.959

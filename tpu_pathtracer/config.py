@@ -70,6 +70,15 @@ class RenderConfig:
     interpret: bool = False
     force_feat_kernels: bool = False
     sort_rays: bool = True  # coherence sort around packet-BVH traversal
+    shadow_sort: str = "scatter"  # sort key for SHADOW packets:
+    # "scatter" = the generic key (octant(dir)<<15 | morton15(origin));
+    # "origin"  = morton15 only (NEE rays share one target, so their
+    #             direction octant is origin-correlated — spend the
+    #             bits on origin locality);
+    # "light"   = octant of (light - origin) + morton15.
+    # VERDICT r3 item 4: the reference measured shadow traversal at
+    # ~50% of render time (TODO.txt:559); A/B in
+    # experiments/shadow_sort_ab.py picks the default.
     packet_threshold: int = 8192  # padded tri slots above which the
     # packet BVH kernel is used on the TPU path (0 = TRI_BRUTE_MAX =
     # 16384; tests set 1 to force it). Justified by the zoo table:

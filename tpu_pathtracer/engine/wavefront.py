@@ -423,8 +423,23 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
         # dilutes every packet's visit union. Compacted to the tail they
         # form all-retired packets that exit after ~1 node step, and the
         # live packets get denser (measured: see PERFORMANCE.md).
-        key = (_ray_sort_key(scene, origin, direction)
-               | ((t_max_b <= 0.0).astype(jnp.uint32) << 18))
+        if config.shadow_sort == "origin":
+            # NEE rays share one target: the direction octant is
+            # origin-determined, so spend all key bits on origin
+            # locality (VERDICT r3 item 4 A/B)
+            key = _ray_sort_key(scene, origin, direction) & 0x7FFF
+        elif config.shadow_sort == "light":
+            # octant of (light - origin): groups lanes by which side
+            # of the light they shoot from
+            lc = scene.light_center
+            octant = ((origin.x > lc[0]).astype(jnp.uint32)
+                      | ((origin.y > lc[1]).astype(jnp.uint32) << 1)
+                      | ((origin.z > lc[2]).astype(jnp.uint32) << 2))
+            key = ((octant << 15)
+                   | (_ray_sort_key(scene, origin, direction) & 0x7FFF))
+        else:  # "scatter": the generic key (octant(dir) + morton15)
+            key = _ray_sort_key(scene, origin, direction)
+        key = key | ((t_max_b <= 0.0).astype(jnp.uint32) << 18)
         iota = jnp.arange(n, dtype=jnp.uint32)
         (_, back, ox, oy, oz, dx, dy, dz, tm) = jax.lax.sort(
             (key, iota, origin.x, origin.y, origin.z,

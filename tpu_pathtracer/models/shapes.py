@@ -258,6 +258,23 @@ def terrain_zoo_scene(nx: int, ny: int, material: str = "diffuse",
     return scene, cam
 
 
+def terrain_big_zoo_scene(nx: int, ny: int, material: str = "diffuse"
+                          ) -> Tuple[Scene, Camera]:
+    """Dragon-scale genuinely-irregular mesh (~668k real tris, 1M
+    padded slots): the terrain generator at 4x density + 2x struts
+    (VERDICT r3 item 8 — the 'dragon-class' knot is parametric/uniform
+    and topology-friendly to the complete heap; this scene is not).
+
+    Exercises the SAH BVH4 QUANT tier at dragon scale: the f32 node
+    table exceeds SMEM_TABLE_BUDGET, and the per-mesh expected-cost
+    tier selection (ops/bvh4.QUANT_AUTO_RATIO) attaches the
+    uint16-quantized tables automatically (measured expected-cost
+    ratio ~0.74-class topology, vs 0.95 for the knot/dragon which
+    stay on the heap kernel's quantized-SMEM path)."""
+    return terrain_zoo_scene(nx, ny, material=material, n=576,
+                             struts=1200)
+
+
 def knot_zoo_scene(nx: int, ny: int, material: str = "coat",
                    nu: int = 512, nv: int = 100,
                    prims_per_leaf: int = 64) -> Tuple[Scene, Camera]:

@@ -137,26 +137,42 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         first_leaf=num_leaves, prims_per_leaf=P,
     )
     if bvh4 is True or (bvh4 == "auto" and _bvh4_auto_eligible(T)):
-        from tpu_pathtracer.ops.bvh4 import attach_bvh4
-        mesh = attach_bvh4(mesh, silent=(bvh4 == "auto"))
+        from tpu_pathtracer.ops.bvh4 import QUANT_AUTO_RATIO, attach_bvh4
+        # pass the HOST-side arrays: the attach must never download
+        # device arrays (the axon relay's device->host path measured
+        # ~0.5 MB/s — a dragon-scale build round-tripped ~700 s)
+        host = dict(v0=rv0, v1=rv1, v2=rv2, tex_coords=rtc,
+                    mesh_id=rmid, bvh_min=bvh_min, bvh_max=bvh_max)
+        mesh = attach_bvh4(mesh, silent=(bvh4 == "auto"),
+                           auto_ratio=(QUANT_AUTO_RATIO
+                                       if bvh4 == "auto" else None),
+                           host=host)
     return mesh
 
 
 def _bvh4_auto_eligible(n_tris: int, width: int = 64) -> bool:
     """Build SAH BVH4 tables by default only for packet-path meshes
-    whose node table will plausibly fit the SMEM budget.
+    whose node table will plausibly fit one of the SMEM tiers (f32 or
+    uint16-quantized).
 
     8192 is the brute/packet dispatch threshold (config.packet_threshold
     default). The size estimate assumes >=1 cluster per node (measured
     trees run ~2.0 clusters/node — terrain 3204/1593, knot 1910/965),
-    so it overestimates ~2x; the post-build budget check in attach_bvh4
-    is still authoritative. This skips the multi-minute host-side SAH
-    build for meshes (dragon-class, ~872k tris) that would only be
-    discarded, keeping them on the heap kernel's quantized-SMEM path
-    (which the topology sim says is already near-optimal for them)."""
-    from tpu_pathtracer.ops.bvh4 import SMEM_TABLE_BUDGET
+    so it overestimates ~2x; the post-build budget checks in
+    attach_bvh4 are still authoritative. Quant-tier candidates
+    (dragon-class, ~872k tris) are admitted here and then gated by the
+    expected-cost-ratio tier selection in attach_bvh4
+    (QUANT_AUTO_RATIO): topology-neutral meshes skip the assembly and
+    stay on the heap kernel's quantized-SMEM path; irregular ones at
+    the same scale take the quant BVH4 tier. The binary-tree build
+    this requires is the native builder (~0.1 s/170k tris), not the
+    multi-minute NumPy path."""
+    from tpu_pathtracer.ops.bvh4 import (QUANT_TABLE_BUDGET,
+                                         SMEM_TABLE_BUDGET)
     est_nodes = -(-n_tris // width)
-    return n_tris > 8192 and 112 * est_nodes <= 2 * SMEM_TABLE_BUDGET
+    return n_tris > 8192 and (112 * est_nodes <= 2 * SMEM_TABLE_BUDGET
+                              or 64 * est_nodes
+                              <= 2 * QUANT_TABLE_BUDGET)
 
 
 def _median_order(centroids: np.ndarray, num_leaves: int, P: int) -> np.ndarray:

@@ -272,23 +272,30 @@ def _collapse4(bmin, bmax, c0, c1, lf, lc):
             clusters, depth4)
 
 
-def build_bvh4(mesh: MeshData, width: int = 64,
-               n_bins: int = 16) -> Bvh4Data:
-    """Build the SAH BVH4 tables for ``mesh`` (host-side NumPy).
+def _sah_binary_for(mesh: MeshData, width: int, n_bins: int,
+                    host: dict | None = None):
+    """Filter sane triangles and build the binary SAH tree (native C++
+    builder when available, NumPy fallback). Returns
+    (tris, built): tris = (v0, v1, v2, tc, mid, slot_ids),
+    built = the _build_sah_binary tuple.
 
-    The mesh keeps its implicit-heap tree untouched (the CPU fallback
-    and serialization paths still use it); the BVH4 carries its OWN
-    reordered cluster blocks, so attaching it changes no existing
-    behavior until the dispatch selects the BVH4 kernel.
-    """
-    v0a = np.asarray(mesh.v0)
+    ``host``: optional dict of the mesh's HOST-side numpy arrays
+    (v0/v1/v2/tc/mid) — ops/bvh.build_bvh passes them so the build
+    never downloads device arrays (the axon relay downloads at
+    ~0.5 MB/s; a dragon-scale round trip measured ~700 s)."""
+    if host is not None:
+        v0a = np.asarray(host["v0"])
+    else:
+        v0a = np.asarray(mesh.v0)
     sane = np.isfinite(v0a).all(1)
     slot_ids = np.nonzero(sane)[0].astype(np.int64)
+    get = (lambda k: np.asarray(host[k])) if host is not None else \
+        (lambda k: np.asarray(getattr(mesh, k)))
     v0 = v0a[sane]
-    v1 = np.asarray(mesh.v1)[sane]
-    v2 = np.asarray(mesh.v2)[sane]
-    tc = np.asarray(mesh.tex_coords)[sane]
-    mid = np.asarray(mesh.mesh_id)[sane]
+    v1 = get("v1")[sane]
+    v2 = get("v2")[sane]
+    tc = get("tex_coords")[sane]
+    mid = get("mesh_id")[sane]
 
     built = None
     try:
@@ -299,9 +306,73 @@ def build_bvh4(mesh: MeshData, width: int = 64,
         built = None
     if built is None:
         built = _build_sah_binary(v0, v1, v2, width, n_bins)
+    return (v0, v1, v2, tc, mid, slot_ids), built
+
+
+def expected_cost_ratio(mesh: MeshData, bounds: np.ndarray,
+                        refs: np.ndarray, width: int,
+                        host: dict | None = None) -> float:
+    """SA-heuristic expected packet-traversal cost of a candidate BVH4
+    tree relative to the mesh's implicit-heap tree, under the measured
+    cost model (A_NS per 2-binary-level node step, TRI_NS per leaf
+    slot). < 1 means the SAH topology is predicted cheaper.
+
+    Both trees are priced consistently: one BVH4 node == one heap
+    quad step == two binary levels (so heap interior nodes count
+    A_NS/2 each), and a leaf visit costs its full cluster width
+    (the kernels' MT loops are fully unrolled). This is the per-mesh
+    generalization of the round-3 topology sim
+    (experiments/topo_sim.py), cheap enough to run at scene build:
+    the sim's measured/simulated gains order the same way (knot ~1.0,
+    dragon ~1.05, terrain/stairs 1.25-1.7)."""
+    # --- heap tree ---------------------------------------------------
+    if host is not None:
+        hmin = np.asarray(host["bvh_min"], np.float64)
+        hmax = np.asarray(host["bvh_max"], np.float64)
+    else:
+        hmin = np.asarray(mesh.bvh_min, np.float64)
+        hmax = np.asarray(mesh.bvh_max, np.float64)
+    L = mesh.first_leaf
+    sa = _area3(hmin, hmax)
+    sa = np.where(np.isfinite(sa), sa, 0.0)  # sentinel-padded leaves
+    root = max(float(sa[1]), 1e-30)
+    heap = (0.5 * A_NS * float(sa[1:L].sum() / root)
+            + mesh.prims_per_leaf * TRI_NS
+            * float(sa[L: 2 * L].sum() / root))
+    # --- BVH4 candidate ----------------------------------------------
+    b = np.asarray(bounds, np.float64).reshape(-1, 4, 6)
+    r = np.asarray(refs).reshape(-1, 4)
+    csa = _area3(b[..., 0:3], b[..., 3:6])
+    csa = np.where(r != 0, csa, 0.0)
+    # every non-root node's own box appears exactly once as an
+    # interior child slot; the root contributes SA_root itself
+    quad = (A_NS * (1.0 + float(csa[r > 0].sum() / root))
+            + width * TRI_NS * float(csa[r < 0].sum() / root))
+    return quad / max(heap, 1e-30)
+
+
+def build_bvh4(mesh: MeshData, width: int = 64,
+               n_bins: int = 16, host: dict | None = None) -> Bvh4Data:
+    """Build the SAH BVH4 tables for ``mesh`` (host-side NumPy).
+
+    The mesh keeps its implicit-heap tree untouched (the CPU fallback
+    and serialization paths still use it); the BVH4 carries its OWN
+    reordered cluster blocks, so attaching it changes no existing
+    behavior until the dispatch selects the BVH4 kernel.
+    """
+    tris, built = _sah_binary_for(mesh, width, n_bins, host=host)
     bmin, bmax, c0, c1, order, lf, lc, _db = built
     bounds, refs, clusters, depth4 = _collapse4(bmin, bmax, c0, c1,
                                                 lf, lc)
+    return _assemble4(tris, order, bounds, refs, clusters, depth4,
+                      width)
+
+
+def _assemble4(tris, order, bounds, refs, clusters, depth4,
+               width: int) -> Bvh4Data:
+    """Pack cluster blocks + feature rows (the expensive assembly —
+    deferred until a tier decision has accepted the tree)."""
+    v0, v1, v2, tc, mid, slot_ids = tris
     C = len(clusters)
     n_nodes = refs.shape[0] // 4
 
@@ -391,6 +462,13 @@ def _quantize4(bounds: np.ndarray, refs: np.ndarray):
 # the kernel DMAs the whole node table HBM->SMEM per packet; leave
 # headroom under the ~512 KB SMEM for the cluster block + stack
 SMEM_TABLE_BUDGET = 400 << 10
+# per-mesh auto tier selection for the quant tier (attach_bvh4
+# auto_ratio): attach only when the SA-heuristic expected cost of the
+# SAH topology is at least ~15% below the heap walk — the quantized
+# BVH4 step carries ~5% overhead (dragon measured 0.97x at a
+# predicted ratio near 1; terrain-class irregular meshes predict
+# 0.6-0.8 and measured 1.33x as the f32 tier)
+QUANT_AUTO_RATIO = 0.85
 # quantized tables are 12+4 words/node (vs 28 f32) and ride the SMEM
 # ceiling the heap kernel probed to 768 KB; the dragon's 7,887-node
 # table is 492 KB here (vs 862 KB f32)
@@ -399,7 +477,9 @@ QUANT_TABLE_BUDGET = 640 << 10
 
 def attach_bvh4(mesh: MeshData, width: int = 64,
                 n_bins: int = 16, silent: bool = False,
-                quant: str | bool = "auto") -> MeshData:
+                quant: str | bool = "auto",
+                auto_ratio: float | None = None,
+                host: dict | None = None) -> MeshData:
     """Return ``mesh`` with SAH BVH4 tables attached.
 
     Tables that fit ``SMEM_TABLE_BUDGET`` stay f32.  Bigger tables
@@ -409,29 +489,58 @@ def attach_bvh4(mesh: MeshData, width: int = 64,
     contract as the heap kernel's quantized path.  ``quant=True``
     forces quantization (tests); ``False`` disables the tier.  A mesh
     fitting neither budget is returned unchanged (warning unless
-    ``silent``) and stays on the heap kernel."""
-    data = build_bvh4(mesh, width=width, n_bins=n_bins)
-    table_bytes = (data.bounds.size + data.refs.size) * 4
-    qtable_bytes = (data.n_nodes * 12 + data.refs.size) * 4
-    if quant is True or (quant == "auto"
-                         and table_bytes > SMEM_TABLE_BUDGET
-                         and qtable_bytes <= QUANT_TABLE_BUDGET):
-        words, qp = _quantize4(np.asarray(data.bounds),
-                               np.asarray(data.refs))
-        data = dataclasses.replace(
-            data, bounds=jnp.asarray(words), quant=True,
-            qparams=jnp.asarray(qp))
-        return dataclasses.replace(mesh, bvh4=data)
-    if table_bytes > SMEM_TABLE_BUDGET:
+    ``silent``) and stays on the heap kernel.
+
+    ``auto_ratio``: per-mesh tier auto-selection (VERDICT r3 item 8).
+    When set, a tree landing in the QUANT tier is attached only if
+    ``expected_cost_ratio`` predicts at least that relative cost
+    (e.g. 0.85 = predicted >=15% cheaper than the heap walk) — the
+    quantized BVH4 walk carries ~5% overhead vs the heap kernel's
+    quantized path, so topology-neutral dragon-class meshes (measured
+    0.97x, PERFORMANCE.md) must stay on the heap. f32-tier tables are
+    exempt: they measured >= neutral on every workload (knot 1.00x,
+    torus 1.005x, terrain 1.33x, stairs 1.68x)."""
+    tris, built = _sah_binary_for(mesh, width, n_bins, host=host)
+    bmin, bmax, c0, c1, order, lf, lc, _db = built
+    bounds, refs, clusters, depth4 = _collapse4(bmin, bmax, c0, c1,
+                                                lf, lc)
+    n_nodes = refs.shape[0] // 4
+    table_bytes = (bounds.size + refs.size) * 4
+    qtable_bytes = (n_nodes * 12 + refs.size) * 4
+    use_quant = quant is True or (quant == "auto"
+                                  and table_bytes > SMEM_TABLE_BUDGET
+                                  and qtable_bytes
+                                  <= QUANT_TABLE_BUDGET)
+    if use_quant and quant == "auto" and auto_ratio is not None:
+        ratio = expected_cost_ratio(mesh, bounds, refs, width,
+                                    host=host)
+        if ratio > auto_ratio:
+            if not silent:
+                import warnings
+                warnings.warn(
+                    f"BVH4 quant tier skipped: expected cost ratio "
+                    f"{ratio:.2f} > {auto_ratio:.2f} — topology is "
+                    "already near-optimal for the heap kernel.",
+                    RuntimeWarning, stacklevel=2)
+            return mesh
+    if not use_quant and table_bytes > SMEM_TABLE_BUDGET:
         if not silent:
             import warnings
             warnings.warn(
                 f"BVH4 node table ({table_bytes >> 10} KB for "
-                f"{data.n_nodes} nodes; {qtable_bytes >> 10} KB "
+                f"{n_nodes} nodes; {qtable_bytes >> 10} KB "
                 f"quantized) exceeds the SMEM budgets "
                 f"({SMEM_TABLE_BUDGET >> 10}/"
                 f"{QUANT_TABLE_BUDGET >> 10} KB); keeping the "
                 "implicit-heap packet kernel.",
                 RuntimeWarning, stacklevel=2)
         return mesh
+    data = _assemble4(tris, order, bounds, refs, clusters, depth4,
+                      width)
+    if use_quant:
+        words, qp = _quantize4(np.asarray(data.bounds),
+                               np.asarray(data.refs))
+        data = dataclasses.replace(
+            data, bounds=jnp.asarray(words), quant=True,
+            qparams=jnp.asarray(qp))
     return dataclasses.replace(mesh, bvh4=data)
