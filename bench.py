@@ -280,7 +280,14 @@ def bench_staircase_hires():
     print(f"staircase-hires 154k 1200x800@2spp (packet BVH): "
           f"{elapsed:.3f} s ({elapsed / 2 * 1e3:.0f} ms/spp, "
           f"mean={img.mean():.4f})", file=sys.stderr)
-    return elapsed / 2
+    # BASELINE config 4, MEASURED end-to-end (VERDICT r3 item 2): the
+    # full 100 spp on the asset-scale staircase, in 8-spp dispatches
+    # (~7 s each — safely under the tunnel's ~60 s crash horizon).
+    # Reuses the warm executable above (ns/s0 are dynamic scalars).
+    t100, img100 = _render_batched(scene, cam, cfg, 100, 8)
+    print(f"config 4 staircase-hires 1200x800@100spp MEASURED: "
+          f"{t100:.1f} s (mean={img100.mean():.4f})", file=sys.stderr)
+    return elapsed / 2, t100
 
 
 def bench_knot():
@@ -340,14 +347,13 @@ def main():
     except Exception as e:
         print(f"terrain-big bench failed: {e!r}"[:200], file=sys.stderr)
     try:
-        s_per_spp = _retry(bench_staircase_hires)
+        s_per_spp, t100 = _retry(bench_staircase_hires)
         extra["staircase_hires_154k_s_per_spp"] = round(s_per_spp, 4)
-        # honest config 4 (VERDICT r2 item 3): the reference's staircase
-        # is ~180k tris w/ BVH + textures + NEE; report it from the
-        # asset-scale 154k-tri mesh, extrapolated from the measured
-        # s/spp of the checkpoint-batched packet-path render above.
-        extra["config4_staircase_100spp_s"] = round(s_per_spp * 100, 2)
-        extra["config4_basis"] = "extrapolated_100x_from_hires_2spp"
+        # config 4 (VERDICT r3 item 2): the asset-scale 154k-tri
+        # staircase (BVH + textures + NEE) at the full 1200x800@100spp,
+        # measured end-to-end in 8-spp dispatches
+        extra["config4_staircase_100spp_s"] = round(t100, 2)
+        extra["config4_basis"] = "measured"
     except Exception as e:
         print(f"staircase-hires bench failed: {e!r}"[:200],
               file=sys.stderr)

@@ -395,16 +395,36 @@ def _assemble4(tris, order, bounds, refs, clusters, depth4,
         tri_map[sl] = slot_ids[tids]
 
     nrm = np.cross(pe1, pe2)  # zero rows for padding -> a=0 -> miss
-    comps = np.zeros((16, S), np.float32)
+    comps = np.zeros((12, S), np.float32)
     comps[0:3] = pv0.T
     comps[3:6] = pe1.T
     comps[6:9] = pe2.T
     comps[9:12] = nrm.T
-    # (16, C, width) -> (C, 16, width) -> pad lanes to 128
-    blk = comps.reshape(16, C, width).transpose(1, 0, 2)
-    if width < 128:
+    if width & (width - 1) == 0 and 12 * width <= 1024:
+        # PACKED layout (r4): component c of tri w at flat c*width+w
+        # inside a single (8,128) block per cluster — halves the
+        # per-visit DMA (4 KB vs the legacy 8 KB of half-empty rows),
+        # which the leafmt_probe decomposition says is the entire
+        # per-visit overhead. All indices stay compile-time static
+        # under full unroll (off = c*width; row off//128,
+        # col off%128 + w — in-range because width | 128). The r2
+        # "packed blocks" negative result was cpb>1 multi-cluster
+        # packing with DYNAMIC row offsets; this is one cluster per
+        # block, cpb=1, static.
+        flat = comps.reshape(12, C, width).transpose(1, 0, 2) \
+            .reshape(C, 12 * width)
+        blk = np.zeros((C, 8 * 128), np.float32)
+        blk[:, : 12 * width] = flat
+        blk = blk.reshape(C, 8, 128)
+    else:
+        # legacy layout: one component per row, lanes 0..width-1
         blk = np.concatenate(
-            [blk, np.zeros((C, 16, 128 - width), np.float32)], axis=2)
+            [comps, np.zeros((4, S), np.float32)], axis=0) \
+            .reshape(16, C, width).transpose(1, 0, 2)
+        if width < 128:
+            blk = np.concatenate(
+                [blk, np.zeros((C, 16, 128 - width), np.float32)],
+                axis=2)
     tri_feat = np.concatenate(
         [nrm, ptc, pmid[:, None], pv0, pe1, pe2],
         axis=1).astype(np.float32)

@@ -125,7 +125,7 @@ def _tri_components(mesh: MeshData):
 
 
 def build_packet_mesh(mesh: MeshData, max_width: int = 128,
-                      packed: bool = False,
+                      packed: str | bool = "auto",
                       smem_budget_floats: int | None = None,
                       quant_nodes: str | bool = "auto") -> PacketMesh:
     """Group BVH leaves into ≤128-triangle clusters and pack the node
@@ -147,10 +147,19 @@ def build_packet_mesh(mesh: MeshData, max_width: int = 128,
     width = P << k
     cl_first = first_leaf >> k
     n_clusters = cl_first
-    # packed layout (cpb>1 clusters per DMA block) halves DMA bytes for
-    # narrow clusters but costs ~12% on TPU: the dynamic sub-cluster row
-    # offset turns 12 static SMEM row indices per triangle into scalar
-    # adds. Off by default — DMA is ~2% of leaf time (PERFORMANCE.md).
+    # packed layout: a cluster is 16*width contiguous floats. At
+    # width 64 that is exactly ONE (8,128) block — cpb=1, stride=64,
+    # every SMEM index still compile-time static — and the leaf DMA
+    # halves (4 KB vs 8 KB of half-empty rows), which the r4
+    # decomposition (experiments/leafmt_probe.py) measured as the
+    # entire per-visit overhead: dragon 434.6 -> 413-420 ms/spp,
+    # bit-identical (experiments/dragon_packed_ab.py). "auto" packs
+    # exactly that case. cpb>1 packing (narrow widths) stays opt-in:
+    # the dynamic sub-cluster row offset costs ~12% (r2). Packing
+    # disables the speculative pair prefetch (stride<128), measured
+    # worth only ~0.7% on the dragon — net win.
+    if packed == "auto":
+        packed = (16 * width == 1024)
     packed = packed and width >= 8 and not (width & (width - 1))
 
     # node table rows 0..2*cl_first (row 0 unused). Tables up to
@@ -785,15 +794,22 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
     n3 = rd(11)
     a = -(d1 * n1 + d2 * n2 + d3 * n3)
     parallel = jnp.abs(a) < 1e-7  # intersections.h:55
+    # NOTE: f divides by a directly — no where(parallel, 1, a) guard.
+    # Parallel triangles (|a| < 1e-7, incl. the heap path's
+    # inf-sentinel NaNs) produce garbage f/u/v/t, but ``parallel`` is
+    # in ``bad`` and the NaN t also fails ~(t > t_min), so they can
+    # never win; winners' outputs are bit-identical. Saves one select
+    # per triangle in the hottest loop (the pure-MT probe measures the
+    # loop at the VPU issue-rate floor — experiments/leafmt_probe.py).
     if approx_recip:
         # opt-in fast path (config.fast_math): hardware approximate
         # reciprocal (~2^-14 rel) instead of the exact f32 divide.
         # t/u/v shift by ~1e-4 relative; geometry stays exact, so the
         # TIR-trap failure mode (PERFORMANCE.md r1) cannot occur.
         # Gated by an SSIM test against the exact path.
-        f = pl.reciprocal(jnp.where(parallel, 1.0, a), approx=True)
+        f = pl.reciprocal(a, approx=True)
     else:
-        f = 1.0 / jnp.where(parallel, 1.0, a)
+        f = 1.0 / a
     sx = o1 - v0x
     sy = o2 - v0y
     sz = o3 - v0z
@@ -1039,9 +1055,8 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     t, u, v, bad = _mt_scalar_tri(
                         blk, brow, w, stride, o1, o2, o3, d1, d2, d3,
                         t_min, closest, approx_recip, rows=mt_rows)
-                    won = jnp.logical_not(bad)
-                    closest = jnp.where(won, t, closest)
-                    besti = jnp.where(won, c * width + w, besti)
+                    closest = jnp.where(bad, closest, t)
+                    besti = jnp.where(bad, besti, c * width + w)
                     # normals/texcoords/mesh-id/u/v are NOT captured
                     # here: they are pure functions of the winning tri
                     # id, fetched by one row gather + recompute after
@@ -1390,11 +1405,10 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     t, u, v, bad = _mt_scalar_tri(
                         blk, brow, w, stride, o1, o2, o3, d1, d2, d3,
                         t_min, closest, approx_recip, rows=mt_rows)
-                    hit = jnp.logical_not(bad)
-                    occ = jnp.where(hit, jnp.int32(1), occ)
+                    occ = jnp.where(bad, occ, jnp.int32(1))
                     # any-hit early-out (kernels.cu:207): retire the
                     # lane so it stops voting for nodes
-                    closest = jnp.where(hit, jnp.float32(-1e30), closest)
+                    closest = jnp.where(bad, closest, jnp.float32(-1e30))
                     return closest, occ
 
                 if unroll:
@@ -1622,9 +1636,8 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                         t, u, v, bad = _mt_scalar_tri(
                             blk.at[p], 0, w, stride, o1, o2, o3,
                             d1, d2, d3, t_min, closest, approx_recip)
-                        won = jnp.logical_not(bad)
-                        closest = jnp.where(won, t, closest)
-                        besti = jnp.where(won, c * width + w, besti)
+                        closest = jnp.where(bad, closest, t)
+                        besti = jnp.where(bad, besti, c * width + w)
                         return (closest, besti)
 
                     st = (closest, besti)
@@ -1884,10 +1897,9 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                         t, u, v, bad = _mt_scalar_tri(
                             blk.at[p], 0, w, stride, o1, o2, o3,
                             d1, d2, d3, t_min, closest, approx_recip)
-                        hit = jnp.logical_not(bad)
-                        occ = jnp.where(hit, jnp.int32(1), occ)
-                        closest = jnp.where(hit, jnp.float32(-1e30),
-                                            closest)
+                        occ = jnp.where(bad, occ, jnp.int32(1))
+                        closest = jnp.where(bad, closest,
+                                            jnp.float32(-1e30))
                         return closest, occ
 
                     st = (closest, occ)
@@ -2223,9 +2235,8 @@ def _kernel_nearest_mps(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                         t, u, v, bad = _mt_scalar_tri(
                             blk.at[p], 0, w, stride, o1, o2, o3,
                             d1, d2, d3, t_min, closest, approx_recip)
-                        won = jnp.logical_not(bad)
-                        closest = jnp.where(won, t, closest)
-                        besti = jnp.where(won, c * width + w, besti)
+                        closest = jnp.where(bad, closest, t)
+                        besti = jnp.where(bad, besti, c * width + w)
                         return (closest, besti)
 
                     st = (cls[sl, :], bst[sl, :])
@@ -2339,10 +2350,9 @@ def _kernel_shadow_mps(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                         t, u, v, bad = _mt_scalar_tri(
                             blk.at[p], 0, w, stride, o1, o2, o3,
                             d1, d2, d3, t_min, closest, approx_recip)
-                        hit = jnp.logical_not(bad)
-                        occ = jnp.where(hit, jnp.int32(1), occ)
-                        closest = jnp.where(hit, jnp.float32(-1e30),
-                                            closest)
+                        occ = jnp.where(bad, occ, jnp.int32(1))
+                        closest = jnp.where(bad, closest,
+                                            jnp.float32(-1e30))
                         return (closest, occ)
 
                     st = (cls[sl, :], occr[sl, :])

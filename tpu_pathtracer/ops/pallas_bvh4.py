@@ -137,7 +137,7 @@ def _stack_pop(stk, sp):
     return jnp.where(sp > 0, popped, 0), spm
 
 
-def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk):
+def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk, rb=16):
     """Shared double-buffer leaf DMA for the explicit-stack kernels.
 
     The explicit ref stack makes leaf prefetch NON-speculative: when a
@@ -162,18 +162,18 @@ def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk):
 
         @pl.when(pf_b & (par == 0))
         def _():
-            pltpu.make_async_copy(blocks.at[0], blk.at[pl.ds(0, 16)],
+            pltpu.make_async_copy(blocks.at[0], blk.at[pl.ds(0, rb)],
                                   s0).wait()
 
         @pl.when(pf_b & (par == 1))
         def _():
-            pltpu.make_async_copy(blocks.at[0], blk.at[pl.ds(16, 16)],
+            pltpu.make_async_copy(blocks.at[0], blk.at[pl.ds(rb, rb)],
                                   s1).wait()
 
         @pl.when(jnp.logical_not(pf_b))
         def _():
             dma = pltpu.make_async_copy(blocks.at[c],
-                                        blk.at[pl.ds(0, 16)], sem)
+                                        blk.at[pl.ds(0, rb)], sem)
             dma.start()
             dma.wait()
         return cur_slot
@@ -186,24 +186,24 @@ def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk):
 
         @pl.when(do_pf & (pf_slot == 0))
         def _():
-            pltpu.make_async_copy(blocks.at[nc], blk.at[pl.ds(0, 16)],
+            pltpu.make_async_copy(blocks.at[nc], blk.at[pl.ds(0, rb)],
                                   s0).start()
 
         @pl.when(do_pf & (pf_slot == 1))
         def _():
-            pltpu.make_async_copy(blocks.at[nc], blk.at[pl.ds(16, 16)],
+            pltpu.make_async_copy(blocks.at[nc], blk.at[pl.ds(rb, rb)],
                                   s1).start()
 
         def drain(pred):
             @pl.when(pred & do_pf & (pf_slot == 0))
             def _():
                 pltpu.make_async_copy(blocks.at[0],
-                                      blk.at[pl.ds(0, 16)], s0).wait()
+                                      blk.at[pl.ds(0, rb)], s0).wait()
 
             @pl.when(pred & do_pf & (pf_slot == 1))
             def _():
                 pltpu.make_async_copy(blocks.at[0],
-                                      blk.at[pl.ds(16, 16)], s1).wait()
+                                      blk.at[pl.ds(rb, rb)], s1).wait()
 
         return do_pf.astype(jnp.int32), pf_slot, drain
 
@@ -216,6 +216,8 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
+    rb = blocks.shape[1]               # 8 = packed layout, 16 = legacy
+    stride = width if rb == 8 else 128
 
     def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None,
                cls=None, bst=None):
@@ -228,7 +230,7 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         if prefetch:
             pf_consume, pf_issue = _leaf_dma_helpers(
-                blocks, blk, sem, s0, s1, stk)
+                blocks, blk, sem, s0, s1, stk, rb=rb)
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -278,8 +280,8 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
             if prefetch:
                 cur_slot = pf_consume(c, pfon, par)
                 new_pfon, new_par, _drain = pf_issue(sp, cur_slot)
-                base = cur_slot * 16
-                mt_rows = [base + r for r in range(16)]
+                base = cur_slot * rb
+                mt_rows = [base + r for r in range(rb)]
             else:
                 dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
                 dma.start()
@@ -290,11 +292,10 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
             def tri(w, st):
                 closest, besti = st
                 t, u, v, bad = _mt_scalar_tri(
-                    blk, 0, w, 128, o1, o2, o3, d1, d2, d3,
+                    blk, 0, w, stride, o1, o2, o3, d1, d2, d3,
                     t_min, closest, rows=mt_rows)
-                won = jnp.logical_not(bad)
-                closest = jnp.where(won, t, closest)
-                besti = jnp.where(won, c * width + w, besti)
+                closest = jnp.where(bad, closest, t)
+                besti = jnp.where(bad, besti, c * width + w)
                 return (closest, besti)
 
             st = (closest, besti)
@@ -348,7 +349,8 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         tri_out[:, :] = besti
         feat_out[:, :] = closest
 
-    kw = dict(blk=pltpu.SMEM((32, 128) if prefetch else blocks.shape[1:],
+    kw = dict(blk=pltpu.SMEM((2 * blocks.shape[1], 128) if prefetch
+                             else blocks.shape[1:],
                              jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()),
               ntab=pltpu.SMEM(bounds.shape,
@@ -370,6 +372,8 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, occ_out, cnt_out = rest
+    rb = blocks.shape[1]               # 8 = packed layout, 16 = legacy
+    stride = width if rb == 8 else 128
 
     def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None,
                cls=None, occr=None):
@@ -382,7 +386,7 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         if prefetch:
             pf_consume, pf_issue = _leaf_dma_helpers(
-                blocks, blk, sem, s0, s1, stk)
+                blocks, blk, sem, s0, s1, stk, rb=rb)
         o1 = ox[:, :]
         o2 = oy[:, :]
         o3 = oz[:, :]
@@ -426,8 +430,8 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
             if prefetch:
                 cur_slot = pf_consume(c, pfon, par)
                 new_pfon, new_par, drain = pf_issue(sp, cur_slot)
-                base = cur_slot * 16
-                mt_rows = [base + r for r in range(16)]
+                base = cur_slot * rb
+                mt_rows = [base + r for r in range(rb)]
             else:
                 dma = pltpu.make_async_copy(blocks.at[c], blk, sem)
                 dma.start()
@@ -438,12 +442,11 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
             def tri(w, st):
                 closest, occ = st
                 t, u, v, bad = _mt_scalar_tri(
-                    blk, 0, w, 128, o1, o2, o3, d1, d2, d3,
+                    blk, 0, w, stride, o1, o2, o3, d1, d2, d3,
                     t_min, closest, rows=mt_rows)
-                hit = jnp.logical_not(bad)
-                occ = jnp.where(hit, jnp.int32(1), occ)
+                occ = jnp.where(bad, occ, jnp.int32(1))
                 # retire the lane: closest < 0 fails every further test
-                closest = jnp.where(hit, jnp.float32(-1e30), closest)
+                closest = jnp.where(bad, closest, jnp.float32(-1e30))
                 return (closest, occ)
 
             st = (closest, occ)
@@ -503,7 +506,8 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
             jnp.where((ii == 0) & (jj == 1), nsg,
                       jnp.where((ii == 0) & (jj == 2), nl, 0)))
 
-    kw = dict(blk=pltpu.SMEM((32, 128) if prefetch else blocks.shape[1:],
+    kw = dict(blk=pltpu.SMEM((2 * blocks.shape[1], 128) if prefetch
+                             else blocks.shape[1:],
                              jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()),
               ntab=pltpu.SMEM(bounds.shape,
