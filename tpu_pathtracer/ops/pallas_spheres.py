@@ -9,9 +9,20 @@ per-pair math runs the *direct* ``oc = o - c`` form (intersections.h:85–
 104) at full f32 precision — no matmul-expansion cancellation, so no
 refinement pass is needed.
 
-Layout: rays are processed in (TILE,) lanes per grid step with spheres
-broadcast along the lane axis — (TILE, S) VPU tiles, sublane = rays,
-lane = spheres.
+Layout (round 4): rays ride (8,128) LANE tiles — 1024 rays per grid
+step — and spheres are scalar-broadcast from an SMEM table by a fully
+unrolled loop, exactly like the packet kernels' leaf MT loop. The
+original layout (rays along sublanes as (TILE,1) columns, spheres
+along lanes, winner via cross-lane min+argmin per 512-chunk) measured
+~3x above its VPU op floor: column broadcasts, lane reductions, and
+the (C,TILE) accumulator relayouts eat the difference
+(experiments/sphere_layout_probe.py: 254 -> 82 us per 16k-ray
+iteration, t/idx/features bit-identical — the sequential strict-<
+winner update implements the same first-wins tie-break as the chunked
+argmin). The winner's features still come from the in-kernel 3-term
+bf16 one-hot MXU contraction (exact); sel is (S, 1024) per packet.
+The old layout survives only under ``mx=True`` (the measured-negative
+MXU b/c decision record, PERFORMANCE.md r3).
 """
 
 from __future__ import annotations
@@ -28,6 +39,106 @@ from jax.experimental.pallas import tpu as pltpu
 _FLT_MAX = 3.4028235e38  # python float: pallas kernels must not capture traced consts
 TILE = 256
 S_CHUNK = 512
+ROWS = 8               # lane-layout kernels: (8,128) ray tiles
+UNROLL_MAX = 1024      # full sphere-loop unroll up to this many slots
+
+
+def _sb_sphere_step(tab, s, o1, o2, o3, d1, d2, d3, t_min, t_best,
+                    i_best):
+    """One scalar-broadcast sphere test against the (8,128) lane tile
+    — arithmetic op-for-op the _sphere_chunk_ts sequence (oc form,
+    sphere.h:10-23), winner by sequential strict-< (same first-wins
+    tie-break as the chunked argmin it replaces)."""
+    ccx = tab[0, s]
+    ccy = tab[1, s]
+    ccz = tab[2, s]
+    rr2 = tab[3, s]
+    ocx = o1 - ccx
+    ocy = o2 - ccy
+    ocz = o3 - ccz
+    b = ocx * d1 + ocy * d2 + ocz * d3
+    c = ocx * ocx + ocy * ocy + ocz * ocz - rr2
+    disc = b * b - c
+    ok = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - sq
+    t2 = -b + sq
+    ts0 = jnp.where(t1 > t_min, t1, t2)
+    win = ok & (ts0 > t_min) & (ts0 < t_best)
+    return (jnp.where(win, ts0, t_best),
+            jnp.where(win, s, i_best) if i_best is not None else None,
+            win)
+
+
+def _kernel_sb(ox, oy, oz, dx, dy, dz, tmax, sph, *rest, t_min,
+               s_pad, n_c, unroll, any_hit=False):
+    """Lane-layout kernel: nearest hit (+ optional one-hot feature
+    fetch when ``n_c`` > 0) or any-hit (``any_hit``)."""
+    if any_hit:
+        (occ_out,) = rest
+    elif n_c:
+        feat_t, t_out, idx_out, f_out = rest
+    else:
+        t_out, idx_out = rest
+
+    def scoped(tab, sem):
+        d = pltpu.make_async_copy(sph, tab, sem)
+        d.start()
+        d.wait()
+        o1 = ox[:, :]
+        o2 = oy[:, :]
+        o3 = oz[:, :]
+        d1 = dx[:, :]
+        d2 = dy[:, :]
+        d3 = dz[:, :]
+        tmax_v = tmax[:, :]
+        shp = o1.shape
+        t_best = tmax_v
+        i_best = None if any_hit else jnp.full(shp, -1, jnp.int32)
+        occ = jnp.zeros(shp, jnp.int32) if any_hit else None
+        if unroll:
+            for s in range(s_pad):
+                t_best, i_best, win = _sb_sphere_step(
+                    tab, s, o1, o2, o3, d1, d2, d3, t_min, t_best,
+                    i_best)
+                if any_hit:
+                    occ = jnp.where(win, jnp.int32(1), occ)
+        else:
+            def body(s, st):
+                t_b, i_b, oc_ = st
+                t_b, i_b, win = _sb_sphere_step(
+                    tab, s, o1, o2, o3, d1, d2, d3, t_min, t_b, i_b)
+                if any_hit:
+                    oc_ = jnp.where(win, jnp.int32(1), oc_)
+                return (t_b, i_b, oc_)
+            t_best, i_best, occ = jax.lax.fori_loop(
+                0, s_pad, body, (t_best, i_best, occ))
+        if any_hit:
+            occ_out[:, :] = occ
+            return
+        if n_c:
+            # winner features: exact 3-term bf16 one-hot contraction
+            # (see _kernel_feat's rationale — per-lane HBM gathers are
+            # ~10 ns/lane; this is ~0.1 ms for all columns at once)
+            hi = feat_t[:, :].astype(jnp.bfloat16)
+            r1_ = feat_t[:, :] - hi.astype(jnp.float32)
+            mid = r1_.astype(jnp.bfloat16)
+            lo = (r1_ - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            row0 = jax.lax.broadcasted_iota(
+                jnp.int32, (s_pad, ROWS * 128), 0)
+            i_row = i_best.reshape(1, ROWS * 128)
+            sel = (row0 == i_row).astype(jnp.bfloat16)
+            acc = jnp.dot(hi, sel, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(mid, sel,
+                                preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(lo, sel,
+                                preferred_element_type=jnp.float32)
+            f_out[:, :] = acc
+        t_out[:, :] = jnp.where(i_best >= 0, t_best, _FLT_MAX)
+        idx_out[:, :] = i_best
+
+    pl.run_scoped(scoped, tab=pltpu.SMEM((4, s_pad), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()))
 
 
 def _sphere_chunk_ts(o1, o2, o3, d1, d2, d3, t_min, tmax_v,
@@ -230,6 +341,42 @@ def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, feat_t,
     feat_out[:, :] = acc_t
 
 
+def _sb_pack(origin, direction, centers, radii, t_max, n, s):
+    """Shared arg packing for the lane-layout kernels: rays reshaped to
+    (n_pad//128, 128) tiles, spheres as one (4, s_pad) SMEM table
+    (cx, cy, cz, r²·sign — padding slots carry r² = −1 so disc < 0 by
+    Cauchy–Schwarz and can never win)."""
+    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    s_pad = ((s + 127) // 128) * 128
+    shp2 = (n_pad // 128, 128)
+
+    def pad_n(a, fill):
+        if n_pad != n:
+            a = jnp.concatenate(
+                [a, jnp.full((n_pad - n,), fill, a.dtype)])
+        return a.reshape(shp2)
+
+    def pad_s(a, fill):
+        if s_pad != s:
+            a = jnp.concatenate(
+                [a, jnp.full((s_pad - s,), fill, a.dtype)])
+        return a
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    sph = jnp.stack([
+        pad_s(centers.x, 0.0), pad_s(centers.y, 0.0),
+        pad_s(centers.z, 0.0),
+        pad_s(radii * radii * jnp.where(radii > 0, 1.0, -1.0), -1.0)])
+    args = [
+        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
+        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
+        pad_n(direction.z, 0.0),
+        pad_n(t_max_b, 0.0),
+        sph,
+    ]
+    return args, n_pad, s_pad, shp2
+
+
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret",
                                              "num_feats", "mx"))
 def spheres_hit_feat(origin, direction, centers, radii,
@@ -243,6 +390,50 @@ def spheres_hit_feat(origin, direction, centers, radii,
     Returns (t [N], idx [N], feats: tuple of C dense [N] arrays — zeros
     for miss lanes).
     """
+    n = origin.x.shape[0]
+    s = centers.x.shape[0]
+    c = feat.shape[1]
+    if mx:
+        return _spheres_hit_feat_mx(origin, direction, centers, radii,
+                                    feat, t_min, t_max, interpret, c)
+    args, n_pad, s_pad, shp2 = _sb_pack(origin, direction, centers,
+                                        radii, t_max, n, s)
+    feat_t = feat.T  # [C, S] — feature-major, matching the output
+    if s_pad != s:
+        feat_t = jnp.concatenate(
+            [feat_t, jnp.zeros((c, s_pad - s), feat.dtype)], axis=1)
+    args = args + [feat_t]
+    ray = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    ftab = pl.BlockSpec((c, s_pad), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    fout = pl.BlockSpec((c, ROWS * 128), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_sb, t_min=float(t_min), s_pad=s_pad,
+                          n_c=c, unroll=(not interpret
+                                         and s_pad <= UNROLL_MAX)),
+        grid=(n_pad // (ROWS * 128),),
+        in_specs=[ray] * 7 + [hbm, ftab],
+        out_specs=(ray, ray, fout),
+        out_shape=(jax.ShapeDtypeStruct(shp2, jnp.float32),
+                   jax.ShapeDtypeStruct(shp2, jnp.int32),
+                   jax.ShapeDtypeStruct((c, n_pad), jnp.float32)),
+        interpret=interpret,
+    )(*args)
+    t = outs[0].reshape(-1)[:n]
+    idx = outs[1].reshape(-1)[:n]
+    fo = outs[2]
+    feats = tuple(fo[i, :n] for i in range(c))
+    return t, idx, feats
+
+
+def _spheres_hit_feat_mx(origin, direction, centers, radii, feat,
+                         t_min, t_max, interpret, c):
+    """The original (TILE, S)-layout kernel — retained ONLY as the
+    ``mx=True`` decision record (MXU b/c contraction, measured 1.034x
+    at SSIM 0.9934 — fails the fast-math gate; PERFORMANCE.md r3)."""
     n = origin.x.shape[0]
     s = centers.x.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -260,7 +451,6 @@ def spheres_hit_feat(origin, direction, centers, radii,
 
     radii_ = radii
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    c = feat.shape[1]
     feat_t = feat.T  # [C, S] — feature-major, matching the (C, TILE) output
     if s_pad != s:
         feat_t = jnp.concatenate(
@@ -286,7 +476,7 @@ def spheres_hit_feat(origin, direction, centers, radii,
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel_feat, t_min=float(t_min), s_pad=s_pad,
-                          num_feats=c, mx=mx, mx_exact=interpret),
+                          num_feats=c, mx=True, mx_exact=interpret),
         grid=grid,
         in_specs=[ray_spec] * 7 + [sph_spec] * 4 + [feat_spec],
         out_specs=(ray_spec, ray_spec, fout_spec),
@@ -339,7 +529,34 @@ def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, cx, cy, cz, r2, occ_out,
 def spheres_anyhit_soa(origin, direction, centers, radii, t_min: float,
                        t_max, interpret: bool = False,
                        mx: bool = False) -> jnp.ndarray:
-    """[N] bool: any sphere hit in (t_min, t_max) — shadow fast path."""
+    """[N] bool: any sphere hit in (t_min, t_max) — shadow fast path.
+    (``mx`` retains the old-layout MXU b/c decision record.)"""
+    n = origin.x.shape[0]
+    s = centers.x.shape[0]
+    if mx:
+        return _spheres_anyhit_mx(origin, direction, centers, radii,
+                                  t_min, t_max, interpret)
+    args, n_pad, s_pad, shp2 = _sb_pack(origin, direction, centers,
+                                        radii, t_max, n, s)
+    ray = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    occ = pl.pallas_call(
+        functools.partial(_kernel_sb, t_min=float(t_min), s_pad=s_pad,
+                          n_c=0, any_hit=True,
+                          unroll=(not interpret
+                                  and s_pad <= UNROLL_MAX)),
+        grid=(n_pad // (ROWS * 128),),
+        in_specs=[ray] * 7 + [hbm],
+        out_specs=ray,
+        out_shape=jax.ShapeDtypeStruct(shp2, jnp.int32),
+        interpret=interpret,
+    )(*args)
+    return occ.reshape(-1)[:n] != 0
+
+
+def _spheres_anyhit_mx(origin, direction, centers, radii, t_min, t_max,
+                       interpret):
     n = origin.x.shape[0]
     s = centers.x.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
@@ -371,7 +588,7 @@ def spheres_anyhit_soa(origin, direction, centers, radii, t_min: float,
                             memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         functools.partial(_kernel_any, t_min=float(t_min), s_pad=s_pad,
-                          mx=mx, mx_exact=interpret),
+                          mx=True, mx_exact=interpret),
         grid=grid,
         in_specs=[ray_spec] * 7 + [sph_spec] * 4,
         out_specs=ray_spec,
@@ -410,42 +627,25 @@ def _spheres_hit_impl(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii,
                       t_min: float, t_max, interpret: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (t [N] with _FLT_MAX miss, idx [N], -1 on miss)."""
+    from tpu_pathtracer.ops.v3 import V3
+
     n = ox.shape[0]
     s = cx.shape[0]
-    n_pad = ((n + TILE - 1) // TILE) * TILE
-    s_pad = ((s + S_CHUNK - 1) // S_CHUNK) * S_CHUNK
-
-    def pad_n(a, fill):
-        return jnp.concatenate(
-            [a, jnp.full((n_pad - n,), fill, a.dtype)]).reshape(1, n_pad) \
-            if n_pad != n else a.reshape(1, n_pad)
-
-    def pad_s(a, fill):
-        return jnp.concatenate(
-            [a, jnp.full((s_pad - s,), fill, a.dtype)]).reshape(1, s_pad) \
-            if s_pad != s else a.reshape(1, s_pad)
-
-    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    args = [
-        pad_n(ox, 0.0), pad_n(oy, 0.0), pad_n(oz, 0.0),
-        pad_n(dx, 1.0), pad_n(dy, 0.0), pad_n(dz, 0.0),
-        pad_n(t_max_b, 0.0),
-        pad_s(cx, 0.0), pad_s(cy, 0.0), pad_s(cz, 0.0),
-        pad_s(radii * radii * jnp.where(radii > 0, 1.0, -1.0), -1.0),
-    ]
-
-    grid = (n_pad // TILE,)
-    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    sph_spec = pl.BlockSpec((1, s_pad), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    args, n_pad, s_pad, shp2 = _sb_pack(
+        V3(ox, oy, oz), V3(dx, dy, dz), V3(cx, cy, cz), radii, t_max,
+        n, s)
+    ray = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     t, idx = pl.pallas_call(
-        functools.partial(_kernel, t_min=float(t_min), s_pad=s_pad),
-        grid=grid,
-        in_specs=[ray_spec] * 7 + [sph_spec] * 4,
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32)),
+        functools.partial(_kernel_sb, t_min=float(t_min), s_pad=s_pad,
+                          n_c=0, unroll=(not interpret
+                                         and s_pad <= UNROLL_MAX)),
+        grid=(n_pad // (ROWS * 128),),
+        in_specs=[ray] * 7 + [hbm],
+        out_specs=(ray, ray),
+        out_shape=(jax.ShapeDtypeStruct(shp2, jnp.float32),
+                   jax.ShapeDtypeStruct(shp2, jnp.int32)),
         interpret=interpret,
     )(*args)
-    return t[0, :n], idx[0, :n]
+    return t.reshape(-1)[:n], idx.reshape(-1)[:n]
