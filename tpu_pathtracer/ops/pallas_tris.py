@@ -10,6 +10,17 @@ traversal (ops/bvh.py).
 
 Sentinel padding triangles (+inf vertices, kernels.cu:202) fall out
 naturally: NaN comparisons are false so they always miss.
+
+Layout (round 4): rays ride (8,128) LANE tiles — 1024 per grid step —
+and triangles are scalar-broadcast from a (12, T) SMEM table by an
+unrolled loop (full unroll to UNROLL_MAX slots, rolled fori beyond),
+the same shape as the packet kernels' leaf MT loop and the r4 sphere
+kernel rewrite: the original (TILE, T) column-broadcast + cross-lane
+argmin layout measured ~3x above its VPU op floor
+(experiments/sphere_layout_probe.py). Winners (t, id, u, v) are
+tracked by sequential strict-< selects — the same first-wins
+tie-break as the chunked argmin; features still come from the exact
+3-term bf16 one-hot MXU contraction, chunked so sel tiles stay ~1 MB.
 """
 
 from __future__ import annotations
@@ -25,202 +36,171 @@ from jax.experimental.pallas import tpu as pltpu
 _FLT_MAX = 3.4028235e38
 TILE = 256
 T_CHUNK = 512
+ROWS = 8               # lane-layout kernels: (8,128) ray tiles
+UNROLL_MAX = 1024      # full triangle-loop unroll up to this many slots
+SEL_CHUNK = 512        # one-hot feature-fetch chunk (sel tile ~1 MB)
 
 
-def _chunking(t: int):
-    """Pad the triangle count to a lane multiple and pick the in-kernel
-    chunk size: a single chunk up to 1024 (VMEM (TILE, t_pad) tiles stay
-    ~1 MB), else 512-wide chunks — avoids padding 640-triangle scenes to
-    1024 and doing 60% dead work."""
-    t128 = ((t + 127) // 128) * 128
-    if t128 <= 1024:
-        return t128, t128
-    t_pad = ((t + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
-    return t_pad, T_CHUNK
-
-
-def _mt_chunk(o1, o2, o3, d1, d2, d3, refs, sl, t_min, tmax_v):
-    """Restructured Möller–Trumbore over one (TILE, chunk) tile: one
-    shared cross q = s×d plus the precomputed face normal n = e1×e2
-    replace the two per-pair crosses (see ops/intersect.triangles_hit
-    for the determinant identities — the op order here mirrors it
-    bit-for-bit). Returns (t, u, v, bad)."""
-    (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz) = refs
-    v0x = ax[0, sl][None, :]
-    v0y = ay[0, sl][None, :]
-    v0z = az[0, sl][None, :]
-    g1x = e1x[0, sl][None, :]
-    g1y = e1y[0, sl][None, :]
-    g1z = e1z[0, sl][None, :]
-    g2x = e2x[0, sl][None, :]
-    g2y = e2y[0, sl][None, :]
-    g2z = e2z[0, sl][None, :]
-    n1 = nx[0, sl][None, :]
-    n2 = ny[0, sl][None, :]
-    n3 = nz[0, sl][None, :]
+def _sb_tri_step(tab, s, o1, o2, o3, d1, d2, d3, t_min, t_best):
+    """One scalar-broadcast Möller–Trumbore test against the (8,128)
+    lane tile — op-for-op the _mt_chunk sequence (restructured form
+    with precomputed n; see ops/pallas_bvh._mt_scalar_tri)."""
+    v0x = tab[0, s]
+    v0y = tab[1, s]
+    v0z = tab[2, s]
+    g1x = tab[3, s]
+    g1y = tab[4, s]
+    g1z = tab[5, s]
+    g2x = tab[6, s]
+    g2y = tab[7, s]
+    g2z = tab[8, s]
+    n1 = tab[9, s]
+    n2 = tab[10, s]
+    n3 = tab[11, s]
     a = -(d1 * n1 + d2 * n2 + d3 * n3)
     parallel = jnp.abs(a) < 1e-7  # intersections.h:55
-    f = 1.0 / jnp.where(parallel, 1.0, a)
+    f = 1.0 / a
     sx = o1 - v0x
     sy = o2 - v0y
     sz = o3 - v0z
-    # q = cross(s, d)
     qx = sy * d3 - sz * d2
     qy = sz * d1 - sx * d3
     qz = sx * d2 - sy * d1
     u = f * (qx * g2x + qy * g2y + qz * g2z)
     v = -(f * (qx * g1x + qy * g1y + qz * g1z))
     t = f * (sx * n1 + sy * n2 + sz * n3)
-    # min(u,v)<0 | u+v>1 == the full 4-test chain (see
-    # ops/pallas_bvh._mt_scalar_tri for the identity) — same accept set
     bad = (parallel | (jnp.minimum(u, v) < 0.0) | (u + v > 1.0)
-           | jnp.logical_not(t > t_min) | jnp.logical_not(t < tmax_v))
+           | jnp.logical_not(t > t_min) | jnp.logical_not(t < t_best))
     return t, u, v, bad
 
 
-def _kernel(ox, oy, oz, dx, dy, dz, tmax, *refs, t_min: float, t_pad: int,
-            chunk: int):
-    tri_refs = refs[:12]
-    t_out, i_out, u_out, v_out = refs[12:]
-    o1 = ox[0, :][:, None]
-    o2 = oy[0, :][:, None]
-    o3 = oz[0, :][:, None]
-    d1 = dx[0, :][:, None]
-    d2 = dy[0, :][:, None]
-    d3 = dz[0, :][:, None]
-    tmax_v = tmax[0, :][:, None]
+def _kernel_sb(ox, oy, oz, dx, dy, dz, tmax, tris, *rest, t_min,
+               t_pad, n_c, unroll, any_hit=False):
+    """Lane-layout kernel: nearest hit + u/v (+ features when
+    ``n_c`` > 0), or any-hit occlusion."""
+    if any_hit:
+        (occ_out,) = rest
+    elif n_c:
+        feat_t, t_out, i_out, u_out, v_out, f_out = rest
+    else:
+        t_out, i_out, u_out, v_out = rest
 
-    t_best = jnp.full((TILE, 1), _FLT_MAX, jnp.float32)
-    i_best = jnp.full((TILE, 1), -1, jnp.int32)
-    u_best = jnp.zeros((TILE, 1), jnp.float32)
-    v_best = jnp.zeros((TILE, 1), jnp.float32)
+    def scoped(tab, sem):
+        d = pltpu.make_async_copy(tris, tab, sem)
+        d.start()
+        d.wait()
+        o1 = ox[:, :]
+        o2 = oy[:, :]
+        o3 = oz[:, :]
+        d1 = dx[:, :]
+        d2 = dy[:, :]
+        d3 = dz[:, :]
+        tmax_v = tmax[:, :]
+        shp = o1.shape
 
-    def chunk_body(k, carry):
-        t_best, i_best, u_best, v_best = carry
-        base = k * chunk
-        t, u, v, bad = _mt_chunk(o1, o2, o3, d1, d2, d3, tri_refs,
-                                 pl.ds(base, chunk), t_min, tmax_v)
-        ts = jnp.where(bad, _FLT_MAX, t)
-        tloc = jnp.min(ts, axis=1, keepdims=True)
-        jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
-        better = tloc < t_best
-        t_best = jnp.where(better, tloc, t_best)
-        i_best = jnp.where(better, jloc + base, i_best)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1)
-        sel = rows == jloc
-        u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-        v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
-        u_best = jnp.where(better, u_pick, u_best)
-        v_best = jnp.where(better, v_pick, v_best)
-        return t_best, i_best, u_best, v_best
+        if any_hit:
+            def step(s, st):
+                occ, = st
+                # any-hit: test against the ORIGINAL t_max, not a
+                # shrinking bound (no nearest tracking needed)
+                t, u, v, bad = _sb_tri_step(
+                    tab, s, o1, o2, o3, d1, d2, d3, t_min, tmax_v)
+                occ = jnp.where(bad, occ, jnp.int32(1))
+                return (occ,)
+            init = (jnp.zeros(shp, jnp.int32),)
+        else:
+            def step(s, st):
+                t_best, i_best, u_best, v_best = st
+                t, u, v, bad = _sb_tri_step(
+                    tab, s, o1, o2, o3, d1, d2, d3, t_min, t_best)
+                t_best = jnp.where(bad, t_best, t)
+                i_best = jnp.where(bad, i_best, s)
+                u_best = jnp.where(bad, u_best, u)
+                v_best = jnp.where(bad, v_best, v)
+                return (t_best, i_best, u_best, v_best)
+            init = (tmax_v, jnp.full(shp, -1, jnp.int32),
+                    jnp.zeros(shp, jnp.float32),
+                    jnp.zeros(shp, jnp.float32))
 
-    t_best, i_best, u_best, v_best = jax.lax.fori_loop(
-        0, t_pad // chunk, chunk_body, (t_best, i_best, u_best, v_best))
+        if unroll:
+            st = init
+            for s in range(t_pad):
+                st = step(s, st)
+        else:
+            st = jax.lax.fori_loop(0, t_pad, step, init)
 
-    t_out[0, :] = t_best[:, 0]
-    i_out[0, :] = i_best[:, 0]
-    u_out[0, :] = u_best[:, 0]
-    v_out[0, :] = v_best[:, 0]
+        if any_hit:
+            occ_out[:, :] = st[0]
+            return
+        t_best, i_best, u_best, v_best = st
+        if n_c:
+            i_row = i_best.reshape(1, ROWS * 128)
+            acc = jnp.zeros((n_c, ROWS * 128), jnp.float32)
+            for k in range(t_pad // SEL_CHUNK if t_pad % SEL_CHUNK == 0
+                           else t_pad // SEL_CHUNK + 1):
+                base = k * SEL_CHUNK
+                width = min(SEL_CHUNK, t_pad - base)
+                fchunk = feat_t[:, base:base + width]
+                hi = fchunk.astype(jnp.bfloat16)
+                r1 = fchunk - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                # per-chunk iota at the exact width — SLICING a bigger
+                # iota ((512,1024)[:128]) abort-crashes Mosaic
+                rowk = jax.lax.broadcasted_iota(
+                    jnp.int32, (width, ROWS * 128), 0)
+                sel = (rowk + base == i_row).astype(jnp.bfloat16)
+                acc = acc + jnp.dot(hi, sel,
+                                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(mid, sel,
+                                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(lo, sel,
+                                    preferred_element_type=jnp.float32)
+            f_out[:, :] = acc
+        t_out[:, :] = jnp.where(i_best >= 0, t_best, _FLT_MAX)
+        i_out[:, :] = i_best
+        u_out[:, :] = jnp.where(i_best >= 0, u_best, 0.0)
+        v_out[:, :] = jnp.where(i_best >= 0, v_best, 0.0)
 
-
-def _kernel_feat(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
-                 e2x, e2y, e2z, nx, ny, nz, feat_t, t_out, i_out, u_out,
-                 v_out, feat_out, *, t_min: float, t_pad: int,
-                 num_feats: int, chunk: int):
-    """Hit test + per-lane feature fetch (transposed one-hot MXU
-    contraction into a single feature-major output — see
-    pallas_spheres._kernel_feat)."""
-    tri_refs = (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz)
-    o1 = ox[0, :][:, None]
-    o2 = oy[0, :][:, None]
-    o3 = oz[0, :][:, None]
-    d1 = dx[0, :][:, None]
-    d2 = dy[0, :][:, None]
-    d3 = dz[0, :][:, None]
-    tmax_v = tmax[0, :][:, None]
-
-    t_best = jnp.full((TILE, 1), _FLT_MAX, jnp.float32)
-    i_best = jnp.full((TILE, 1), -1, jnp.int32)
-    u_best = jnp.zeros((TILE, 1), jnp.float32)
-    v_best = jnp.zeros((TILE, 1), jnp.float32)
-
-    def chunk_body(k, carry):
-        t_best, i_best, u_best, v_best = carry
-        base = k * chunk
-        t, u, v, bad = _mt_chunk(o1, o2, o3, d1, d2, d3, tri_refs,
-                                 pl.ds(base, chunk), t_min, tmax_v)
-        ts = jnp.where(bad, _FLT_MAX, t)
-        tloc = jnp.min(ts, axis=1, keepdims=True)
-        jloc = jnp.argmin(ts, axis=1).astype(jnp.int32)[:, None]
-        better = tloc < t_best
-        t_best = jnp.where(better, tloc, t_best)
-        i_best = jnp.where(better, jloc + base, i_best)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1)
-        sel = rows == jloc
-        u_pick = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-        v_pick = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
-        u_best = jnp.where(better, u_pick, u_best)
-        v_best = jnp.where(better, v_pick, v_best)
-        return t_best, i_best, u_best, v_best
-
-    t_best, i_best, u_best, v_best = jax.lax.fori_loop(
-        0, t_pad // chunk, chunk_body, (t_best, i_best, u_best, v_best))
-
-    # feature fetch: feat_tᵀ-chunk @ one-hotᵀ on the MXU, bit-exactly via a
-    # 3-term bf16 decomposition (see pallas_spheres._kernel_feat). The
-    # chunk is sliced from the ref with pl.ds (Mosaic has no value-level
-    # dynamic_slice) and decomposed per chunk.
-    row0 = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE), 0)
-    i_row = i_best[:, 0][None, :]
-
-    def feat_body(k, acc_t):
-        base = k * chunk
-        fchunk = feat_t[:, pl.ds(base, chunk)]
-        hi = fchunk.astype(jnp.bfloat16)
-        r1 = fchunk - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        sel_t = (row0 + base == i_row).astype(jnp.bfloat16)
-        acc_t = acc_t + jnp.dot(hi, sel_t, preferred_element_type=jnp.float32)
-        acc_t = acc_t + jnp.dot(mid, sel_t, preferred_element_type=jnp.float32)
-        acc_t = acc_t + jnp.dot(lo, sel_t, preferred_element_type=jnp.float32)
-        return acc_t
-
-    acc_t = jax.lax.fori_loop(0, t_pad // chunk, feat_body,
-                              jnp.zeros((num_feats, TILE), jnp.float32))
-
-    t_out[0, :] = t_best[:, 0]
-    i_out[0, :] = i_best[:, 0]
-    u_out[0, :] = u_best[:, 0]
-    v_out[0, :] = v_best[:, 0]
-    feat_out[:, :] = acc_t
+    pl.run_scoped(scoped, tab=pltpu.SMEM((12, t_pad), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()))
 
 
-def _kernel_any(ox, oy, oz, dx, dy, dz, tmax, ax, ay, az, e1x, e1y, e1z,
-                e2x, e2y, e2z, nx, ny, nz, occ_out, *, t_min: float,
-                t_pad: int, chunk: int):
-    """Shadow any-hit: the ~same MT test but NO argmin/u/v/feature
-    selection — occlusion only needs "did anything hit before t_max"
-    (the early-out semantics of kernels.cu:207)."""
-    tri_refs = (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz)
-    o1 = ox[0, :][:, None]
-    o2 = oy[0, :][:, None]
-    o3 = oz[0, :][:, None]
-    d1 = dx[0, :][:, None]
-    d2 = dy[0, :][:, None]
-    d3 = dz[0, :][:, None]
-    tmax_v = tmax[0, :][:, None]
+def _sb_pack_tris(origin, direction, v0, e1, e2, nrm, t_max, n, t):
+    """Shared packing for the lane-layout tri kernels: rays reshaped to
+    (n_pad//128, 128) tiles, triangles as one (12, t_pad) table
+    (inf-sentinel padding -> NaN arithmetic -> always-miss,
+    kernels.cu:202)."""
+    n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
+    t_pad = ((t + 127) // 128) * 128
+    shp2 = (n_pad // 128, 128)
 
-    def chunk_body(k, occ):
-        base = k * chunk
-        _, _, _, bad = _mt_chunk(o1, o2, o3, d1, d2, d3, tri_refs,
-                                 pl.ds(base, chunk), t_min, tmax_v)
-        hit = jnp.any(jnp.logical_not(bad), axis=1, keepdims=True)
-        return occ | hit.astype(jnp.int32)
+    def pad_n(a, fill):
+        if n_pad != n:
+            a = jnp.concatenate(
+                [a, jnp.full((n_pad - n,), fill, a.dtype)])
+        return a.reshape(shp2)
 
-    occ = jax.lax.fori_loop(0, t_pad // chunk, chunk_body,
-                            jnp.zeros((TILE, 1), jnp.int32))
-    occ_out[0, :] = occ[:, 0]
+    def pad_t(a):
+        if t_pad != t:
+            a = jnp.concatenate(
+                [a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
+        return a
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    tris = jnp.stack([
+        pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
+        pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
+        pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
+        pad_t(nrm.x), pad_t(nrm.y), pad_t(nrm.z)])
+    args = [
+        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
+        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
+        pad_n(direction.z, 0.0),
+        pad_n(t_max_b, 0.0),
+        tris,
+    ]
+    return args, n_pad, t_pad, shp2
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
@@ -231,45 +211,23 @@ def tris_anyhit_soa(origin, direction, v0, e1, e2, nrm, t_min: float, t_max,
     normals e1×e2 (V3 of [T])."""
     n = origin.x.shape[0]
     t = v0.x.shape[0]
-    n_pad = ((n + TILE - 1) // TILE) * TILE
-    t_pad, chunk = _chunking(t)
-
-    def pad_n(a, fill):
-        if n_pad != n:
-            a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
-        return a.reshape(1, n_pad)
-
-    def pad_t(a):
-        if t_pad != t:
-            a = jnp.concatenate([a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
-        return a.reshape(1, t_pad)
-
-    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    args = [
-        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
-        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
-        pad_n(direction.z, 0.0),
-        pad_n(t_max_b, 0.0),
-        pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
-        pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
-        pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
-        pad_t(nrm.x), pad_t(nrm.y), pad_t(nrm.z),
-    ]
-    grid = (n_pad // TILE,)
-    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    args, n_pad, t_pad, shp2 = _sb_pack_tris(origin, direction, v0, e1,
+                                             e2, nrm, t_max, n, t)
+    ray = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     occ = pl.pallas_call(
-        functools.partial(_kernel_any, t_min=float(t_min), t_pad=t_pad,
-                          chunk=chunk),
-        grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 12,
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        functools.partial(_kernel_sb, t_min=float(t_min), t_pad=t_pad,
+                          n_c=0, any_hit=True,
+                          unroll=(not interpret
+                                  and t_pad <= UNROLL_MAX)),
+        grid=(n_pad // (ROWS * 128),),
+        in_specs=[ray] * 7 + [hbm],
+        out_specs=ray,
+        out_shape=jax.ShapeDtypeStruct(shp2, jnp.int32),
         interpret=interpret,
     )(*args)
-    return occ[0, :n] != 0
+    return occ.reshape(-1)[:n] != 0
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret", "num_feats"))
@@ -284,60 +242,38 @@ def tris_hit_feat(origin, direction, v0, e1, e2, nrm, feat: jnp.ndarray,
     """
     n = origin.x.shape[0]
     t = v0.x.shape[0]
-    n_pad = ((n + TILE - 1) // TILE) * TILE
-    t_pad, chunk = _chunking(t)
-
-    def pad_n(a, fill):
-        if n_pad != n:
-            a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
-        return a.reshape(1, n_pad)
-
-    def pad_t(a):
-        if t_pad != t:
-            a = jnp.concatenate([a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
-        return a.reshape(1, t_pad)
-
     c = feat.shape[1]
+    args, n_pad, t_pad, shp2 = _sb_pack_tris(origin, direction, v0, e1,
+                                             e2, nrm, t_max, n, t)
     feat_t = feat.T  # [C, T] feature-major
     if t_pad != t:
         feat_t = jnp.concatenate(
             [feat_t, jnp.zeros((c, t_pad - t), feat.dtype)], axis=1)
-    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    args = [
-        pad_n(origin.x, 0.0), pad_n(origin.y, 0.0), pad_n(origin.z, 0.0),
-        pad_n(direction.x, 1.0), pad_n(direction.y, 0.0),
-        pad_n(direction.z, 0.0),
-        pad_n(t_max_b, 0.0),
-        pad_t(v0.x), pad_t(v0.y), pad_t(v0.z),
-        pad_t(e1.x), pad_t(e1.y), pad_t(e1.z),
-        pad_t(e2.x), pad_t(e2.y), pad_t(e2.z),
-        pad_t(nrm.x), pad_t(nrm.y), pad_t(nrm.z),
-        feat_t,
-    ]
-    grid = (n_pad // TILE,)
-    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    feat_spec = pl.BlockSpec((c, t_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    fout_spec = pl.BlockSpec((c, TILE), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)
+    args = args + [feat_t]
+    ray = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    ftab = pl.BlockSpec((c, t_pad), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    fout = pl.BlockSpec((c, ROWS * 128), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_kernel_feat, t_min=float(t_min), t_pad=t_pad,
-                          num_feats=c, chunk=chunk),
-        grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 12 + [feat_spec],
-        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec, fout_spec),
-        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        functools.partial(_kernel_sb, t_min=float(t_min), t_pad=t_pad,
+                          n_c=c, unroll=(not interpret
+                                         and t_pad <= UNROLL_MAX)),
+        grid=(n_pad // (ROWS * 128),),
+        in_specs=[ray] * 7 + [hbm, ftab],
+        out_specs=(ray, ray, ray, ray, fout),
+        out_shape=(jax.ShapeDtypeStruct(shp2, jnp.float32),
+                   jax.ShapeDtypeStruct(shp2, jnp.int32),
+                   jax.ShapeDtypeStruct(shp2, jnp.float32),
+                   jax.ShapeDtypeStruct(shp2, jnp.float32),
                    jax.ShapeDtypeStruct((c, n_pad), jnp.float32)),
         interpret=interpret,
     )(*args)
     fo = outs[4]
-    return (outs[0][0, :n], outs[1][0, :n], outs[2][0, :n], outs[3][0, :n],
+    return (outs[0].reshape(-1)[:n], outs[1].reshape(-1)[:n],
+            outs[2].reshape(-1)[:n], outs[3].reshape(-1)[:n],
             tuple(fo[i, :n] for i in range(c)))
 
 
@@ -376,48 +312,29 @@ def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
                    t_min: float, t_max, interpret: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest triangle hit for N rays. Returns (t, tri_idx, u, v)."""
+    from tpu_pathtracer.ops.v3 import V3
+
     n = ox.shape[0]
     t = v0x.shape[0]
-    n_pad = ((n + TILE - 1) // TILE) * TILE
-    t_pad, chunk = _chunking(t)
-
-    def pad_n(a, fill):
-        if n_pad != n:
-            a = jnp.concatenate([a, jnp.full((n_pad - n,), fill, a.dtype)])
-        return a.reshape(1, n_pad)
-
-    def pad_t(a):
-        if t_pad != t:
-            # inf sentinel → NaN edges → always-miss (kernels.cu:202)
-            a = jnp.concatenate([a, jnp.full((t_pad - t,), jnp.inf, a.dtype)])
-        return a.reshape(1, t_pad)
-
-    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    args = [
-        pad_n(ox, 0.0), pad_n(oy, 0.0), pad_n(oz, 0.0),
-        pad_n(dx, 1.0), pad_n(dy, 0.0), pad_n(dz, 0.0),
-        pad_n(t_max_b, 0.0),
-        pad_t(v0x), pad_t(v0y), pad_t(v0z),
-        pad_t(e1x), pad_t(e1y), pad_t(e1z),
-        pad_t(e2x), pad_t(e2y), pad_t(e2z),
-        pad_t(nx), pad_t(ny), pad_t(nz),
-    ]
-
-    grid = (n_pad // TILE,)
-    ray_spec = pl.BlockSpec((1, TILE), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    args, n_pad, t_pad, shp2 = _sb_pack_tris(
+        V3(ox, oy, oz), V3(dx, dy, dz), V3(v0x, v0y, v0z),
+        V3(e1x, e1y, e1z), V3(e2x, e2y, e2z), V3(nx, ny, nz), t_max,
+        n, t)
+    ray = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     out, idx, uu, vv = pl.pallas_call(
-        functools.partial(_kernel, t_min=float(t_min), t_pad=t_pad,
-                          chunk=chunk),
-        grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 12,
-        out_specs=(ray_spec,) * 4,
-        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+        functools.partial(_kernel_sb, t_min=float(t_min), t_pad=t_pad,
+                          n_c=0, unroll=(not interpret
+                                         and t_pad <= UNROLL_MAX)),
+        grid=(n_pad // (ROWS * 128),),
+        in_specs=[ray] * 7 + [hbm],
+        out_specs=(ray,) * 4,
+        out_shape=(jax.ShapeDtypeStruct(shp2, jnp.float32),
+                   jax.ShapeDtypeStruct(shp2, jnp.int32),
+                   jax.ShapeDtypeStruct(shp2, jnp.float32),
+                   jax.ShapeDtypeStruct(shp2, jnp.float32)),
         interpret=interpret,
     )(*args)
-    return out[0, :n], idx[0, :n], uu[0, :n], vv[0, :n]
+    return (out.reshape(-1)[:n], idx.reshape(-1)[:n],
+            uu.reshape(-1)[:n], vv.reshape(-1)[:n])
