@@ -97,6 +97,28 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, blocks, t_out, *, visits,
                         blocks.at[nc], blk.at[pl.ds(16, 16)],
                         s1).start()
                 return closest, besti
+        elif mode == "db2":
+            # dynamic-slot double buffer: no parity pl.when branches —
+            # traced pl.ds target offsets + an indexed semaphore array
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(0, 16)], s0.at[0]).start()
+            pltpu.make_async_copy(blocks.at[1],
+                                  blk.at[pl.ds(16, 16)],
+                                  s0.at[1]).start()
+
+            def visit(i, st):
+                closest, besti = st
+                par = jax.lax.rem(i, 2)
+                base = par * 16
+                pltpu.make_async_copy(
+                    blocks.at[0], blk.at[pl.ds(base, 16)],
+                    s0.at[par]).wait()
+                closest, besti = mt(i, closest, besti, base)
+                nc = jax.lax.rem(i + 2, C)
+                pltpu.make_async_copy(
+                    blocks.at[nc], blk.at[pl.ds(base, 16)],
+                    s0.at[par]).start()
+                return closest, besti
         elif mode == "dma":
             def visit(i, st):
                 closest, besti = st
@@ -124,6 +146,12 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, blocks, t_out, *, visits,
                                   blk.at[pl.ds(0, 16)], s0).wait()
             pltpu.make_async_copy(blocks.at[0],
                                   blk.at[pl.ds(16, 16)], s1).wait()
+        if mode == "db2":
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(0, 16)], s0.at[0]).wait()
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(16, 16)],
+                                  s0.at[1]).wait()
         t_out[:, :] = closest + besti.astype(jnp.float32) * 1e-30
 
     kw = dict(blk=pltpu.SMEM((32, 128), jnp.float32),
@@ -131,6 +159,8 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, blocks, t_out, *, visits,
     if mode == "db":
         kw["s0"] = pltpu.SemaphoreType.DMA(())
         kw["s1"] = pltpu.SemaphoreType.DMA(())
+    elif mode == "db2":
+        kw["s0"] = pltpu.SemaphoreType.DMA((2,))
     pl.run_scoped(scoped, **kw)
 
 
