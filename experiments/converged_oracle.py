@@ -33,7 +33,7 @@ def main():
     for name, maker, depth in (("three-sphere", three_sphere_scene, 50),
                                ("random-spheres", random_spheres_scene,
                                 50)):
-        cfg = RenderConfig(nx=160, ny=100, ns=spp, max_depth=depth)
+        cfg = RenderConfig(nx=96, ny=64, ns=spp, max_depth=depth)
         scene, cam = maker(cfg.nx, cfg.ny)
         t0 = time.time()
         _, img = _render_batched(scene, cam, cfg, spp, min(spp, 25))
@@ -44,7 +44,7 @@ def main():
         t_cpu = time.time() - t0
         err = golden.rmse(img, ref)
         ss = golden.ssim(img, ref)
-        print(f"{name} 160x100@{spp}spp depth{depth}: rmse {err:.2e} "
+        print(f"{name} 96x64@{spp}spp depth{depth}: rmse {err:.2e} "
               f"ssim {ss:.5f}  (tpu {t_tpu:.1f}s, oracle {t_cpu:.0f}s)",
               flush=True)
 
