@@ -522,3 +522,27 @@ def test_multipacket_quantized_table():
     got_s = run(packs=4, split=True)
     for b, g in zip(base, got_s):
         np.testing.assert_array_equal(b, g)
+
+
+def test_multipacket_on_packed_blocks():
+    """packs>1 on the PACKED (4 KB, stride-64) block layout — the
+    default heap layout at width 64 since r4 — must stay bit-identical
+    to packs=1 (validated on hardware by experiments/dragon_mp_ab.py:
+    identical means; this pins it in CI)."""
+    mesh = _mesh(t=3000, seed=31, ppl=16)
+    pm = build_packet_mesh(mesh, max_width=64)
+    assert pm.stride == 64 and pm.cpb == 1  # packed="auto" engaged
+    o, d, ov, dv = _rays(2000, seed=32)
+
+    def run(**kw):
+        outs, cnts = packet_trace(
+            ov, dv, FLT_MAX, pm.nodes, pm.blocks, pm.tri_feat,
+            pm.cl_first, pm.width, 1e-3, interpret=True,
+            stride=pm.stride, cpb=pm.cpb, smem_nodes=pm.smem_nodes, **kw)
+        return [np.asarray(x) for x in outs], [int(c) for c in cnts]
+
+    base, base_c = run()
+    got, got_c = run(packs=2, scratch=True)
+    for b, g in zip(base, got):
+        np.testing.assert_array_equal(b, g)
+    assert base_c == got_c
