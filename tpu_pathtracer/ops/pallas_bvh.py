@@ -863,6 +863,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
                bst=None):
         def pf_drain(ss, lo):
@@ -1227,6 +1228,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     rpc = rows_per_cluster
     PAIR = 2 * rpc
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
                bst=None):
         def pf_drain(ss, lo):
@@ -1256,13 +1258,19 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
 
         if smem_nodes:
-            nd = pltpu.make_async_copy(nodes, ntab, sem)
-            nd.start()
-            nd.wait()
+            # once per pallas_call — SMEM scratch persists across the
+            # sequential grid steps
+            @pl.when(pid0)
+            def _():
+                nd = pltpu.make_async_copy(nodes, ntab, sem)
+                nd.start()
+                nd.wait()
         elif top_rows:
-            nd = pltpu.make_async_copy(nodes_top, ntab, sem)
-            nd.start()
-            nd.wait()
+            @pl.when(pid0)
+            def _():
+                nd = pltpu.make_async_copy(nodes_top, ntab, sem)
+                nd.start()
+                nd.wait()
         if quant:
             # read the 6 dequant scalars once; they stay in registers
             # across the whole traversal
@@ -1545,10 +1553,13 @@ def _kernel_nearest_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, ntab, cls=None, bst=None):
-        nd = pltpu.make_async_copy(nodes, ntab, sem)
-        nd.start()
-        nd.wait()
+        @pl.when(pid0)
+        def _():
+            nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         quad_ok = quad and cl_first >= 8
         views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
@@ -1815,10 +1826,13 @@ def _kernel_shadow_mp(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     qp = rest.pop(0) if quant else None
     blocks, occ_out, cnt_out = rest
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, ntab, cls=None, occr=None):
-        nd = pltpu.make_async_copy(nodes, ntab, sem)
-        nd.start()
-        nd.wait()
+        @pl.when(pid0)
+        def _():
+            nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         quad_ok = quad and cl_first >= 8
         views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
@@ -2183,10 +2197,13 @@ def _kernel_nearest_mps(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, sems, ntab, cls, bst):
-        nd = pltpu.make_async_copy(nodes, ntab, sem)
-        nd.start()
-        nd.wait()
+        @pl.when(pid0)
+        def _():
+            nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         quad_ok = quad and cl_first >= 8
         views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)
@@ -2296,10 +2313,13 @@ def _kernel_shadow_mps(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     qp = rest.pop(0) if quant else None
     blocks, occ_out, cnt_out = rest
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, sems, ntab, cls, occr, ret):
-        nd = pltpu.make_async_copy(nodes, ntab, sem)
-        nd.start()
-        nd.wait()
+        @pl.when(pid0)
+        def _():
+            nd = pltpu.make_async_copy(nodes, ntab, sem)
+            nd.start()
+            nd.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         quad_ok = quad and cl_first >= 8
         views = _mp_ray_views(ox, oy, oz, dx, dy, dz, tmax, packs)

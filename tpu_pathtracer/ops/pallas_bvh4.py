@@ -219,14 +219,21 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
     rb = blocks.shape[1]               # 8 = packed layout, 16 = legacy
     stride = width if rb == 8 else 128
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None,
                cls=None, bst=None):
-        nd = pltpu.make_async_copy(bounds, ntab, sem)
-        nd.start()
-        nd.wait()
-        rd_ = pltpu.make_async_copy(refs, rtab, sem)
-        rd_.start()
-        rd_.wait()
+        # SMEM scratch persists across the sequential grid steps (the
+        # accumulator-pattern guarantee), so the node/ref tables are
+        # copied ONCE per pallas_call instead of once per packet —
+        # saves (n_packets-1) x table-DMA (105-400 KB each)
+        @pl.when(pid0)
+        def _():
+            nd = pltpu.make_async_copy(bounds, ntab, sem)
+            nd.start()
+            nd.wait()
+            rd_ = pltpu.make_async_copy(refs, rtab, sem)
+            rd_.start()
+            rd_.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         if prefetch:
             pf_consume, pf_issue = _leaf_dma_helpers(
@@ -375,14 +382,21 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
     rb = blocks.shape[1]               # 8 = packed layout, 16 = legacy
     stride = width if rb == 8 else 128
 
+    pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None,
                cls=None, occr=None):
-        nd = pltpu.make_async_copy(bounds, ntab, sem)
-        nd.start()
-        nd.wait()
-        rd_ = pltpu.make_async_copy(refs, rtab, sem)
-        rd_.start()
-        rd_.wait()
+        # SMEM scratch persists across the sequential grid steps (the
+        # accumulator-pattern guarantee), so the node/ref tables are
+        # copied ONCE per pallas_call instead of once per packet —
+        # saves (n_packets-1) x table-DMA (105-400 KB each)
+        @pl.when(pid0)
+        def _():
+            nd = pltpu.make_async_copy(bounds, ntab, sem)
+            nd.start()
+            nd.wait()
+            rd_ = pltpu.make_async_copy(refs, rtab, sem)
+            rd_.start()
+            rd_.wait()
         qscal = tuple(qp[i] for i in range(6)) if quant else None
         if prefetch:
             pf_consume, pf_issue = _leaf_dma_helpers(
