@@ -176,15 +176,30 @@ def make_view(scene: Scene, config: Optional[RenderConfig] = None
     use_packet = (config is not None and _use_packet(scene, config))
     if scene.has_mesh and not use_packet:
         m = scene.mesh
-        tri_v0 = V3.from_array(m.v0)
-        tri_e1 = V3.from_array(m.v1) - tri_v0
-        tri_e2 = V3.from_array(m.v2) - tri_v0
+        if (m.brute is not None and config is not None
+                and _on_tpu(config) and config.use_bvh
+                and m.num_tris <= TRI_BRUTE_MAX):
+            # compacted arrays (no interleaved sentinel padding): the
+            # brute kernels' scalar-broadcast loop runs only LIVE
+            # triangles (396 vs 640 slots on the toy staircase); tri
+            # ids stay internally consistent — the engine consumes
+            # only hit = id >= 0 plus the kernel-fetched features.
+            # Gated on EXACTLY the kernel-dispatch condition: the
+            # non-kernel paths gather view.tri_feat with PADDED-space
+            # tri ids and must keep the padded table.
+            mv0, mv1, mv2, mtc, mmid = m.brute
+        else:
+            mv0, mv1, mv2, mtc, mmid = (m.v0, m.v1, m.v2,
+                                        m.tex_coords, m.mesh_id)
+        tri_v0 = V3.from_array(mv0)
+        tri_e1 = V3.from_array(mv1) - tri_v0
+        tri_e2 = V3.from_array(mv2) - tri_v0
         tri_n = tri_e1.cross(tri_e2)
-        safe_mid = jnp.clip(m.mesh_id, 0, scene.materials.count - 1)
+        safe_mid = jnp.clip(mmid, 0, scene.materials.count - 1)
         tri_feat = jnp.concatenate(
-            [jnp.nan_to_num(m.v1 - m.v0, posinf=0.0, neginf=0.0),
-             jnp.nan_to_num(m.v2 - m.v0, posinf=0.0, neginf=0.0),
-             m.tex_coords,
+            [jnp.nan_to_num(mv1 - mv0, posinf=0.0, neginf=0.0),
+             jnp.nan_to_num(mv2 - mv0, posinf=0.0, neginf=0.0),
+             mtc,
              _material_table(scene.materials, safe_mid)], axis=1)
     if use_packet:
         if config.bvh4 and scene.mesh.bvh4 is not None:

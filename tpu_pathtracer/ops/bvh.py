@@ -129,12 +129,21 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     rmid = take(mesh_id, 0)
 
     bvh_min, bvh_max = _node_boxes(rv0, rv1, rv2, num_leaves, P)
+    brute = None
+    if num_leaves * P <= 16384 and (slots >= 0).sum() < num_leaves * P:
+        # compacted copy for the TPU brute kernels (no interleaved
+        # sentinel padding — the brute path ignores heap order); only
+        # for meshes small enough to ever dispatch there (TRI_BRUTE_MAX)
+        live = slots >= 0
+        brute = (jnp.asarray(rv0[live]), jnp.asarray(rv1[live]),
+                 jnp.asarray(rv2[live]), jnp.asarray(rtc[live]),
+                 jnp.asarray(rmid[live]))
     mesh = MeshData(
         v0=jnp.asarray(rv0), v1=jnp.asarray(rv1), v2=jnp.asarray(rv2),
         tex_coords=jnp.asarray(rtc), mesh_id=jnp.asarray(rmid),
         bvh_min=jnp.asarray(bvh_min), bvh_max=jnp.asarray(bvh_max),
         bounds_min=jnp.asarray(bvh_min[1]), bounds_max=jnp.asarray(bvh_max[1]),
-        first_leaf=num_leaves, prims_per_leaf=P,
+        first_leaf=num_leaves, prims_per_leaf=P, brute=brute,
     )
     if bvh4 is True or (bvh4 == "auto" and _bvh4_auto_eligible(T)):
         from tpu_pathtracer.ops.bvh4 import QUANT_AUTO_RATIO, attach_bvh4

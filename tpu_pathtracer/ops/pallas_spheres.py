@@ -71,7 +71,7 @@ def _sb_sphere_step(tab, s, o1, o2, o3, d1, d2, d3, t_min, t_best,
 
 
 def _kernel_sb(ox, oy, oz, dx, dy, dz, tmax, sph, *rest, t_min,
-               s_pad, n_c, unroll, any_hit=False):
+               s_pad, n_live, n_c, unroll, any_hit=False):
     """Lane-layout kernel: nearest hit (+ optional one-hot feature
     fetch when ``n_c`` > 0) or any-hit (``any_hit``)."""
     if any_hit:
@@ -96,8 +96,11 @@ def _kernel_sb(ox, oy, oz, dx, dy, dz, tmax, sph, *rest, t_min,
         t_best = tmax_v
         i_best = None if any_hit else jnp.full(shp, -1, jnp.int32)
         occ = jnp.zeros(shp, jnp.int32) if any_hit else None
+        # loop only the LIVE slots: padding spheres (r2 = -1) can
+        # never win, so testing them is pure waste (486 real spheres
+        # padded to 512 cost ~5% of the headline kernel)
         if unroll:
-            for s in range(s_pad):
+            for s in range(n_live):
                 t_best, i_best, win = _sb_sphere_step(
                     tab, s, o1, o2, o3, d1, d2, d3, t_min, t_best,
                     i_best)
@@ -112,7 +115,7 @@ def _kernel_sb(ox, oy, oz, dx, dy, dz, tmax, sph, *rest, t_min,
                     oc_ = jnp.where(win, jnp.int32(1), oc_)
                 return (t_b, i_b, oc_)
             t_best, i_best, occ = jax.lax.fori_loop(
-                0, s_pad, body, (t_best, i_best, occ))
+                0, n_live, body, (t_best, i_best, occ))
         if any_hit:
             occ_out[:, :] = occ
             return
@@ -412,8 +415,9 @@ def spheres_hit_feat(origin, direction, centers, radii,
                         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel_sb, t_min=float(t_min), s_pad=s_pad,
-                          n_c=c, unroll=(not interpret
-                                         and s_pad <= UNROLL_MAX)),
+                          n_live=s, n_c=c,
+                          unroll=(not interpret
+                                  and s_pad <= UNROLL_MAX)),
         grid=(n_pad // (ROWS * 128),),
         in_specs=[ray] * 7 + [hbm, ftab],
         out_specs=(ray, ray, fout),
@@ -543,7 +547,7 @@ def spheres_anyhit_soa(origin, direction, centers, radii, t_min: float,
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     occ = pl.pallas_call(
         functools.partial(_kernel_sb, t_min=float(t_min), s_pad=s_pad,
-                          n_c=0, any_hit=True,
+                          n_live=s, n_c=0, any_hit=True,
                           unroll=(not interpret
                                   and s_pad <= UNROLL_MAX)),
         grid=(n_pad // (ROWS * 128),),
@@ -639,8 +643,9 @@ def _spheres_hit_impl(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii,
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     t, idx = pl.pallas_call(
         functools.partial(_kernel_sb, t_min=float(t_min), s_pad=s_pad,
-                          n_c=0, unroll=(not interpret
-                                         and s_pad <= UNROLL_MAX)),
+                          n_live=s, n_c=0,
+                          unroll=(not interpret
+                                  and s_pad <= UNROLL_MAX)),
         grid=(n_pad // (ROWS * 128),),
         in_specs=[ray] * 7 + [hbm],
         out_specs=(ray, ray),

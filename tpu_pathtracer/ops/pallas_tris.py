@@ -75,7 +75,7 @@ def _sb_tri_step(tab, s, o1, o2, o3, d1, d2, d3, t_min, t_best):
 
 
 def _kernel_sb(ox, oy, oz, dx, dy, dz, tmax, tris, *rest, t_min,
-               t_pad, n_c, unroll, any_hit=False):
+               t_pad, n_live, n_c, unroll, any_hit=False):
     """Lane-layout kernel: nearest hit + u/v (+ features when
     ``n_c`` > 0), or any-hit occlusion."""
     if any_hit:
@@ -122,12 +122,15 @@ def _kernel_sb(ox, oy, oz, dx, dy, dz, tmax, tris, *rest, t_min,
                     jnp.zeros(shp, jnp.float32),
                     jnp.zeros(shp, jnp.float32))
 
+        # loop only the LIVE slots: inf-sentinel padding triangles
+        # can never win (NaN arithmetic -> bad), so testing them is
+        # pure waste (the 396-tri staircase pads to 512 -> 23% dead)
         if unroll:
             st = init
-            for s in range(t_pad):
+            for s in range(n_live):
                 st = step(s, st)
         else:
-            st = jax.lax.fori_loop(0, t_pad, step, init)
+            st = jax.lax.fori_loop(0, n_live, step, init)
 
         if any_hit:
             occ_out[:, :] = st[0]
@@ -218,7 +221,7 @@ def tris_anyhit_soa(origin, direction, v0, e1, e2, nrm, t_min: float, t_max,
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     occ = pl.pallas_call(
         functools.partial(_kernel_sb, t_min=float(t_min), t_pad=t_pad,
-                          n_c=0, any_hit=True,
+                          n_live=t, n_c=0, any_hit=True,
                           unroll=(not interpret
                                   and t_pad <= UNROLL_MAX)),
         grid=(n_pad // (ROWS * 128),),
@@ -259,8 +262,9 @@ def tris_hit_feat(origin, direction, v0, e1, e2, nrm, feat: jnp.ndarray,
                         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel_sb, t_min=float(t_min), t_pad=t_pad,
-                          n_c=c, unroll=(not interpret
-                                         and t_pad <= UNROLL_MAX)),
+                          n_live=t, n_c=c,
+                          unroll=(not interpret
+                                  and t_pad <= UNROLL_MAX)),
         grid=(n_pad // (ROWS * 128),),
         in_specs=[ray] * 7 + [hbm, ftab],
         out_specs=(ray, ray, ray, ray, fout),
@@ -325,8 +329,9 @@ def _tris_hit_impl(ox, oy, oz, dx, dy, dz,
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     out, idx, uu, vv = pl.pallas_call(
         functools.partial(_kernel_sb, t_min=float(t_min), t_pad=t_pad,
-                          n_c=0, unroll=(not interpret
-                                         and t_pad <= UNROLL_MAX)),
+                          n_live=t, n_c=0,
+                          unroll=(not interpret
+                                  and t_pad <= UNROLL_MAX)),
         grid=(n_pad // (ROWS * 128),),
         in_specs=[ray] * 7 + [hbm],
         out_specs=(ray,) * 4,
