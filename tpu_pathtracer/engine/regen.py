@@ -65,7 +65,11 @@ def _pool_size(config: RenderConfig, num_pixels: int,
         textured = config.textures and scene.tex_atlas is not None
         m = (1 << 17) if textured else (3 << 16)
     else:
-        m = 1 << 14
+        # 32k since r4: the lane-layout kernels tripled kernel speed,
+        # so per-iteration fixed costs weigh more and the bigger pool
+        # amortizes them (r4 sweep: 16k 1.656 s / 32k 1.643 / 48k
+        # 1.893 / 64k 1.689 on the headline)
+        m = 1 << 15
     return int(min(m, num_pixels))
 
 
