@@ -342,7 +342,8 @@ def test_auto_pool_size_on_packet_path():
     """rays_per_chunk=0 auto-selects the 192k lane pool when the packet
     kernel is active (128k when image textures are, their carry tips
     192k into spill — measured sweeps, PERFORMANCE.md +
-    experiments/pool_probe.py) and the 16k pool otherwise."""
+    experiments/pool_probe.py) and the 32k pool otherwise (r4 sweep:
+    the lane-layout kernels shifted the non-packet optimum 16k→32k)."""
     import numpy as np
 
     from tpu_pathtracer.config import RenderConfig
@@ -356,7 +357,7 @@ def test_auto_pool_size_on_packet_path():
                        force_feat_kernels=True)
     small = RenderConfig(nx=512, ny=512, ns=1, force_feat_kernels=True)
     assert _pool_size(big, big.num_pixels, scene) == 3 << 16
-    assert _pool_size(small, small.num_pixels, scene) == 1 << 14
+    assert _pool_size(small, small.num_pixels, scene) == 1 << 15
     tex = make_scene(make_materials([model_coat()] * 5), mesh=mesh,
                      tex_atlas=np.zeros((1, 2, 2, 3), np.float32),
                      tex_width=[2], tex_height=[2])

@@ -101,6 +101,34 @@ def test_nodes_counters_on_traversal_path():
     assert int(stats.primary_bbox_nohit) > 0  # rays that miss the knot
 
 
+def test_node_counters_cross_path_normalization():
+    """Packet-path node/leaf counters count per 1024-lane PACKET step;
+    the jnp path counts per RAY. The ray-equivalent normalization
+    (x PACKET_LANES, printed by print_stats) must upper-bound the
+    per-ray sum — a packet traverses the union of its lanes' node
+    sets — keeping the counters comparable when a mesh crosses the
+    dispatch threshold (kernels.cu:116-137, TODO.txt:461)."""
+    from tpu_pathtracer.engine.wavefront import PACKET_LANES
+    from tpu_pathtracer.models.shapes import knot_zoo_scene
+
+    cfg = RenderConfig(nx=12, ny=8, ns=1, max_depth=3, stats=True,
+                       rays_per_chunk=96, textures=False)
+    scene, cam = knot_zoo_scene(cfg.nx, cfg.ny, nu=48, nv=12,
+                                prims_per_leaf=32)
+    _, ray_stats = render_image(scene, cam, cfg, report_stats=True)
+    pkt_cfg = cfg.replace(force_feat_kernels=True, packet_threshold=1)
+    _, pkt_stats = render_image(scene, cam, pkt_cfg, report_stats=True)
+
+    ray_steps = int(ray_stats.nodes_both) + int(ray_stats.nodes_single)
+    pkt_steps = int(pkt_stats.nodes_both) + int(pkt_stats.nodes_single)
+    assert int(pkt_stats.leaf_visits) > 0
+    assert pkt_steps > 0 and ray_steps > 0
+    assert pkt_steps * PACKET_LANES >= ray_steps
+    # and the raw (unnormalized) counters are NOT comparable: the
+    # per-packet count is far below the per-ray sum on this scene
+    assert pkt_steps < ray_steps
+
+
 def test_preset_materials_render_vs_oracle():
     """Scene using the reference's preset BSDF families (coat, tinted
     glass, subsurface, checker) end-to-end vs the oracle."""

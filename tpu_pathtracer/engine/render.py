@@ -24,7 +24,8 @@ import numpy as np
 
 from tpu_pathtracer.camera import Camera
 from tpu_pathtracer.config import RenderConfig
-from tpu_pathtracer.engine.wavefront import Stats, trace
+from tpu_pathtracer.engine.wavefront import (PACKET_LANES, Stats,
+                                             _use_packet, trace)
 from tpu_pathtracer.models.scene import Scene
 
 
@@ -155,6 +156,22 @@ class Renderer:
                 ("leaf visits (pkt)", s.leaf_visits)]
         for name, v in rows:
             print(f" {name:20s}: {v}")
+        # Cross-path normalization (kernels.cu:116–137 counts per RAY;
+        # the packet kernels count per 1024-lane PACKET): print the
+        # ray-equivalent totals so the refactor-validation invariant
+        # (TODO.txt:461) survives a mesh moving across the dispatch
+        # threshold. Per-ray-equivalent = per-packet x lanes; it UPPER
+        # BOUNDS the per-ray sum (a packet traverses the union of its
+        # lanes' node sets).
+        if self.scene is not None and _use_packet(self.scene, self.config):
+            lanes = PACKET_LANES
+            print(f" [packet path: node/leaf counters are per {lanes}"
+                  "-lane packet]")
+            print(f" {'ray-equiv both':20s}: {int(s.nodes_both) * lanes}")
+            print(f" {'ray-equiv single':20s}: "
+                  f"{int(s.nodes_single) * lanes}")
+            print(f" {'ray-equiv leaf':20s}: "
+                  f"{int(s.leaf_visits) * lanes}")
         if int(s.nans) > 0:
             print(f"*** {s.nans} NaNs detected")
 

@@ -134,6 +134,11 @@ class SceneView(NamedTuple):
     mat_rows: Optional[jnp.ndarray] = None  # [n_mats, 14] material columns
 
 
+# lanes per traversal packet: the kernels trace (8,128) ray tiles, so
+# packet-path node/leaf counters advance once per 1024 rays
+PACKET_LANES = 1024
+
+
 def _use_packet(scene: Scene, config: RenderConfig) -> bool:
     """Large meshes on the TPU path traverse via the packet BVH kernel."""
     if not (scene.has_mesh and config.use_bvh and _on_tpu(config)):
