@@ -268,6 +268,35 @@ def bench_terrain_big():
     return elapsed / 4
 
 
+def bench_rocks():
+    """Genuinely irregular dragon-scale mesh (~845k tris): fBm-displaced
+    interpenetrating rocks (VERDICT r4 item 3 — the knot matches the
+    dragon's COUNT but not its BVH hostility; this does both).
+    Reference anchor: the model-zoo dragon, ~24 ms/spp, TODO.txt:288."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.shapes import rocks_zoo_scene
+
+    # family oracle gate on a small pile forced onto the packet kernels
+    gcfg = RenderConfig(nx=64, ny=48, ns=4, max_depth=8, textures=False,
+                        packet_threshold=1)
+    gscene, gcam = rocks_zoo_scene(gcfg.nx, gcfg.ny, n_big=2, n_small=3,
+                                   seed=9)
+    _oracle_gate("rocks_packet", gscene, gcam, gcfg,
+                 rmse_tol=1e-2, ssim_min=0.97)
+
+    cfg = RenderConfig(nx=512, ny=512, ns=4, max_depth=50, textures=False)
+    scene, cam = rocks_zoo_scene(cfg.nx, cfg.ny)
+    tier = ("quant-bvh4" if scene.mesh.bvh4 is not None
+            and scene.mesh.bvh4.quant else
+            "bvh4" if scene.mesh.bvh4 is not None else "heap")
+    elapsed, img = _render_batched(scene, cam, cfg, 4, 4)
+    _gate("rocks_4spp", img, cfg.ny, cfg.nx)
+    print(f"rocks-845k 512x512@4spp ({tier}): {elapsed:.3f} s "
+          f"({elapsed / 4 * 1e3:.0f} ms/spp, mean={img.mean():.4f})",
+          file=sys.stderr)
+    return elapsed / 4
+
+
 def bench_staircase_hires():
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.mesh import procedural_staircase_scene
@@ -346,6 +375,11 @@ def main():
             _retry(bench_terrain_big) * 1e3, 1)
     except Exception as e:
         print(f"terrain-big bench failed: {e!r}"[:200], file=sys.stderr)
+    try:
+        extra["rocks_845k_ms_per_spp"] = round(
+            _retry(bench_rocks) * 1e3, 1)
+    except Exception as e:
+        print(f"rocks bench failed: {e!r}"[:200], file=sys.stderr)
     try:
         s_per_spp, t100 = _retry(bench_staircase_hires)
         extra["staircase_hires_154k_s_per_spp"] = round(s_per_spp, 4)

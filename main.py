@@ -49,6 +49,10 @@ def build(args):
         # irregular mesh: fBm terrain + thin-strut lattice (~168k tris)
         from tpu_pathtracer.models.shapes import terrain_zoo_scene
         scene, cam = terrain_zoo_scene(cfg.nx, cfg.ny)
+    elif args.scene == "rocks":
+        # irregular dragon-scale rock pile (~845k tris, deep overlap)
+        from tpu_pathtracer.models.shapes import rocks_zoo_scene
+        scene, cam = rocks_zoo_scene(cfg.nx, cfg.ny)
     elif args.scene == "terrain-big":
         # dragon-scale irregular mesh (~668k tris): exercises the SAH
         # BVH4 quant tier via per-mesh expected-cost tier selection

@@ -91,10 +91,12 @@ def test_trace4_exact_vs_brute_force():
     b4 = build_bvh4(mesh, width=32)
     o, d, ov, dv = _rays(600)
     ref = B.brute_force(mesh, jnp.asarray(o), jnp.asarray(d), 1e-3, FLT_MAX)
-    (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg, nl) = packet_trace4(
+    (t, tri, u, v, nx, ny, nz, tu, tv, mid), (nb, nsg, nl, nlp) = packet_trace4(
         ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks, b4.tri_feat,
         b4.width, 1e-3, b4.stack_cap, interpret=True)
     assert int(nb) > 0 and int(nl) > 0
+    # split telemetry: pop-entered visits are a subset of all visits
+    assert 0 <= int(nlp) <= int(nl)
 
     rt, ri = np.asarray(ref.t), np.asarray(ref.tri_id)
     tri = np.asarray(tri)
@@ -233,10 +235,10 @@ def test_bvh4_quantized_table_exact():
     assert (qmin[~live] > qmax[~live]).all()
 
     o, d, ov, dv = _rays(600, seed=12)
-    (t0, tri0, *_), (nb0, ns0, nl0) = packet_trace4(
+    (t0, tri0, *_), (nb0, ns0, nl0, _p0) = packet_trace4(
         ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks, b4.tri_feat,
         b4.width, 1e-3, b4.stack_cap, interpret=True)
-    (t1, tri1, *_), (nb1, ns1, nl1) = packet_trace4(
+    (t1, tri1, *_), (nb1, ns1, nl1, _p1) = packet_trace4(
         ov, dv, FLT_MAX, q4.bounds, q4.refs, q4.blocks, q4.tri_feat,
         q4.width, 1e-3, q4.stack_cap, interpret=True,
         quant=True, qparams=q4.qparams)

@@ -153,7 +153,8 @@ class Renderer:
                 ("russian roulette", s.roulette_kill),
                 ("both nodes hit", s.nodes_both),
                 ("single node hit", s.nodes_single),
-                ("leaf visits (pkt)", s.leaf_visits)]
+                ("leaf visits (pkt)", s.leaf_visits),
+                ("leaf pop-entered", s.leaf_pop)]
         for name, v in rows:
             print(f" {name:20s}: {v}")
         # Cross-path normalization (kernels.cu:116–137 counts per RAY;

@@ -282,11 +282,16 @@ class Stats(NamedTuple):
     # (0 on the jnp/brute paths) — the phase-split telemetry that says
     # whether a frame is node- or leaf-dominated (PERFORMANCE.md r3)
     leaf_visits: jnp.ndarray
+    # 20th, ours: the subset of leaf_visits entered by popping a leaf
+    # ref straight off the stack (BVH4 kernels only) — exactly the
+    # visits the non-speculative double-buffer prefetch covers;
+    # leaf_visits - leaf_pop pay the sync DMA (VERDICT r4 item 1b)
+    leaf_pop: jnp.ndarray
 
     @staticmethod
     def zeros() -> "Stats":
         z = jnp.zeros((), jnp.int32)
-        return Stats(*([z] * 19))
+        return Stats(*([z] * 20))
 
 
 # ---------------------------------------------------------------------------
@@ -893,7 +898,9 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
             low_power=count(stats.low_power, low),
             nodes_both=stats.nodes_both + node_counts[0],
             nodes_single=stats.nodes_single + node_counts[1],
-            leaf_visits=stats.leaf_visits + node_counts[2])
+            leaf_visits=stats.leaf_visits + node_counts[2],
+            leaf_pop=stats.leaf_pop + (node_counts[3]
+                                       if len(node_counts) > 3 else 0))
         if scene.has_mesh:
             # global mesh-bbox reject accounting (hitMesh,
             # kernels.cu:298-300)
@@ -982,7 +989,9 @@ def bounce_step(scene: Scene, view: SceneView, config: RenderConfig,
                 shadows_nohit=count(stats.shadows_nohit, lit),
                 nodes_both=stats.nodes_both + sh_counts[0],
                 nodes_single=stats.nodes_single + sh_counts[1],
-                leaf_visits=stats.leaf_visits + sh_counts[2])
+                leaf_visits=stats.leaf_visits + sh_counts[2],
+                leaf_pop=stats.leaf_pop + (sh_counts[3]
+                                           if len(sh_counts) > 3 else 0))
             if scene.has_mesh:
                 sbb = _mesh_bbox_hit(scene, new_origin, sdir, ldist)
                 stats = stats._replace(

@@ -263,26 +263,26 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
 
         def node_fn(carry):
             if scratch:
-                cur, sp, nb, nsg, nl, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, pfon, par = carry
                 closest = cls[:, :]
             else:
-                cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal)
             if scratch:
-                return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+                return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl, nlp,
                         pfon, par)
-            return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+            return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl, nlp,
                     closest, besti, pfon, par)
 
         def leaf_fn(carry):
             if scratch:
-                cur, sp, nb, nsg, nl, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, pfon, par = carry
                 closest = cls[:, :]
                 besti = bst[:, :]
             else:
-                cur, sp, nb, nsg, nl, closest, besti, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par = carry
             c = -cur - 1
             if prefetch:
                 cur_slot = pf_consume(c, pfon, par)
@@ -313,13 +313,18 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                 st = jax.lax.fori_loop(0, width, tri, st)
             closest, besti = st
             new_cur, new_sp = _stack_pop(stk, sp)
+            # split telemetry: visits whose NEXT visit is entered by
+            # popping a leaf straight off the stack (= the visits the
+            # non-speculative double-buffer prefetch covers); nl - nlp
+            # visits are descend/node-pop-entered and pay the sync DMA
+            nlp = nlp + (new_cur < 0).astype(jnp.int32)
             if scratch:
                 cls[:, :] = closest
                 bst[:, :] = besti
-                return (new_cur, new_sp, nb, nsg, nl + 1,
+                return (new_cur, new_sp, nb, nsg, nl + 1, nlp,
                         new_pfon, new_par)
-            return (new_cur, new_sp, nb, nsg, nl + 1, closest, besti,
-                    new_pfon, new_par)
+            return (new_cur, new_sp, nb, nsg, nl + 1, nlp, closest,
+                    besti, new_pfon, new_par)
 
         # fused body (same trick as the heap kernel): a node step that
         # descends into a leaf runs the MT visit in the same trip
@@ -335,24 +340,27 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         if scratch:
             init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
                     jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                    jnp.int32(0))
-            _, _, nb, nsg, nl, _, _ = jax.lax.while_loop(
+                    jnp.int32(0), jnp.int32(0))
+            _, _, nb, nsg, nl, nlp, _, _ = jax.lax.while_loop(
                 cond, body, init)
             closest = cls[:, :]
             besti = bst[:, :]
         else:
             init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
-                    jnp.int32(0), jnp.int32(0), tmax[:, :],
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    tmax[:, :],
                     jnp.full(shp, -1, jnp.int32),
                     jnp.int32(0), jnp.int32(0))
-            _, _, nb, nsg, nl, closest, besti, _, _ = jax.lax.while_loop(
-                cond, body, init)
+            (_, _, nb, nsg, nl, nlp, closest, besti, _,
+             _) = jax.lax.while_loop(cond, body, init)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
             (ii == 0) & (jj == 0), nb,
             jnp.where((ii == 0) & (jj == 1), nsg,
-                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+                      jnp.where((ii == 0) & (jj == 2), nl,
+                                jnp.where((ii == 0) & (jj == 3), nlp,
+                                          0))))
         tri_out[:, :] = besti
         feat_out[:, :] = closest
 
@@ -420,26 +428,26 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
 
         def node_fn(carry):
             if scratch:
-                cur, sp, nb, nsg, nl, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, pfon, par = carry
                 closest = cls[:, :]
             else:
-                cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, closest, occ, pfon, par = carry
             new_cur, new_sp, nbi, nsgi = _node_step4(
                 ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal)
             if scratch:
-                return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+                return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl, nlp,
                         pfon, par)
-            return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl,
+            return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl, nlp,
                     closest, occ, pfon, par)
 
         def leaf_fn(carry):
             if scratch:
-                cur, sp, nb, nsg, nl, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, pfon, par = carry
                 closest = cls[:, :]
                 occ = occr[:, :]
             else:
-                cur, sp, nb, nsg, nl, closest, occ, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, closest, occ, pfon, par = carry
             c = -cur - 1
             if prefetch:
                 cur_slot = pf_consume(c, pfon, par)
@@ -481,12 +489,13 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                 drain(ndone)
                 new_pfon = jnp.where(ndone, 0, new_pfon)
             new_cur = jnp.where(ndone, 0, new_cur)
+            nlp = nlp + (new_cur < 0).astype(jnp.int32)
             if scratch:
                 cls[:, :] = closest
                 occr[:, :] = occ
-                return (new_cur, new_sp, nb, nsg, nl + 1,
+                return (new_cur, new_sp, nb, nsg, nl + 1, nlp,
                         new_pfon, new_par)
-            return (new_cur, new_sp, nb, nsg, nl + 1, closest, occ,
+            return (new_cur, new_sp, nb, nsg, nl + 1, nlp, closest, occ,
                     new_pfon, new_par)
 
         def body(carry):
@@ -501,16 +510,17 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         if scratch:
             init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
                     jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                    jnp.int32(0))
-            _, _, nb, nsg, nl, _, _ = jax.lax.while_loop(
+                    jnp.int32(0), jnp.int32(0))
+            _, _, nb, nsg, nl, nlp, _, _ = jax.lax.while_loop(
                 cond, body, init)
             occ = occr[:, :]
         else:
             init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
-                    jnp.int32(0), jnp.int32(0), tmax[:, :],
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    tmax[:, :],
                     jnp.zeros(shp, jnp.int32),
                     jnp.int32(0), jnp.int32(0))
-            _, _, nb, nsg, nl, _, occ, _, _ = jax.lax.while_loop(
+            _, _, nb, nsg, nl, nlp, _, occ, _, _ = jax.lax.while_loop(
                 cond, body, init)
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
@@ -518,7 +528,9 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         cnt_out[:, :] = jnp.where(
             (ii == 0) & (jj == 0), nb,
             jnp.where((ii == 0) & (jj == 1), nsg,
-                      jnp.where((ii == 0) & (jj == 2), nl, 0)))
+                      jnp.where((ii == 0) & (jj == 2), nl,
+                                jnp.where((ii == 0) & (jj == 3), nlp,
+                                          0))))
 
     kw = dict(blk=pltpu.SMEM((2 * blocks.shape[1], 128) if prefetch
                              else blocks.shape[1:],
@@ -586,7 +598,7 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
     tri = tri.reshape(-1)[:n]
     t = feat.reshape(-1)[:n]
     cnts = (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum(),
-            cnt[::ROWS, 2].sum())
+            cnt[::ROWS, 2].sum(), cnt[::ROWS, 3].sum())
     return winner_features(origin, direction, t, tri, tri_feat), cnts
 
 
@@ -634,4 +646,4 @@ def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
     )(*args)
     return (occ.reshape(-1)[:n] != 0,
             (cnt[::ROWS, 0].sum(), cnt[::ROWS, 1].sum(),
-             cnt[::ROWS, 2].sum()))
+             cnt[::ROWS, 2].sum(), cnt[::ROWS, 3].sum()))
