@@ -8,7 +8,10 @@ Times, all with data deps chained inside one jit (CLAUDE.md timing rule):
 B−A = scatter/material/bookkeeping cost; C−B = regeneration overhead.
 """
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +23,8 @@ from tpu_pathtracer.engine.wavefront import (bounce_step, make_view,
                                              BounceState)
 from tpu_pathtracer.ops.v3 import V3
 
-M = 1 << 14
+import os
+M = int(os.environ.get("POOL_M", 1 << 15))
 
 
 def timed_slope(fn, lo, hi, reps=3):

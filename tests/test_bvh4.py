@@ -173,6 +173,27 @@ def test_prefetch_bit_identical():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_pf))
 
 
+def test_spec_prefetch_bit_identical():
+    """The descend-entered speculative leaf DMA (config.bvh4_spec) only
+    moves copies into a 3rd slot — every output must be bit-equal,
+    with and without the scratch-ref lane state."""
+    mesh = _mesh(t=2400, seed=7)
+    b4 = build_bvh4(mesh, width=32)
+    o, d, ov, dv = _rays(700, seed=8)
+    base = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks,
+                         b4.tri_feat, b4.width, 1e-3, b4.stack_cap,
+                         interpret=True)
+    for scr in (False, True):
+        sp = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs,
+                           b4.blocks, b4.tri_feat, b4.width, 1e-3,
+                           b4.stack_cap, interpret=True, prefetch=True,
+                           spec=True, scratch=scr)
+        for a, b in zip(base[0], sp[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(base[1], sp[1]):
+            assert int(a) == int(b)
+
+
 def test_scratch_state_bit_identical():
     """The VMEM scratch-ref lane state variant (config.bvh4_scratch)
     only moves where closest/besti live — every output must be

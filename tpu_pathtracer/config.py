@@ -66,6 +66,15 @@ class RenderConfig:
     stats: bool = False
     samples_per_batch: int = 0  # 0 = auto
     rays_per_chunk: int = 0  # 0 = auto
+    flush_window: int = 0  # regen flush window rows (decision record,
+    # VERDICT r4 item 5): the pixel-flush one-hot adds into a W-row
+    # dynamic slice of the [rounds, m] accumulator instead of
+    # rewriting every row; lanes more than W-1 rounds ahead of the
+    # slowest stall their flush (radiance bit-identical — tested).
+    # MEASURED SLOWER on hardware (experiments/flush_window_ab.py:
+    # headline 1.643 s full vs 1.689/1.705/1.732 at W=8/4/16) — the
+    # out-row rewrite is not the regen-body bottleneck (and/or the
+    # dynamic-start update forces a copy). 0 = full one-hot, default.
     check_nans: bool = False
     interpret: bool = False
     force_feat_kernels: bool = False
@@ -168,6 +177,15 @@ class RenderConfig:
     # visit's MT loop and completes under it. Within-run e2e A/B
     # (experiments/bvh4_state_ab.py): knot -5.7%, terrain -8%,
     # stairs -2.5%, bit-identical images — default ON.
+    bvh4_spec: bool = False  # descend-entered leaf prefetch in the BVH4
+    # nearest kernel (VERDICT r4 item 1a): the child refs are scalar
+    # SMEM reads available BEFORE the vote round trip, so the first
+    # leaf ref in table order is speculatively DMA'd into a dedicated
+    # 3rd slot under the ~300 ns vote stall. Predictor accuracy
+    # measured 53-59% on real renders (experiments/leaf_spec_probe.py);
+    # a wrong guess costs one 4 KB copy's bandwidth + an amortized
+    # drain. Results bit-identical (tested). Default set by the
+    # within-run e2e A/B (experiments/bvh4_spec_ab.py).
     packet_scratch: bool = True  # heap-kernel version of bvh4_scratch:
     # closest/besti (nearest) and closest/occ (any-hit) tiles live in
     # VMEM scratch refs instead of the while carry, so every cond join

@@ -93,6 +93,7 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
     rounds = (n + m - 1) // m
     inv_ns = (1.0 / ns.astype(jnp.float32)) if normalize else jnp.float32(1.0)
 
+    fw = config.flush_window
     view = make_view(scene, config)
     pixel_offset = jnp.asarray(pixel_offset, jnp.uint32)
     # varying-zero seeds: carries must match the body's sharding varyance
@@ -123,11 +124,42 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
         acc = vwhere(dead, acc + state.color, acc)
         color = vwhere(dead, V3.zeros((m,)), state.color)
 
-        flush = dead & (cur_sample >= ns)          # pixel complete
-        onehot = (round_iota == rnd[None, :]) & flush[None, :]
-        out_x = out_x + jnp.where(onehot, acc.x[None, :], 0.0)
-        out_y = out_y + jnp.where(onehot, acc.y[None, :], 0.0)
-        out_z = out_z + jnp.where(onehot, acc.z[None, :], 0.0)
+        want = dead & (cur_sample >= ns)           # pixel complete
+        if fw and fw < rounds:
+            # Sliding flush window (regen-body diet, VERDICT r4 item
+            # 5): the full one-hot rewrites all rounds x m out rows
+            # (~24 MB/iter r+w on the headline) to flush a handful of
+            # lanes. Restrict the add to a W-row dynamic slice at
+            # base = min live round — in-place dynamic_update_slice
+            # traffic is W/rounds of the full rewrite. Lanes > W-1
+            # rounds ahead of the slowest STALL their flush (the lane
+            # idles until the window catches up); radiance sums are
+            # bit-identical, only iteration counts can change. The
+            # min-rnd lane is never stalled, so the loop always
+            # progresses.
+            base = jnp.clip(jnp.min(jnp.where(done, rounds, rnd)),
+                            0, rounds - fw)
+            flush = want & (rnd - base < fw)
+            w_iota = jnp.arange(fw, dtype=jnp.int32)[:, None]
+            onehot = (base + w_iota == rnd[None, :]) & flush[None, :]
+            win_x = jax.lax.dynamic_slice(out_x, (base, 0), (fw, m))
+            win_y = jax.lax.dynamic_slice(out_y, (base, 0), (fw, m))
+            win_z = jax.lax.dynamic_slice(out_z, (base, 0), (fw, m))
+            out_x = jax.lax.dynamic_update_slice(
+                out_x, win_x + jnp.where(onehot, acc.x[None, :], 0.0),
+                (base, 0))
+            out_y = jax.lax.dynamic_update_slice(
+                out_y, win_y + jnp.where(onehot, acc.y[None, :], 0.0),
+                (base, 0))
+            out_z = jax.lax.dynamic_update_slice(
+                out_z, win_z + jnp.where(onehot, acc.z[None, :], 0.0),
+                (base, 0))
+        else:
+            flush = want
+            onehot = (round_iota == rnd[None, :]) & flush[None, :]
+            out_x = out_x + jnp.where(onehot, acc.x[None, :], 0.0)
+            out_y = out_y + jnp.where(onehot, acc.y[None, :], 0.0)
+            out_z = out_z + jnp.where(onehot, acc.z[None, :], 0.0)
         acc = vwhere(flush, V3.zeros((m,)), acc)
         rnd = jnp.where(flush, rnd + 1, rnd)
         cur_sample = jnp.where(flush, 0, cur_sample)
@@ -136,7 +168,8 @@ def render_regen(scene: Scene, camera: Camera, config: RenderConfig,
                                   >= jnp.uint32(n))))
 
         # ---- start the next path on reaped, not-done lanes --------------
-        start = dead & ~done
+        # (stalled-flush lanes — want & ~flush — wait for the window)
+        start = dead & ~done & ~(want & ~flush)
         pixel = pixel_of(rnd)
         start_sample = s0 + cur_sample
         o2, d2 = camera.generate_rays(pixel, start_sample,

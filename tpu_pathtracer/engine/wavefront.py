@@ -353,7 +353,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
             o_s, d_s, tm, pk.bounds, pk.refs, pk.blocks, pk.tri_feat,
             pk.width, t_min, pk.stack_cap, interpret=_interp(config),
             prefetch=config.bvh4_pf, quant=pk.quant, qparams=pk.qparams,
-            scratch=config.bvh4_scratch)
+            scratch=config.bvh4_scratch,
+            spec=config.bvh4_spec and config.bvh4_pf)
     elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_trace_mx
         outs, node_counts = packet_trace_mx(

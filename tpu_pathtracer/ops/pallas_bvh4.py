@@ -101,12 +101,30 @@ def _stack_apply4(r0, r1, r2, r3, pk1, pk2, pk3, s_cd, n_lanes):
 
 def _node_step4(ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3,
-                quant=False, qscal=None):
+                quant=False, qscal=None, spec_probe=False,
+                spec=None, spn=None, spc=None):
     """One BVH4 node step: 4 slab tests, votes, descend + pushes.
-    Returns (new_cur, new_sp, nb_inc, nsg_inc).  ``quant`` reads the
-    packed uint16 table through the heap kernel's dequant
-    (_node_bounds4: 12 int32 words/node, outward-rounded boxes — extra
-    visits possible, hits never missed, results unchanged)."""
+    Returns (new_cur, new_sp, nb_inc, nsg_inc[, spn', spc']).
+    ``quant`` reads the packed uint16 table through the heap kernel's
+    dequant (_node_bounds4: 12 int32 words/node, outward-rounded
+    boxes — extra visits possible, hits never missed, results
+    unchanged).
+
+    ``spec``: (blocks, blk, s2, rb_rows) — descend-entered leaf
+    prefetch (VERDICT r4 item 1a). The child refs are scalar SMEM
+    reads available BEFORE the vote round trip; the first leaf ref in
+    table order (measured 53-59% of actual leaf descends,
+    experiments/leaf_spec_probe.py) is speculatively DMA'd into a
+    dedicated 3rd slot so the copy flies under the ~300 ns vote
+    stall. A wrong guess costs one 4 KB copy's HBM bandwidth and an
+    (amortized, usually-complete) semaphore drain at the next issue —
+    not the heap pair-scheme's per-step drain serialization.
+    ``spn``/``spc`` carry the pending-speculation state.
+
+    ``spec_probe`` (telemetry only): nb_inc/nsg_inc instead count
+    leaf-descends / leaf-descends-where-chosen-equals-the-first-leaf-
+    ref-in-table-order — the accuracy of the cheapest pre-vote
+    speculative-DMA predictor (VERDICT r4 item 1a sizing)."""
     rb = (cur - 1) * 4
     boxes = _node_bounds4(ntab, rb, quant, qscal)
     h0 = _slab(boxes[0], o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -118,6 +136,28 @@ def _node_step4(ntab, rtab, stk, cur, sp, closest,
     r1 = rtab[rb + 1]
     r2 = rtab[rb + 2]
     r3 = rtab[rb + 3]
+    if spec is not None:
+        # issue BEFORE any scalar consumption of the votes: the copy
+        # starts while the scalar core waits on the vector reductions
+        blocks, blk, s2, rbs = spec
+        pred_leaf = jnp.where(
+            r0 < 0, r0, jnp.where(r1 < 0, r1,
+                                  jnp.where(r2 < 0, r2, r3)))
+        do_spec = pred_leaf < 0
+        nc = -pred_leaf - 1
+
+        @pl.when(spn > 0)
+        def _():  # drain the previous unconsumed speculation
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(2 * rbs, rbs)], s2).wait()
+
+        @pl.when(do_spec)
+        def _():
+            pltpu.make_async_copy(blocks.at[nc],
+                                  blk.at[pl.ds(2 * rbs, rbs)],
+                                  s2).start()
+        spn = do_spec.astype(jnp.int32)
+        spc = jnp.where(do_spec, nc, -1)
     any_hit, chosen, pushes, nbi, nsgi = _stack_apply4(
         r0, r1, r2, r3, pk1, pk2, pk3, s_cd, h0.size)
     for ref, pred in pushes:
@@ -128,6 +168,15 @@ def _node_step4(ntab, rtab, stk, cur, sp, closest,
     new_cur = jnp.where(any_hit, chosen,
                         jnp.where(sp > 0, popped, 0))
     new_sp = jnp.where(any_hit, sp, spm)
+    if spec_probe:
+        pred_leaf = jnp.where(
+            r0 < 0, r0, jnp.where(r1 < 0, r1,
+                                  jnp.where(r2 < 0, r2, r3)))
+        desc_leaf = any_hit & (chosen < 0)
+        nbi = desc_leaf.astype(jnp.int32)
+        nsgi = (desc_leaf & (chosen == pred_leaf)).astype(jnp.int32)
+    if spec is not None:
+        return new_cur, new_sp, nbi, nsgi, spn, spc
     return new_cur, new_sp, nbi, nsgi
 
 
@@ -182,7 +231,9 @@ def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk, rb=16):
         nxt = jnp.where(sp > 0, stk[jnp.maximum(sp - 1, 0)], 0)
         do_pf = nxt < 0
         nc = -nxt - 1
-        pf_slot = 1 - cur_slot
+        # any slot in {0,1} not in use; cur_slot may be 2 (the spec
+        # slot), in which case both are free
+        pf_slot = jnp.where(cur_slot == 0, 1, 0)
 
         @pl.when(do_pf & (pf_slot == 0))
         def _():
@@ -212,15 +263,17 @@ def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk, rb=16):
 
 def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                      width, t_min, unroll, stack_cap, prefetch,
-                     quant=False, scratch=False):
+                     quant=False, scratch=False, spec_probe=False,
+                     spec=False):
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
     rb = blocks.shape[1]               # 8 = packed layout, 16 = legacy
     stride = width if rb == 8 else 128
+    assert not spec or prefetch, "spec requires the prefetch slots"
 
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
-    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None,
+    def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None, s2=None,
                cls=None, bst=None):
         # SMEM scratch persists across the sequential grid steps (the
         # accumulator-pattern guarantee), so the node/ref tables are
@@ -263,28 +316,73 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
 
         def node_fn(carry):
             if scratch:
-                cur, sp, nb, nsg, nl, nlp, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, pfon, par, spn, spc = carry
                 closest = cls[:, :]
             else:
-                cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par = carry
-            new_cur, new_sp, nbi, nsgi = _node_step4(
-                ntab, rtab, stk, cur, sp, closest,
-                o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal)
+                (cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par,
+                 spn, spc) = carry
+            if spec:
+                new_cur, new_sp, nbi, nsgi, spn, spc = _node_step4(
+                    ntab, rtab, stk, cur, sp, closest,
+                    o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal,
+                    spec_probe=spec_probe,
+                    spec=(blocks, blk, s2, rb), spn=spn, spc=spc)
+            else:
+                new_cur, new_sp, nbi, nsgi = _node_step4(
+                    ntab, rtab, stk, cur, sp, closest,
+                    o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal,
+                    spec_probe=spec_probe)
             if scratch:
                 return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl, nlp,
-                        pfon, par)
+                        pfon, par, spn, spc)
             return (new_cur, new_sp, nb + nbi, nsg + nsgi, nl, nlp,
-                    closest, besti, pfon, par)
+                    closest, besti, pfon, par, spn, spc)
 
         def leaf_fn(carry):
             if scratch:
-                cur, sp, nb, nsg, nl, nlp, pfon, par = carry
+                cur, sp, nb, nsg, nl, nlp, pfon, par, spn, spc = carry
                 closest = cls[:, :]
                 besti = bst[:, :]
             else:
-                cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par = carry
+                (cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par,
+                 spn, spc) = carry
             c = -cur - 1
-            if prefetch:
+            if spec:
+                use_pf = pfon > 0
+                use_spec = jnp.logical_not(use_pf) & (spn > 0) & (spc == c)
+                cur_slot = jnp.where(use_pf, par,
+                                     jnp.where(use_spec, 2, 0))
+
+                @pl.when(use_pf & (par == 0))
+                def _():
+                    pltpu.make_async_copy(blocks.at[0],
+                                          blk.at[pl.ds(0, rb)], s0).wait()
+
+                @pl.when(use_pf & (par == 1))
+                def _():
+                    pltpu.make_async_copy(blocks.at[0],
+                                          blk.at[pl.ds(rb, rb)],
+                                          s1).wait()
+
+                @pl.when(use_spec)
+                def _():
+                    pltpu.make_async_copy(blocks.at[0],
+                                          blk.at[pl.ds(2 * rb, rb)],
+                                          s2).wait()
+
+                @pl.when(jnp.logical_not(use_pf)
+                         & jnp.logical_not(use_spec))
+                def _():
+                    dma = pltpu.make_async_copy(blocks.at[c],
+                                                blk.at[pl.ds(0, rb)],
+                                                sem)
+                    dma.start()
+                    dma.wait()
+                spn = jnp.where(use_spec, 0, spn)
+                new_pfon, new_par, _drain = pf_issue(sp, cur_slot)
+                base = cur_slot * rb
+                mt_rows = [base + r for r in range(rb)]
+            elif prefetch:
                 cur_slot = pf_consume(c, pfon, par)
                 new_pfon, new_par, _drain = pf_issue(sp, cur_slot)
                 base = cur_slot * rb
@@ -322,9 +420,9 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                 cls[:, :] = closest
                 bst[:, :] = besti
                 return (new_cur, new_sp, nb, nsg, nl + 1, nlp,
-                        new_pfon, new_par)
+                        new_pfon, new_par, spn, spc)
             return (new_cur, new_sp, nb, nsg, nl + 1, nlp, closest,
-                    besti, new_pfon, new_par)
+                    besti, new_pfon, new_par, spn, spc)
 
         # fused body (same trick as the heap kernel): a node step that
         # descends into a leaf runs the MT visit in the same trip
@@ -340,8 +438,9 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         if scratch:
             init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
                     jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                    jnp.int32(0), jnp.int32(0))
-            _, _, nb, nsg, nl, nlp, _, _ = jax.lax.while_loop(
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(-1))
+            _, _, nb, nsg, nl, nlp, _, _, fspn, _ = jax.lax.while_loop(
                 cond, body, init)
             closest = cls[:, :]
             besti = bst[:, :]
@@ -350,9 +449,19 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                     jnp.int32(0), jnp.int32(0), jnp.int32(0),
                     tmax[:, :],
                     jnp.full(shp, -1, jnp.int32),
-                    jnp.int32(0), jnp.int32(0))
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(-1))
             (_, _, nb, nsg, nl, nlp, closest, besti, _,
-             _) = jax.lax.while_loop(cond, body, init)
+             _, fspn, _) = jax.lax.while_loop(cond, body, init)
+        if spec:
+            # a speculation issued on the final node step may still be
+            # in flight — balance its semaphore before the grid step
+            # ends (the scratch persists into the next packet)
+            @pl.when(fspn > 0)
+            def _():
+                pltpu.make_async_copy(blocks.at[0],
+                                      blk.at[pl.ds(2 * rb, rb)],
+                                      s2).wait()
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
@@ -364,7 +473,8 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         tri_out[:, :] = besti
         feat_out[:, :] = closest
 
-    kw = dict(blk=pltpu.SMEM((2 * blocks.shape[1], 128) if prefetch
+    nslots = 3 if spec else (2 if prefetch else 1)
+    kw = dict(blk=pltpu.SMEM((nslots * blocks.shape[1], 128) if prefetch
                              else blocks.shape[1:],
                              jnp.float32),
               sem=pltpu.SemaphoreType.DMA(()),
@@ -375,6 +485,8 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
     if prefetch:
         kw["s0"] = pltpu.SemaphoreType.DMA(())
         kw["s1"] = pltpu.SemaphoreType.DMA(())
+    if spec:
+        kw["s2"] = pltpu.SemaphoreType.DMA(())
     if scratch:
         kw["cls"] = pltpu.VMEM((ROWS, 128), jnp.float32)
         kw["bst"] = pltpu.VMEM((ROWS, 128), jnp.int32)
@@ -552,12 +664,14 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
 @functools.partial(jax.jit, static_argnames=("width", "t_min",
                                              "interpret", "stack_cap",
                                              "prefetch", "quant",
-                                             "scratch"))
+                                             "scratch", "spec_probe",
+                                             "spec"))
 def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
                   tri_feat, width: int, t_min: float,
                   stack_cap: int, interpret: bool = False,
                   prefetch: bool = False, quant: bool = False,
-                  qparams=None, scratch: bool = False):
+                  qparams=None, scratch: bool = False,
+                  spec_probe: bool = False, spec: bool = False):
     """Nearest-hit BVH4 packet traversal (see packet_trace for the
     output contract — identical, with tri ids in SAH cluster-slot
     space).  ``quant``: ``bounds`` is the packed uint16 table
@@ -583,7 +697,8 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
     kernel = functools.partial(
         _kernel_nearest4, width=width, t_min=float(t_min),
         unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch,
-        quant=quant, scratch=scratch)
+        quant=quant, scratch=scratch, spec_probe=spec_probe,
+        spec=spec)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
