@@ -177,15 +177,19 @@ class RenderConfig:
     # visit's MT loop and completes under it. Within-run e2e A/B
     # (experiments/bvh4_state_ab.py): knot -5.7%, terrain -8%,
     # stairs -2.5%, bit-identical images — default ON.
-    bvh4_spec: bool = False  # descend-entered leaf prefetch in the BVH4
-    # nearest kernel (VERDICT r4 item 1a): the child refs are scalar
-    # SMEM reads available BEFORE the vote round trip, so the first
-    # leaf ref in table order is speculatively DMA'd into a dedicated
-    # 3rd slot under the ~300 ns vote stall. Predictor accuracy
-    # measured 53-59% on real renders (experiments/leaf_spec_probe.py);
-    # a wrong guess costs one 4 KB copy's bandwidth + an amortized
-    # drain. Results bit-identical (tested). Default set by the
-    # within-run e2e A/B (experiments/bvh4_spec_ab.py).
+    bvh4_spec: bool = False  # descend-entered SPECULATIVE leaf prefetch
+    # in the BVH4 nearest kernel (VERDICT r4 item 1a, decision record):
+    # the child refs are scalar SMEM reads available BEFORE the vote
+    # round trip, so the first leaf ref in table order is speculatively
+    # DMA'd into a dedicated 3rd slot under the ~300 ns vote stall.
+    # Predictor accuracy measured 53-59% on real renders
+    # (experiments/leaf_spec_probe.py) — but the within-run e2e A/B
+    # (experiments/bvh4_spec_ab.py) measured a consistent LOSS: knot
+    # 152.5->155.4, terrain 423.5->434.3, stairs 829.6->851.2 ms/spp
+    # (+2..2.6%; off/off2 brackets agree to 0.1%). The per-node-step
+    # issue+drain overhead exceeds what ~55% accuracy recovers —
+    # matching the heap kernel's speculative-pair history. Bit-exact
+    # (tested); kept OFF as the decision record.
     packet_scratch: bool = True  # heap-kernel version of bvh4_scratch:
     # closest/besti (nearest) and closest/occ (any-hit) tiles live in
     # VMEM scratch refs instead of the while carry, so every cond join

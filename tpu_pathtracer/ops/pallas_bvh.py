@@ -721,7 +721,7 @@ def _node_box(smem_nodes, top_rows, nodes, ntab, r, quant=False,
 
 
 def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
-                          rpc=0, scratch_shapes=()):
+                          rpc=0, pf1_rows=0, scratch_shapes=()):
     if rpc:
         # prefetch layout: two pair slots (4 clusters x rpc rows) + one
         # DMA semaphore per slot; blocks arrives flattened (C*rpc, 128)
@@ -729,6 +729,12 @@ def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
                   sem=pltpu.SemaphoreType.DMA(()),
                   s0=pltpu.SemaphoreType.DMA(()),
                   s1=pltpu.SemaphoreType.DMA(()))
+    elif pf1_rows:
+        # packed-layout next-leaf prefetch: two single-cluster slots,
+        # one extra semaphore (at most one copy in flight)
+        kw = dict(blk=pltpu.SMEM((2 * pf1_rows, 128), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  s0=pltpu.SemaphoreType.DMA(()))
     else:
         kw = dict(blk=pltpu.SMEM(blocks.shape[1:], jnp.float32),
                   sem=pltpu.SemaphoreType.DMA(()))
@@ -860,8 +866,21 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     pf = (prefetch and fused and cpb == 1 and stride % 128 == 0
           and stride >= 128 and not leaf_cull and cl_first >= 2
           and not oct_ok)
+    # pf1: single-cluster next-leaf prefetch for the PACKED block layout
+    # (stride < 128, where the pair scheme's row addressing doesn't
+    # apply — since the packed blocks landed in r4 these meshes ran
+    # with NO leaf prefetch at all). The pop target after a leaf visit
+    # is a pure scalar function of (idx, bs), so when it is itself a
+    # leaf its (8,128) block DMA starts BEFORE this visit's MT loop
+    # and completes under it — non-speculative, zero mispredict, the
+    # BVH4 kernel's proven stack-top-peek pattern (pallas_bvh4
+    # _leaf_dma_helpers) translated to the bitstack.
+    pf1 = (prefetch and fused and cpb == 1 and not leaf_cull
+           and cl_first >= 2 and not oct_ok and not pf
+           and not tree_min and blocks.ndim == 3)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
+    CROWS = blocks.shape[1] if pf1 else 0   # rows per packed cluster
 
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
@@ -894,6 +913,43 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     blocks.at[pl.ds(c0_s1 * rpc, PAIR)],
                     blk.at[pl.ds(PAIR, PAIR)], s1).start()
             return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
+
+        def pf1_consume(c_blk, pfon, par):
+            """Wait/load cluster ``c_blk`` into a slot; returns it."""
+            cur_slot = jnp.where(pfon > 0, par, 0)
+
+            @pl.when(pfon > 0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
+
+            @pl.when(pfon == 0)
+            def _():
+                dma = pltpu.make_async_copy(
+                    blocks.at[c_blk], blk.at[pl.ds(0, CROWS)], sem)
+                dma.start()
+                dma.wait()
+            return cur_slot
+
+        def pf1_issue(nxt_leaf, nxt_blk, cur_slot):
+            """Start the pop target's copy into the other slot (only
+            when the target is itself a leaf — then it is GUARANTEED
+            to be the next visit)."""
+            pf_slot = 1 - cur_slot
+
+            @pl.when(nxt_leaf & (pf_slot == 0))
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[nxt_blk], blk.at[pl.ds(0, CROWS)],
+                    s0).start()
+
+            @pl.when(nxt_leaf & (pf_slot == 1))
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[nxt_blk], blk.at[pl.ds(CROWS, CROWS)],
+                    s0).start()
+            return nxt_leaf.astype(jnp.int32), pf_slot
+
         if smem_nodes:
             # node table -> SMEM once per packet: scalar loads beat VMEM
             # extracts 1.67x per node step (PERFORMANCE.md microbench)
@@ -1025,7 +1081,19 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
             c_blk = c if cpb == 1 else c >> log2cpb
             brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
-            if pf:
+            if pf1:
+                # pop target (pure scalar function of idx/bs) known
+                # BEFORE the MT loop: consume this visit's block, then
+                # start the next leaf's copy so it completes under MT
+                m_e = jnp.where(bs > 0, _ctz32(bs), 0)
+                nxt_idx = (idx >> m_e) ^ 1
+                cur_slot = pf1_consume(c_blk, p0, p1)
+                p0, p1 = pf1_issue(nxt_idx >= cl_first,
+                                   jnp.maximum(nxt_idx - cl_first, 0),
+                                   cur_slot)
+                base = cur_slot * CROWS
+                mt_rows = [base + r for r in range(CROWS)]
+            elif pf:
                 # wait this slot's pair copy (first visit of the pair
                 # only — the sibling finds pend cleared, data resident)
                 slot1 = ((c >> 1) & 1) == 1
@@ -1045,7 +1113,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 mt_rows = None
 
             def do_mt(st):
-                if not pf:
+                if not pf and not pf1:
                     dma = pltpu.make_async_copy(blocks.at[c_blk], blk,
                                                 sem)
                     dma.start()
@@ -1189,6 +1257,14 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             @pl.when(p1f > 0)
             def _():
                 pf_drain(s1, PAIR)
+        if pf1:
+            # defensive: the next-leaf copy is always consumed on the
+            # following trip (the exit pop lands below cl_first), but
+            # balance the semaphore if that ever changes
+            @pl.when(p0f > 0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
         # per-packet telemetry at [0, 0..2]: both/single node steps and
         # leaf-cluster visits
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
@@ -1202,6 +1278,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
                           rpc=rpc if pf else 0,
+                          pf1_rows=CROWS if pf1 else 0,
                           scratch_shapes=((("cls", jnp.float32),
                                            ("bst", jnp.int32))
                                           if scratch else ()))
@@ -1225,8 +1302,13 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     pf = (prefetch and fused and cpb == 1 and stride % 128 == 0
           and stride >= 128 and not leaf_cull and cl_first >= 2
           and not oct_ok)
+    # packed-layout next-leaf prefetch — see _kernel_nearest
+    pf1 = (prefetch and fused and cpb == 1 and not leaf_cull
+           and cl_first >= 2 and not oct_ok and not pf
+           and blocks.ndim == 3)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
+    CROWS = blocks.shape[1] if pf1 else 0
 
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
@@ -1256,6 +1338,38 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     blocks.at[pl.ds(c0_s1 * rpc, PAIR)],
                     blk.at[pl.ds(PAIR, PAIR)], s1).start()
             return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
+
+        def pf1_consume(c_blk, pfon, par):
+            cur_slot = jnp.where(pfon > 0, par, 0)
+
+            @pl.when(pfon > 0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
+
+            @pl.when(pfon == 0)
+            def _():
+                dma = pltpu.make_async_copy(
+                    blocks.at[c_blk], blk.at[pl.ds(0, CROWS)], sem)
+                dma.start()
+                dma.wait()
+            return cur_slot
+
+        def pf1_issue(nxt_leaf, nxt_blk, cur_slot):
+            pf_slot = 1 - cur_slot
+
+            @pl.when(nxt_leaf & (pf_slot == 0))
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[nxt_blk], blk.at[pl.ds(0, CROWS)],
+                    s0).start()
+
+            @pl.when(nxt_leaf & (pf_slot == 1))
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[nxt_blk], blk.at[pl.ds(CROWS, CROWS)],
+                    s0).start()
+            return nxt_leaf.astype(jnp.int32), pf_slot
 
         if smem_nodes:
             # once per pallas_call — SMEM scratch persists across the
@@ -1384,7 +1498,16 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             # (a traced brow costs ~12% in the MT loop — PERFORMANCE.md)
             c_blk = c if cpb == 1 else c >> log2cpb
             brow = 0 if cpb == 1 else (c & (cpb - 1)) * rows_per_cluster
-            if pf:
+            if pf1:
+                m_e = jnp.where(bs > 0, _ctz32(bs), 0)
+                nxt_idx = (idx >> m_e) ^ 1
+                cur_slot = pf1_consume(c_blk, p0, p1)
+                p0, p1 = pf1_issue(nxt_idx >= cl_first,
+                                   jnp.maximum(nxt_idx - cl_first, 0),
+                                   cur_slot)
+                base = cur_slot * CROWS
+                mt_rows = [base + r for r in range(CROWS)]
+            elif pf:
                 slot1 = ((c >> 1) & 1) == 1
 
                 @pl.when(jnp.logical_not(slot1) & (p0 > 0))
@@ -1402,7 +1525,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 mt_rows = None
 
             def do_mt(st):
-                if not pf:
+                if not pf and not pf1:
                     dma = pltpu.make_async_copy(blocks.at[c_blk], blk,
                                                 sem)
                     dma.start()
@@ -1495,6 +1618,13 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             @pl.when(p1f > 0)
             def _():
                 pf_drain(s1, PAIR)
+        if pf1:
+            # the any-hit early-out can exit with the next-leaf copy
+            # still in flight — balance its semaphore
+            @pl.when(p0f > 0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
         occ_out[:, :] = occ
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
@@ -1505,6 +1635,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
 
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
                           rpc=rpc if pf else 0,
+                          pf1_rows=CROWS if pf1 else 0,
                           scratch_shapes=((("cls", jnp.float32),
                                            ("bst", jnp.int32))
                                           if scratch else ()))
