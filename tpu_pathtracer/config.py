@@ -168,9 +168,18 @@ class RenderConfig:
     # forfeiting pf costs): the wider vector step + one more cond
     # level cancel the trip cut. Opt-in decision record
     # (PERFORMANCE.md "8-ary great-grandchild node step").
-    prefetch: bool = True  # sibling-pair cluster prefetch in the packet
-    # kernels (pallas_bvh._kernel_nearest pf): pair DMAs issue under the
-    # node step's vote latency; bit-exact. Knot bounce trace -17%.
+    prefetch: bool = True  # leaf prefetch in the heap packet kernels.
+    # Legacy (stride >= 128) layout: sibling-pair DMAs issued under the
+    # node step's vote latency (pf — knot bounce trace -17%). Packed
+    # (stride < 128) layout, the r4+ default: next-leaf prefetch (pf1)
+    # — the pop target after a leaf visit is a pure scalar function of
+    # (idx, bs), so when it is itself a leaf its block copy starts
+    # before this visit's MT loop and completes under it
+    # (non-speculative, the BVH4 bvh4_pf pattern). Within-run e2e A/B
+    # (experiments/pf1_ab.py): dragon 404.3 -> 393.6 ms/spp (-2.7%),
+    # rocks 435.6 -> 420.7 (-3.4%), bit-identical. NOTE r4's packed
+    # landing silently disabled ALL heap leaf prefetch (the wrapper
+    # passed the pair-gate down); fixed in r5.
     bvh4_pf: bool = True  # double-buffered leaf DMA in the BVH4
     # explicit-stack kernels: the stack top after a leaf pop names the
     # NEXT cluster non-speculatively, so its copy starts before this

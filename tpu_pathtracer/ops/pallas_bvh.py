@@ -2662,7 +2662,7 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
             approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
-            tree_min=tree_min, prefetch=pf, scratch=scratch)
+            tree_min=tree_min, prefetch=prefetch, scratch=scratch)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
@@ -2795,7 +2795,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
             approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
-            prefetch=pf, scratch=scratch)
+            prefetch=prefetch, scratch=scratch)
     occ, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
