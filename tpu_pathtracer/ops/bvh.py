@@ -441,6 +441,118 @@ def traverse(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
                        nodes_both=nb, nodes_single=nsg)
 
 
+def traverse_single_node(mesh: MeshData, origin: jnp.ndarray,
+                         direction: jnp.ndarray, t_min, t_max,
+                         is_shadow: bool = False) -> TraceResult:
+    """Vectorized SINGLE-node stackless traversal — the reference's
+    compile-time alternative to DUAL_NODES (kernels.cu:227–294:
+    direction-sign child ordering via the node's split axis + a
+    down/up walk instead of the bitstack).
+
+    Completeness port of the variant nothing selects in the as-built
+    reference (its own history found dual-node 2x faster, TODO.txt:527
+    — confirmed here: one box fetch per step but ~2x the steps).
+    Hit results are traversal-order-independent, so t/tri_id/u/v are
+    identical to :func:`traverse` (tested); only step counts differ —
+    every down-step box test is tallied into ``nodes_single``
+    (``nodes_both`` stays 0: this walk never fetches two nodes).
+
+    The reference stores each node's split axis; our ``BVH_00.04``
+    tables don't carry one, so it is re-derived per call as the axis
+    of largest child-center separation — the median/SAH builders split
+    on exactly that axis, and ANY consistent choice keeps the walk
+    correct (ordering is a heuristic, membership is not).
+    """
+    N = origin.shape[0]
+    P = mesh.prims_per_leaf
+    first_leaf = mesh.first_leaf
+    inv_dir = 1.0 / direction
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (N,))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+
+    # per-internal-node split axis from child-center separation
+    centers = (mesh.bvh_min + mesh.bvh_max) * 0.5          # [Nn,3]
+    li = jnp.arange(first_leaf, dtype=jnp.int32) * 2
+    sep = jnp.abs(centers[jnp.minimum(li, 2 * first_leaf - 2)]
+                  - centers[jnp.minimum(li + 1, 2 * first_leaf - 1)])
+    axis = jnp.argmax(sep, axis=-1).astype(jnp.int32)      # [first_leaf]
+    # near child bit per (node, ray): 1 when the ray travels negative
+    # along the split axis (left child holds the lower coordinates)
+    dir_neg = (direction < 0.0)                            # [N,3]
+
+    def near_bit(p):
+        ax = axis[jnp.minimum(p, first_leaf - 1)]
+        return jnp.take_along_axis(dir_neg, ax[:, None],
+                                   axis=1)[:, 0].astype(jnp.int32)
+
+    def cond(state):
+        idx, *_ = state
+        return jnp.any(idx > 0)
+
+    def body(state):
+        idx, down, closest, tri_id, uu, vv, nsg = state
+        active = idx > 0
+        going_down = active & (down > 0)
+        going_up = active & (down == 0)
+
+        # ---- down: test THIS node's box (the single fetch per step)
+        ii = jnp.where(going_down, idx, 1)
+        bmin = mesh.bvh_min[ii]
+        bmax = mesh.bvh_max[ii]
+        bhit = bbox_hit_dist(bmin, bmax, origin, inv_dir, closest)
+        hit = going_down & (bhit < closest)
+        is_leaf = idx >= first_leaf
+        desc = hit & ~is_leaf
+        visit = hit & is_leaf
+
+        # leaf triangle tests (same masked MT loop as traverse)
+        base = jnp.where(visit, (idx - first_leaf) * P, 0)
+        hit_any = jnp.zeros((N,), bool)
+        for p in range(P):
+            ti = base + p
+            tt, tu, tv = triangles_hit(mesh.v0[ti], mesh.v1[ti],
+                                       mesh.v2[ti], origin, direction,
+                                       t_min, closest)
+            won = visit & (tt < closest)
+            closest = jnp.where(won, tt, closest)
+            tri_id = jnp.where(won, ti, tri_id)
+            uu = jnp.where(won, tu, uu)
+            vv = jnp.where(won, tv, vv)
+            hit_any = hit_any | won
+
+        # ---- up: near child -> far sibling (down); far -> parent (up)
+        parent = jnp.maximum(idx >> 1, 1)
+        was_near = (idx & 1) == near_bit(parent)
+        up_to_sib = going_up & was_near & (idx > 1)
+        up_to_par = going_up & ~was_near & (idx > 1)
+        up_done = going_up & (idx <= 1)
+
+        # ---- advance
+        child = idx * 2 + near_bit(jnp.where(desc, idx, 1))
+        new_idx = jnp.where(desc, child,
+                            jnp.where(up_to_sib, idx ^ 1,
+                                      jnp.where(up_to_par, parent,
+                                                jnp.where(up_done, 0,
+                                                          idx))))
+        # a box miss or a processed leaf flips this lane to "up" at the
+        # SAME node; descending or moving to the far sibling goes down
+        new_down = jnp.where(desc | up_to_sib, 1,
+                             jnp.where(going_down & ~desc, 0, down))
+        if is_shadow:
+            new_idx = jnp.where(hit_any, 0, new_idx)
+        nsg = nsg + jnp.sum(going_down, dtype=jnp.int32)
+        return (new_idx, new_down, closest, tri_id, uu, vv, nsg)
+
+    zf = origin[:, 0] * 0.0
+    zi = zf.astype(jnp.int32)
+    zs = jnp.sum(zf).astype(jnp.int32)
+    init = (zi + 1, zi + 1, t_max_b + zf, zi - 1, zf, zf, zs)
+    (_, _, closest, tri_id, uu, vv, nsg) = jax.lax.while_loop(
+        cond, body, init)
+    return TraceResult(t=closest, tri_id=tri_id, u=uu, v=vv,
+                       nodes_both=jnp.int32(0) + zs, nodes_single=nsg)
+
+
 def brute_force(mesh: MeshData, origin: jnp.ndarray, direction: jnp.ndarray,
                 t_min, t_max) -> TraceResult:
     """No-BVH all-triangles scan (kernels.cu:307–321) — the slow oracle.
