@@ -51,6 +51,8 @@ def main():
         variants = (
             ("off", cfg),
             ("pf1", dataclasses.replace(cfg, prefetch=True)),
+            ("pair", dataclasses.replace(cfg, prefetch=False,
+                                         pair_pf=True)),
             ("off2", cfg),
         )
         print(f"{name}:", flush=True)

@@ -176,6 +176,35 @@ def test_packed_next_leaf_prefetch_bit_identical():
                                   np.asarray(occ_on))
 
 
+def test_packed_pair_prefetch_bit_identical():
+    """The packed-layout pair prefetch (pf2, config.pair_pf) covers
+    every leaf visit at the node step that descends into it — outputs
+    must be bit-equal to prefetch off, nearest and any-hit."""
+    mesh = _mesh(t=4000, seed=43, ppl=64)
+    pm = build_packet_mesh(mesh, max_width=64)  # packed layout
+    assert pm.stride < 128 and pm.blocks.ndim == 3
+    o, d, ov, dv = _rays(700, seed=44)
+    kw = dict(interpret=True, stride=pm.stride, cpb=pm.cpb,
+              smem_nodes=pm.smem_nodes)
+    off, c_off = packet_trace(ov, dv, FLT_MAX, pm.nodes, pm.blocks,
+                              pm.tri_feat, pm.cl_first, pm.width, 1e-3,
+                              prefetch=False, **kw)
+    on, c_on = packet_trace(ov, dv, FLT_MAX, pm.nodes, pm.blocks,
+                            pm.tri_feat, pm.cl_first, pm.width, 1e-3,
+                            prefetch=False, pair_pf=True, **kw)
+    for b, g in zip(off, on):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(g))
+    assert all(int(x) == int(y) for x, y in zip(c_off, c_on))
+    occ_off, _ = packet_occluded(ov, dv, 15.0, pm.nodes, pm.blocks,
+                                 pm.cl_first, pm.width, 1e-3,
+                                 prefetch=False, **kw)
+    occ_on, _ = packet_occluded(ov, dv, 15.0, pm.nodes, pm.blocks,
+                                pm.cl_first, pm.width, 1e-3,
+                                prefetch=False, pair_pf=True, **kw)
+    np.testing.assert_array_equal(np.asarray(occ_off),
+                                  np.asarray(occ_on))
+
+
 def test_packet_oct_step_bit_identical():
     """The 8-ary great-grandchild step (oct=True) changes loop
     structure only: outputs must be bit-identical to the binary and

@@ -186,6 +186,19 @@ class RenderConfig:
     # visit's MT loop and completes under it. Within-run e2e A/B
     # (experiments/bvh4_state_ab.py): knot -5.7%, terrain -8%,
     # stairs -2.5%, bit-identical images — default ON.
+    pair_pf: bool = True  # pair-prefetch scheme on the PACKED heap
+    # layout (takes precedence over pf1 when both eligible): both
+    # clusters of a leaf pair are DMA'd at the node step that descends
+    # into them (binary or quad), issued BEFORE the slab votes — the
+    # same zero-misprediction coverage argument as the legacy
+    # stride>=128 pair scheme, so there is NO sync leaf path at all;
+    # each pair is two single-cluster copies with their own
+    # semaphores. Covers descend-entered visits pf1 cannot; the
+    # speculative pair traffic at quad steps (2 pairs, often <=1
+    # consumed) is half the legacy bytes on packed 4 KB blocks.
+    # Within-run e2e A/B (experiments/pf1_ab.py): dragon 401.8 ->
+    # 387.3 ms/spp (-3.6%), rocks 431.7 -> 414.5 (-4.0%) — beats pf1
+    # (391.4 / 417.9) on both; bit-identical — default ON.
     bvh4_spec: bool = False  # descend-entered SPECULATIVE leaf prefetch
     # in the BVH4 nearest kernel (VERDICT r4 item 1a, decision record):
     # the child refs are scalar SMEM reads available BEFORE the vote

@@ -388,7 +388,8 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
                                          packs=config.packet_packs,
                                          prefetch=config.prefetch,
                                          scratch=config.packet_scratch,
-                                         split=config.packet_split)
+                                         split=config.packet_split,
+                                         pair_pf=config.pair_pf)
     if back is not None:
         unsorted = jax.lax.sort((back,) + outs, num_keys=1)
         outs = unsorted[1:]
@@ -439,7 +440,8 @@ def _packet_shadow(scene: Scene, view: SceneView, config: RenderConfig,
                 approx_recip=config.fast_math, oct=config.oct,
                 packs=config.packet_packs, prefetch=config.prefetch,
                 scratch=config.packet_scratch,
-                split=config.packet_split)
+                split=config.packet_split,
+                pair_pf=config.pair_pf)
 
     n = origin.x.shape[0]
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

@@ -721,7 +721,8 @@ def _node_box(smem_nodes, top_rows, nodes, ntab, r, quant=False,
 
 
 def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
-                          rpc=0, pf1_rows=0, scratch_shapes=()):
+                          rpc=0, pf1_rows=0, pf2_rows=0,
+                          scratch_shapes=()):
     if rpc:
         # prefetch layout: two pair slots (4 clusters x rpc rows) + one
         # DMA semaphore per slot; blocks arrives flattened (C*rpc, 128)
@@ -729,6 +730,15 @@ def _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
                   sem=pltpu.SemaphoreType.DMA(()),
                   s0=pltpu.SemaphoreType.DMA(()),
                   s1=pltpu.SemaphoreType.DMA(()))
+    elif pf2_rows:
+        # packed-layout pair prefetch: two pair slots of two clusters,
+        # one DMA semaphore per cluster copy
+        kw = dict(blk=pltpu.SMEM((4 * pf2_rows, 128), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA(()),
+                  s0=pltpu.SemaphoreType.DMA(()),
+                  s1=pltpu.SemaphoreType.DMA(()),
+                  s2=pltpu.SemaphoreType.DMA(()),
+                  s3=pltpu.SemaphoreType.DMA(()))
     elif pf1_rows:
         # packed-layout next-leaf prefetch: two single-cluster slots,
         # one extra semaphore (at most one copy in flight)
@@ -839,7 +849,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     smem_nodes, top_rows, quant=False, qparams=None,
                     leaf_cull=True, approx_recip=False, fused=True,
                     quad=True, oct=False, tree_min=False,
-                    prefetch=False, scratch=False):
+                    prefetch=False, scratch=False, pair_pf=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -875,16 +885,66 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     # and completes under it — non-speculative, zero mispredict, the
     # BVH4 kernel's proven stack-top-peek pattern (pallas_bvh4
     # _leaf_dma_helpers) translated to the bitstack.
-    pf1 = (prefetch and fused and cpb == 1 and not leaf_cull
+    # pf2: the pair scheme ported to the packed layout (opt-in,
+    # config.pair_pf). Same zero-misprediction coverage argument as pf
+    # — every leaf visit's pair was issued at the node step that
+    # descends into it (binary or quad), so there is NO sync path —
+    # but each pair is two single-cluster (8,128) copies with their
+    # own semaphores (a 3-D (2,8,128) source can't land in the 2-D
+    # SMEM slab in one DMA).
+    pf2 = (pair_pf and fused and cpb == 1 and not leaf_cull
            and cl_first >= 2 and not oct_ok and not pf
            and not tree_min and blocks.ndim == 3)
+    pf1 = (prefetch and fused and cpb == 1 and not leaf_cull
+           and cl_first >= 2 and not oct_ok and not pf
+           and not tree_min and not pf2 and blocks.ndim == 3)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
-    CROWS = blocks.shape[1] if pf1 else 0   # rows per packed cluster
+    CROWS = blocks.shape[1] if (pf1 or pf2) else 0  # rows per cluster
 
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
-    def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
-               bst=None):
+    def scoped(blk, sem, s0=None, s1=None, s2=None, s3=None,
+               ntab=None, cls=None, bst=None):
+        def pf2_drain(slot):
+            """Wait BOTH single-cluster copies of pair slot 0/1."""
+            lo = slot * 2 * CROWS
+            sa, sb = (s0, s1) if slot == 0 else (s2, s3)
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(lo, CROWS)], sa).wait()
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(lo + CROWS, CROWS)],
+                                  sb).wait()
+
+        def pf2_issue(pred0, c0_s0, pred1, c0_s1, p0, p1):
+            """Pair issue, packed layout: two cluster copies per slot
+            (c0_*: the pair's EVEN cluster id), draining any unconsumed
+            previous pair in the slot first."""
+            @pl.when(pred0 & (p0 > 0))
+            def _():
+                pf2_drain(0)
+
+            @pl.when(pred0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[c0_s0], blk.at[pl.ds(0, CROWS)],
+                    s0).start()
+                pltpu.make_async_copy(
+                    blocks.at[c0_s0 + 1], blk.at[pl.ds(CROWS, CROWS)],
+                    s1).start()
+
+            @pl.when(pred1 & (p1 > 0))
+            def _():
+                pf2_drain(1)
+
+            @pl.when(pred1)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[c0_s1], blk.at[pl.ds(2 * CROWS, CROWS)],
+                    s2).start()
+                pltpu.make_async_copy(
+                    blocks.at[c0_s1 + 1],
+                    blk.at[pl.ds(3 * CROWS, CROWS)], s3).start()
+            return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
         def pf_drain(ss, lo):
             pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
                                   blk.at[pl.ds(lo, PAIR)], ss).wait()
@@ -989,15 +1049,16 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             else:
                 idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
             l = idx * 2
-            if pf:
+            if pf or pf2:
                 # children are leaves -> issue their pair's DMA before
                 # the slab votes; slot = pair parity bit of the cluster
                 isleaf = l >= cl_first
                 c0 = jnp.maximum(l - cl_first, 0)  # pair's even cluster
                 s_even = ((c0 >> 1) & 1) == 0
-                p0, p1 = pf_issue(isleaf & s_even, c0,
-                                  isleaf & jnp.logical_not(s_even), c0,
-                                  p0, p1)
+                issue = pf_issue if pf else pf2_issue
+                p0, p1 = issue(isleaf & s_even, c0,
+                               isleaf & jnp.logical_not(s_even), c0,
+                               p0, p1)
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
                                   quant, qscal)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -1017,16 +1078,17 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 closest = cls[:, :]
             else:
                 idx, bs, nb, nsg, nl, closest, besti, p0, p1 = carry
-            if pf:
+            if pf or pf2:
                 # grandchildren are leaves -> both candidate pairs,
                 # complementary parities, issued before the 4 slabs
                 g = idx * 4
                 isleaf = g >= cl_first
                 cl_ = jnp.maximum(g - cl_first, 0)
                 sl_even = ((cl_ >> 1) & 1) == 0
-                p0, p1 = pf_issue(isleaf, jnp.where(sl_even, cl_, cl_ + 2),
-                                  isleaf, jnp.where(sl_even, cl_ + 2, cl_),
-                                  p0, p1)
+                issue = pf_issue if pf else pf2_issue
+                p0, p1 = issue(isleaf, jnp.where(sl_even, cl_, cl_ + 2),
+                               isleaf, jnp.where(sl_even, cl_ + 2, cl_),
+                               p0, p1)
             new_idx, new_bs, nbi, nsgi = _quad_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
@@ -1093,6 +1155,22 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                    cur_slot)
                 base = cur_slot * CROWS
                 mt_rows = [base + r for r in range(CROWS)]
+            elif pf2:
+                # first visit of the pair waits both copies; the
+                # sibling finds pend cleared, data resident
+                slot1 = ((c >> 1) & 1) == 1
+
+                @pl.when(jnp.logical_not(slot1) & (p0 > 0))
+                def _():
+                    pf2_drain(0)
+
+                @pl.when(slot1 & (p1 > 0))
+                def _():
+                    pf2_drain(1)
+                p0 = jnp.where(slot1, p0, 0)
+                p1 = jnp.where(slot1, 0, p1)
+                base = (c & 3) * CROWS
+                mt_rows = [base + r for r in range(CROWS)]
             elif pf:
                 # wait this slot's pair copy (first visit of the pair
                 # only — the sibling finds pend cleared, data resident)
@@ -1113,7 +1191,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 mt_rows = None
 
             def do_mt(st):
-                if not pf and not pf1:
+                if not pf and not pf1 and not pf2:
                     dma = pltpu.make_async_copy(blocks.at[c_blk], blk,
                                                 sem)
                     dma.start()
@@ -1265,6 +1343,15 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             def _():
                 pltpu.make_async_copy(
                     blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
+        if pf2:
+            # drain speculative pairs never consumed by a visit
+            @pl.when(p0f > 0)
+            def _():
+                pf2_drain(0)
+
+            @pl.when(p1f > 0)
+            def _():
+                pf2_drain(1)
         # per-packet telemetry at [0, 0..2]: both/single node steps and
         # leaf-cluster visits
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
@@ -1279,6 +1366,7 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
                           rpc=rpc if pf else 0,
                           pf1_rows=CROWS if pf1 else 0,
+                          pf2_rows=CROWS if pf2 else 0,
                           scratch_shapes=((("cls", jnp.float32),
                                            ("bst", jnp.int32))
                                           if scratch else ()))
@@ -1288,7 +1376,8 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                    cl_first, width, stride, cpb, t_min,
                    unroll, smem_nodes, top_rows, quant=False, qparams=None,
                    leaf_cull=True, approx_recip=False, fused=True,
-                   quad=True, oct=False, prefetch=False, scratch=False):
+                   quad=True, oct=False, prefetch=False, scratch=False,
+                   pair_pf=False):
     rest = list(rest)
     nodes_top = rest.pop(0) if top_rows else None
     qp = rest.pop(0) if quant else None
@@ -1302,17 +1391,57 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     pf = (prefetch and fused and cpb == 1 and stride % 128 == 0
           and stride >= 128 and not leaf_cull and cl_first >= 2
           and not oct_ok)
+    # packed-layout pair prefetch (opt-in) — see _kernel_nearest pf2
+    pf2 = (pair_pf and fused and cpb == 1 and not leaf_cull
+           and cl_first >= 2 and not oct_ok and not pf
+           and blocks.ndim == 3)
     # packed-layout next-leaf prefetch — see _kernel_nearest
     pf1 = (prefetch and fused and cpb == 1 and not leaf_cull
-           and cl_first >= 2 and not oct_ok and not pf
+           and cl_first >= 2 and not oct_ok and not pf and not pf2
            and blocks.ndim == 3)
     rpc = rows_per_cluster
     PAIR = 2 * rpc
-    CROWS = blocks.shape[1] if pf1 else 0
+    CROWS = blocks.shape[1] if (pf1 or pf2) else 0
 
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
-    def scoped(blk, sem, s0=None, s1=None, ntab=None, cls=None,
-               bst=None):
+    def scoped(blk, sem, s0=None, s1=None, s2=None, s3=None,
+               ntab=None, cls=None, bst=None):
+        def pf2_drain(slot):
+            lo = slot * 2 * CROWS
+            sa, sb = (s0, s1) if slot == 0 else (s2, s3)
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(lo, CROWS)], sa).wait()
+            pltpu.make_async_copy(blocks.at[0],
+                                  blk.at[pl.ds(lo + CROWS, CROWS)],
+                                  sb).wait()
+
+        def pf2_issue(pred0, c0_s0, pred1, c0_s1, p0, p1):
+            @pl.when(pred0 & (p0 > 0))
+            def _():
+                pf2_drain(0)
+
+            @pl.when(pred0)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[c0_s0], blk.at[pl.ds(0, CROWS)],
+                    s0).start()
+                pltpu.make_async_copy(
+                    blocks.at[c0_s0 + 1], blk.at[pl.ds(CROWS, CROWS)],
+                    s1).start()
+
+            @pl.when(pred1 & (p1 > 0))
+            def _():
+                pf2_drain(1)
+
+            @pl.when(pred1)
+            def _():
+                pltpu.make_async_copy(
+                    blocks.at[c0_s1], blk.at[pl.ds(2 * CROWS, CROWS)],
+                    s2).start()
+                pltpu.make_async_copy(
+                    blocks.at[c0_s1 + 1],
+                    blk.at[pl.ds(3 * CROWS, CROWS)], s3).start()
+            return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
         def pf_drain(ss, lo):
             pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
                                   blk.at[pl.ds(lo, PAIR)], ss).wait()
@@ -1413,13 +1542,14 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             else:
                 idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
             l = idx * 2
-            if pf:
+            if pf or pf2:
                 isleaf = l >= cl_first
                 c0 = jnp.maximum(l - cl_first, 0)
                 s_even = ((c0 >> 1) & 1) == 0
-                p0, p1 = pf_issue(isleaf & s_even, c0,
-                                  isleaf & jnp.logical_not(s_even), c0,
-                                  p0, p1)
+                issue = pf_issue if pf else pf2_issue
+                p0, p1 = issue(isleaf & s_even, c0,
+                               isleaf & jnp.logical_not(s_even), c0,
+                               p0, p1)
             bl, br = _node_bounds(smem_nodes, top_rows, nodes, ntab, l,
                                   quant, qscal)
             lhit = _slab(bl, o1, o2, o3, i1, i2, i3, n1, n2, n3, closest)
@@ -1440,14 +1570,15 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 closest = cls[:, :]
             else:
                 idx, bs, nb, nsg, nl, closest, occ, ndone, p0, p1 = carry
-            if pf:
+            if pf or pf2:
                 g = idx * 4
                 isleaf = g >= cl_first
                 cl_ = jnp.maximum(g - cl_first, 0)
                 sl_even = ((cl_ >> 1) & 1) == 0
-                p0, p1 = pf_issue(isleaf, jnp.where(sl_even, cl_, cl_ + 2),
-                                  isleaf, jnp.where(sl_even, cl_ + 2, cl_),
-                                  p0, p1)
+                issue = pf_issue if pf else pf2_issue
+                p0, p1 = issue(isleaf, jnp.where(sl_even, cl_, cl_ + 2),
+                               isleaf, jnp.where(sl_even, cl_ + 2, cl_),
+                               p0, p1)
             new_idx, new_bs, nbi, nsgi = _quad_step(
                 ntab, idx, bs, closest, o1, o2, o3, i1, i2, i3,
                 n1, n2, n3, quant, qscal)
@@ -1507,6 +1638,20 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                                    cur_slot)
                 base = cur_slot * CROWS
                 mt_rows = [base + r for r in range(CROWS)]
+            elif pf2:
+                slot1 = ((c >> 1) & 1) == 1
+
+                @pl.when(jnp.logical_not(slot1) & (p0 > 0))
+                def _():
+                    pf2_drain(0)
+
+                @pl.when(slot1 & (p1 > 0))
+                def _():
+                    pf2_drain(1)
+                p0 = jnp.where(slot1, p0, 0)
+                p1 = jnp.where(slot1, 0, p1)
+                base = (c & 3) * CROWS
+                mt_rows = [base + r for r in range(CROWS)]
             elif pf:
                 slot1 = ((c >> 1) & 1) == 1
 
@@ -1525,7 +1670,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                 mt_rows = None
 
             def do_mt(st):
-                if not pf and not pf1:
+                if not pf and not pf1 and not pf2:
                     dma = pltpu.make_async_copy(blocks.at[c_blk], blk,
                                                 sem)
                     dma.start()
@@ -1625,6 +1770,14 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
             def _():
                 pltpu.make_async_copy(
                     blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
+        if pf2:
+            @pl.when(p0f > 0)
+            def _():
+                pf2_drain(0)
+
+            @pl.when(p1f > 0)
+            def _():
+                pf2_drain(1)
         occ_out[:, :] = occ
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
@@ -1636,6 +1789,7 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     _run_scoped_traversal(scoped, blocks, nodes, smem_nodes, top_rows,
                           rpc=rpc if pf else 0,
                           pf1_rows=CROWS if pf1 else 0,
+                          pf2_rows=CROWS if pf2 else 0,
                           scratch_shapes=((("cls", jnp.float32),
                                            ("bst", jnp.int32))
                                           if scratch else ()))
@@ -2582,7 +2736,8 @@ def _mp_eligible(packs, smem_nodes, quant, top_rows, cpb):
                                              "approx_recip", "fused",
                                              "quad", "oct", "packs",
                                              "tree_min", "prefetch",
-                                             "scratch", "split"))
+                                             "scratch", "split",
+                                             "pair_pf"))
 def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  cl_first: int, width: int, t_min: float,
                  interpret: bool = False, rows: int = ROWS,
@@ -2593,7 +2748,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
                  fused: bool = True, quad: bool = True, oct: bool = False,
                  packs: int = 1,
                  tree_min: bool = False, prefetch: bool = True,
-                 scratch: bool = False, split: bool = False):
+                 scratch: bool = False, split: bool = False,
+                 pair_pf: bool = False):
     """Nearest-hit packet traversal over the whole ray batch.
 
     origin/direction: V3-like component SoA ([N] x/y/z); t_max [N] or
@@ -2662,7 +2818,8 @@ def packet_trace(origin, direction, t_max, nodes, blocks, tri_feat,
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
             approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
-            tree_min=tree_min, prefetch=prefetch, scratch=scratch)
+            tree_min=tree_min, prefetch=prefetch, scratch=scratch,
+            pair_pf=pair_pf)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
@@ -2724,7 +2881,7 @@ def winner_features(origin, direction, t, tri, tri_feat):
                                              "approx_recip", "fused",
                                              "quad", "oct", "packs",
                                              "prefetch", "scratch",
-                                             "split"))
+                                             "split", "pair_pf"))
 def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     width: int, t_min: float, interpret: bool = False,
                     rows: int = ROWS, stride: int = 128, cpb: int = 1,
@@ -2734,7 +2891,8 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
                     fused: bool = True, quad: bool = True,
                     oct: bool = False,
                     packs: int = 1, prefetch: bool = True,
-                    scratch: bool = False, split: bool = False):
+                    scratch: bool = False, split: bool = False,
+                    pair_pf: bool = False):
     """Any-hit packet traversal: ([N] bool occluded, (nodes_both,
     nodes_single, leaf_visits) scalar telemetry). ``packs`` as in
     :func:`packet_trace`."""
@@ -2795,7 +2953,7 @@ def packet_occluded(origin, direction, t_max, nodes, blocks, cl_first: int,
             unroll=not interpret, smem_nodes=smem_nodes,
             top_rows=top_rows, quant=quant, leaf_cull=leaf_cull,
             approx_recip=approx_recip, fused=fused, quad=quad, oct=oct,
-            prefetch=prefetch, scratch=scratch)
+            prefetch=prefetch, scratch=scratch, pair_pf=pair_pf)
     occ, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
