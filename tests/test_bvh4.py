@@ -194,6 +194,27 @@ def test_spec_prefetch_bit_identical():
             assert int(a) == int(b)
 
 
+def test_pair_prefetch_bit_identical():
+    """The all-leaf-children prefetch (config.bvh4_pair) only moves
+    copies into per-child slots — every output must be bit-equal,
+    with and without the scratch-ref lane state."""
+    mesh = _mesh(t=2400, seed=11)
+    b4 = build_bvh4(mesh, width=32)
+    o, d, ov, dv = _rays(700, seed=12)
+    base = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs, b4.blocks,
+                         b4.tri_feat, b4.width, 1e-3, b4.stack_cap,
+                         interpret=True)
+    for scr in (False, True):
+        pr = packet_trace4(ov, dv, FLT_MAX, b4.bounds, b4.refs,
+                           b4.blocks, b4.tri_feat, b4.width, 1e-3,
+                           b4.stack_cap, interpret=True, prefetch=True,
+                           pair=True, scratch=scr)
+        for a, b in zip(base[0], pr[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(base[1], pr[1]):
+            assert int(a) == int(b)
+
+
 def test_scratch_state_bit_identical():
     """The VMEM scratch-ref lane state variant (config.bvh4_scratch)
     only moves where closest/besti live — every output must be

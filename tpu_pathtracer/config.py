@@ -199,6 +199,14 @@ class RenderConfig:
     # Within-run e2e A/B (experiments/pf1_ab.py): dragon 401.8 ->
     # 387.3 ms/spp (-3.6%), rocks 431.7 -> 414.5 (-4.0%) — beats pf1
     # (391.4 / 417.9) on both; bit-identical — default ON.
+    bvh4_pair: bool = False  # all-leaf-children prefetch in the BVH4
+    # nearest kernel (the heap pf2 idea on the explicit stack): every
+    # leaf child of a node step is DMA'd pre-vote into its child slot
+    # (4 slots + 4 sems), so the descended leaf AND its later-popped
+    # leaf siblings are guaranteed-covered — zero misprediction, no
+    # drain-on-mispredict. Composes with bvh4_pf (stack-peek covers
+    # pops from other parents). Default by within-run e2e A/B
+    # (experiments/bvh4_pair_ab.py).
     bvh4_spec: bool = False  # descend-entered SPECULATIVE leaf prefetch
     # in the BVH4 nearest kernel (VERDICT r4 item 1a, decision record):
     # the child refs are scalar SMEM reads available BEFORE the vote

@@ -354,7 +354,9 @@ def _packet_nearest(scene: Scene, view: SceneView, config: RenderConfig,
             pk.width, t_min, pk.stack_cap, interpret=_interp(config),
             prefetch=config.bvh4_pf, quant=pk.quant, qparams=pk.qparams,
             scratch=config.bvh4_scratch,
-            spec=config.bvh4_spec and config.bvh4_pf)
+            spec=(config.bvh4_spec and config.bvh4_pf
+                  and not config.bvh4_pair),
+            pair=config.bvh4_pair and config.bvh4_pf)
     elif hasattr(pk, "gblocks"):  # PacketMX: MXU leaf path
         from tpu_pathtracer.ops.pallas_bvh_mx import packet_trace_mx
         outs, node_counts = packet_trace_mx(

@@ -102,7 +102,8 @@ def _stack_apply4(r0, r1, r2, r3, pk1, pk2, pk3, s_cd, n_lanes):
 def _node_step4(ntab, rtab, stk, cur, sp, closest,
                 o1, o2, o3, i1, i2, i3, n1, n2, n3,
                 quant=False, qscal=None, spec_probe=False,
-                spec=None, spn=None, spc=None):
+                spec=None, spn=None, spc=None,
+                pall=None, pmask=None, pnode=None):
     """One BVH4 node step: 4 slab tests, votes, descend + pushes.
     Returns (new_cur, new_sp, nb_inc, nsg_inc[, spn', spc']).
     ``quant`` reads the packed uint16 table through the heap kernel's
@@ -158,6 +159,34 @@ def _node_step4(ntab, rtab, stk, cur, sp, closest,
                                   s2).start()
         spn = do_spec.astype(jnp.int32)
         spc = jnp.where(do_spec, nc, -1)
+    if pall is not None:
+        # all-leaf-children issue (the heap pf2 idea on the explicit
+        # stack): every leaf child's copy starts pre-vote into its
+        # child-slot — the descended leaf AND its later-popped leaf
+        # siblings are all guaranteed-covered, zero misprediction.
+        # pmask bits = copies in flight, pnode = owning node.
+        blocks, blk, csems, rbs = pall
+        refs4 = (r0, r1, r2, r3)
+        for i in range(4):
+            @pl.when(((pmask >> i) & 1) > 0)
+            def _(i=i):  # drain unconsumed previous copies
+                pltpu.make_async_copy(
+                    blocks.at[0],
+                    blk.at[pl.ds((2 + i) * rbs, rbs)], csems[i]).wait()
+        new_mask = jnp.int32(0)
+        for i in range(4):
+            ri = refs4[i]
+            il = ri < 0
+
+            @pl.when(il)
+            def _(i=i, ri=ri):
+                pltpu.make_async_copy(
+                    blocks.at[-ri - 1],
+                    blk.at[pl.ds((2 + i) * rbs, rbs)],
+                    csems[i]).start()
+            new_mask = new_mask | (il.astype(jnp.int32) << i)
+        pmask = new_mask
+        pnode = jnp.where(new_mask > 0, cur, 0)
     any_hit, chosen, pushes, nbi, nsgi = _stack_apply4(
         r0, r1, r2, r3, pk1, pk2, pk3, s_cd, h0.size)
     for ref, pred in pushes:
@@ -175,6 +204,8 @@ def _node_step4(ntab, rtab, stk, cur, sp, closest,
         desc_leaf = any_hit & (chosen < 0)
         nbi = desc_leaf.astype(jnp.int32)
         nsgi = (desc_leaf & (chosen == pred_leaf)).astype(jnp.int32)
+    if pall is not None:
+        return new_cur, new_sp, nbi, nsgi, pmask, pnode
     if spec is not None:
         return new_cur, new_sp, nbi, nsgi, spn, spc
     return new_cur, new_sp, nbi, nsgi
@@ -264,17 +295,21 @@ def _leaf_dma_helpers(blocks, blk, sem, s0, s1, stk, rb=16):
 def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                      width, t_min, unroll, stack_cap, prefetch,
                      quant=False, scratch=False, spec_probe=False,
-                     spec=False):
+                     spec=False, pair=False):
     rest = list(rest)
     qp = rest.pop(0) if quant else None
     blocks, tri_out, feat_out, cnt_out = rest
     rb = blocks.shape[1]               # 8 = packed layout, 16 = legacy
     stride = width if rb == 8 else 128
     assert not spec or prefetch, "spec requires the prefetch slots"
+    assert not pair or prefetch, "pair requires the prefetch slots"
+    assert not (spec and pair), "spec and pair share carry slots"
 
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, ntab, rtab, stk, s0=None, s1=None, s2=None,
+               c0=None, c1=None, c2=None, c3=None,
                cls=None, bst=None):
+        csems = (c0, c1, c2, c3)
         # SMEM scratch persists across the sequential grid steps (the
         # accumulator-pattern guarantee), so the node/ref tables are
         # copied ONCE per pallas_call instead of once per packet —
@@ -321,7 +356,14 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
             else:
                 (cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par,
                  spn, spc) = carry
-            if spec:
+            if pair:
+                # spn/spc carry slots hold pmask/pnode in pair mode
+                new_cur, new_sp, nbi, nsgi, spn, spc = _node_step4(
+                    ntab, rtab, stk, cur, sp, closest,
+                    o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal,
+                    spec_probe=spec_probe,
+                    pall=(blocks, blk, csems, rb), pmask=spn, pnode=spc)
+            elif spec:
                 new_cur, new_sp, nbi, nsgi, spn, spc = _node_step4(
                     ntab, rtab, stk, cur, sp, closest,
                     o1, o2, o3, i1, i2, i3, n1, n2, n3, quant, qscal,
@@ -347,7 +389,55 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                 (cur, sp, nb, nsg, nl, nlp, closest, besti, pfon, par,
                  spn, spc) = carry
             c = -cur - 1
-            if spec:
+            if pair:
+                use_pf = pfon > 0
+                # match this leaf against the pending children of the
+                # issuing node (4 scalar SMEM reads + compares)
+                prb = (jnp.maximum(spc, 1) - 1) * 4
+                match = jnp.int32(-1)
+                for i in range(4):
+                    hiti = ((spc > 0) & (((spn >> i) & 1) > 0)
+                            & (rtab[prb + i] == cur))
+                    match = jnp.where(hiti, i, match)
+                use_pl = jnp.logical_not(use_pf) & (match >= 0)
+                cur_slot = jnp.where(use_pf, par,
+                                     jnp.where(use_pl, 2 + match, 0))
+
+                @pl.when(use_pf & (par == 0))
+                def _():
+                    pltpu.make_async_copy(blocks.at[0],
+                                          blk.at[pl.ds(0, rb)], s0).wait()
+
+                @pl.when(use_pf & (par == 1))
+                def _():
+                    pltpu.make_async_copy(blocks.at[0],
+                                          blk.at[pl.ds(rb, rb)],
+                                          s1).wait()
+                for i in range(4):
+                    @pl.when(use_pl & (match == i))
+                    def _(i=i):
+                        pltpu.make_async_copy(
+                            blocks.at[0],
+                            blk.at[pl.ds((2 + i) * rb, rb)],
+                            csems[i]).wait()
+
+                @pl.when(jnp.logical_not(use_pf)
+                         & jnp.logical_not(use_pl))
+                def _():
+                    dma = pltpu.make_async_copy(blocks.at[c],
+                                                blk.at[pl.ds(0, rb)],
+                                                sem)
+                    dma.start()
+                    dma.wait()
+                spn = jnp.where(
+                    use_pl,
+                    spn & jnp.bitwise_not(
+                        jnp.int32(1) << jnp.maximum(match, 0)),
+                    spn)
+                new_pfon, new_par, _drain = pf_issue(sp, cur_slot)
+                base = cur_slot * rb
+                mt_rows = [base + r for r in range(rb)]
+            elif spec:
                 use_pf = pfon > 0
                 use_spec = jnp.logical_not(use_pf) & (spn > 0) & (spc == c)
                 cur_slot = jnp.where(use_pf, par,
@@ -462,6 +552,15 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                 pltpu.make_async_copy(blocks.at[0],
                                       blk.at[pl.ds(2 * rb, rb)],
                                       s2).wait()
+        if pair:
+            # balance any still-pending child copies
+            for i in range(4):
+                @pl.when(((fspn >> i) & 1) > 0)
+                def _(i=i):
+                    pltpu.make_async_copy(
+                        blocks.at[0],
+                        blk.at[pl.ds((2 + i) * rb, rb)],
+                        csems[i]).wait()
         ii = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
         cnt_out[:, :] = jnp.where(
@@ -473,7 +572,7 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         tri_out[:, :] = besti
         feat_out[:, :] = closest
 
-    nslots = 3 if spec else (2 if prefetch else 1)
+    nslots = 6 if pair else (3 if spec else (2 if prefetch else 1))
     kw = dict(blk=pltpu.SMEM((nslots * blocks.shape[1], 128) if prefetch
                              else blocks.shape[1:],
                              jnp.float32),
@@ -487,6 +586,9 @@ def _kernel_nearest4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
         kw["s1"] = pltpu.SemaphoreType.DMA(())
     if spec:
         kw["s2"] = pltpu.SemaphoreType.DMA(())
+    if pair:
+        for nm in ("c0", "c1", "c2", "c3"):
+            kw[nm] = pltpu.SemaphoreType.DMA(())
     if scratch:
         kw["cls"] = pltpu.VMEM((ROWS, 128), jnp.float32)
         kw["bst"] = pltpu.VMEM((ROWS, 128), jnp.int32)
@@ -665,13 +767,14 @@ def _kernel_shadow4(ox, oy, oz, dx, dy, dz, tmax, bounds, refs, *rest,
                                              "interpret", "stack_cap",
                                              "prefetch", "quant",
                                              "scratch", "spec_probe",
-                                             "spec"))
+                                             "spec", "pair"))
 def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
                   tri_feat, width: int, t_min: float,
                   stack_cap: int, interpret: bool = False,
                   prefetch: bool = False, quant: bool = False,
                   qparams=None, scratch: bool = False,
-                  spec_probe: bool = False, spec: bool = False):
+                  spec_probe: bool = False, spec: bool = False,
+                  pair: bool = False):
     """Nearest-hit BVH4 packet traversal (see packet_trace for the
     output contract — identical, with tri ids in SAH cluster-slot
     space).  ``quant``: ``bounds`` is the packed uint16 table
@@ -698,7 +801,7 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
         _kernel_nearest4, width=width, t_min=float(t_min),
         unroll=not interpret, stack_cap=stack_cap, prefetch=prefetch,
         quant=quant, scratch=scratch, spec_probe=spec_probe,
-        spec=spec)
+        spec=spec, pair=pair)
     tri, feat, cnt = pl.pallas_call(
         kernel,
         grid=(n_packets,),
