@@ -200,13 +200,18 @@ class RenderConfig:
     # 387.3 ms/spp (-3.6%), rocks 431.7 -> 414.5 (-4.0%) — beats pf1
     # (391.4 / 417.9) on both; bit-identical — default ON.
     bvh4_pair: bool = False  # all-leaf-children prefetch in the BVH4
-    # nearest kernel (the heap pf2 idea on the explicit stack): every
-    # leaf child of a node step is DMA'd pre-vote into its child slot
-    # (4 slots + 4 sems), so the descended leaf AND its later-popped
-    # leaf siblings are guaranteed-covered — zero misprediction, no
-    # drain-on-mispredict. Composes with bvh4_pf (stack-peek covers
-    # pops from other parents). Default by within-run e2e A/B
-    # (experiments/bvh4_pair_ab.py).
+    # nearest kernel (the heap pf2 idea on the explicit stack,
+    # decision record): every leaf child of a node step is DMA'd
+    # pre-vote into its child slot (4 slots + 4 sems) — guaranteed
+    # cover, zero misprediction. MEASURED LOSS within-run
+    # (experiments/bvh4_pair_ab.py): knot 152.6->161.5, terrain
+    # 422.7->462.7, stairs ~890->912 ms/spp (+3..9%). Unlike the heap
+    # pf2 (parity-keyed slots, 2 predicated issue regions), the
+    # explicit stack needs a 4-way ref-match cascade at consume and 4
+    # independent per-step drains — scalar overhead on EVERY
+    # leaf-children node step exceeds the DMA latency it hides on the
+    # ~50% of visits bvh4_pf doesn't already cover. Bit-exact
+    # (tested); kept OFF.
     bvh4_spec: bool = False  # descend-entered SPECULATIVE leaf prefetch
     # in the BVH4 nearest kernel (VERDICT r4 item 1a, decision record):
     # the child refs are scalar SMEM reads available BEFORE the vote
