@@ -13,6 +13,8 @@ Usage: python experiments/config5_full.py [ns] [batch] [ckpt_path]
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 
