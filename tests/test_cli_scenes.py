@@ -121,3 +121,13 @@ def test_scene_from_bvh_file(tmp_path):
     scene2, cam2 = procedural_staircase_scene(24, 16, num_steps=4)
     img2 = render_image(scene2, cam2, cfg)
     np.testing.assert_array_equal(img, img2)
+
+
+def test_cli_rocks_scene(tmp_path):
+    """--scene rocks dispatches the 845k-tri irregular pile end-to-end
+    (CPU path: jnp traversal; the mesh builds + renders + writes)."""
+    out = str(tmp_path / "rocks.png")
+    cli.main(["--scene", "rocks", "--nx", "24", "--ny", "16",
+              "--ns", "1", "--max-depth", "2", "-o", out,
+              "--engine", "plain"])
+    assert os.path.getsize(out) > 0
