@@ -28,7 +28,13 @@ def timed(scene, cam, cfg, reps=2):
         t0 = time.perf_counter()
         fb = _render_regen_jit(scene, cam, cfg, jnp.uint32(100),
                                jnp.uint32(0), normalize=False)
-        fb.block_until_ready()
+        # force a host value per repeat (CLAUDE.md axon timing rule —
+        # block_until_ready alone can return early on the relay). The
+        # recorded decision numbers used block_until_ready; they are
+        # trusted because (a) all arms used the same method and (b)
+        # the winning full-one-hot arm (1.643 s) independently matches
+        # bench.py's forced-materialization headline (1.645 s).
+        float(np.asarray(fb).mean())
         best = min(best, time.perf_counter() - t0)
     return best, float(np.asarray(fb).mean()) / 100
 

@@ -70,7 +70,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", default="staircase",
                    help="spheres | three-sphere | staircase | "
-                        "staircase-hires | knot | dragon | terrain | terrain-big | "
+                        "staircase-hires | knot | dragon | rocks | "
+                        "terrain | terrain-big | "
                         "zoo-{coat,diffuse,glass,sss} | path/to/file.obj | "
                         "path/to/file.bvh")
     p.add_argument("--texture-dir", default=None)

@@ -41,7 +41,7 @@ def test_oct_disables_prefetch_warns():
     assert any("prefetch" in m for m in msgs)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        RenderConfig(oct=True, prefetch=False)
+        RenderConfig(oct=True, prefetch=False, pair_pf=False)
 
 
 def test_leaf_cull_disables_prefetch_warns():

@@ -290,6 +290,18 @@ class RenderConfig:
                      "prefetch (the re-test invalidates the "
                      "prefetched pair's addresses); prefetch=True is "
                      "ignored while leaf_cull is on")
+        if self.pair_pf and (self.leaf_cull or self.oct):
+            w.append("pair_pf (packed pair prefetch) is disabled by "
+                     "leaf_cull/oct for the same reasons as the "
+                     "legacy pair scheme; the packed heap kernels "
+                     "fall back to sync leaf DMA")
+        if (self.bvh4_spec or self.bvh4_pair) and not self.bvh4_pf:
+            w.append("bvh4_spec/bvh4_pair require bvh4_pf (they share "
+                     "its prefetch slots) — silently ignored while "
+                     "bvh4_pf is off")
+        if self.bvh4_spec and self.bvh4_pair:
+            w.append("bvh4_pair takes precedence over bvh4_spec (they "
+                     "share carry slots); bvh4_spec is ignored")
         if self.mx_leaf and self.regroup:
             w.append("mx_leaf takes dispatch precedence over regroup "
                      "(engine/wavefront.make_view) — regroup is "

@@ -844,6 +844,96 @@ def _mt_scalar_tri(blk, brow, w, stride, o1, o2, o3, d1, d2, d3, t_min,
     return t, u, v, bad
 
 
+def _packed_pf_helpers(blocks, blk, sem, s0, s1, s2, s3, crows):
+    """pf1/pf2 DMA helpers for the PACKED block layout, shared by the
+    nearest and shadow kernels (the same share-don't-copy pattern as
+    pallas_bvh4._leaf_dma_helpers — keeps the two kernels' DMA
+    machinery from drifting apart).
+
+    pf1 (next-leaf): two single-cluster slots, one semaphore (at most
+    one copy in flight).  pf2 (pair): two pair slots of two clusters,
+    one semaphore per cluster copy (s0/s1 = slot 0, s2/s3 = slot 1).
+    """
+    def pf1_consume(c_blk, pfon, par):
+        """Wait/load cluster ``c_blk`` into a slot; returns it."""
+        cur_slot = jnp.where(pfon > 0, par, 0)
+
+        @pl.when(pfon > 0)
+        def _():
+            pltpu.make_async_copy(
+                blocks.at[0], blk.at[pl.ds(0, crows)], s0).wait()
+
+        @pl.when(pfon == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                blocks.at[c_blk], blk.at[pl.ds(0, crows)], sem)
+            dma.start()
+            dma.wait()
+        return cur_slot
+
+    def pf1_issue(nxt_leaf, nxt_blk, cur_slot):
+        """Start the pop target's copy into the other slot (only when
+        the target is itself a leaf — then it is GUARANTEED to be the
+        next visit)."""
+        pf_slot = 1 - cur_slot
+
+        @pl.when(nxt_leaf & (pf_slot == 0))
+        def _():
+            pltpu.make_async_copy(
+                blocks.at[nxt_blk], blk.at[pl.ds(0, crows)],
+                s0).start()
+
+        @pl.when(nxt_leaf & (pf_slot == 1))
+        def _():
+            pltpu.make_async_copy(
+                blocks.at[nxt_blk], blk.at[pl.ds(crows, crows)],
+                s0).start()
+        return nxt_leaf.astype(jnp.int32), pf_slot
+
+    def pf2_drain(slot):
+        """Wait BOTH single-cluster copies of pair slot 0/1."""
+        lo = slot * 2 * crows
+        sa, sb = (s0, s1) if slot == 0 else (s2, s3)
+        pltpu.make_async_copy(blocks.at[0],
+                              blk.at[pl.ds(lo, crows)], sa).wait()
+        pltpu.make_async_copy(blocks.at[0],
+                              blk.at[pl.ds(lo + crows, crows)],
+                              sb).wait()
+
+    def pf2_issue(pred0, c0_s0, pred1, c0_s1, p0, p1):
+        """Pair issue, packed layout: two cluster copies per slot
+        (c0_*: the pair's EVEN cluster id), draining any unconsumed
+        previous pair in the slot first."""
+        @pl.when(pred0 & (p0 > 0))
+        def _():
+            pf2_drain(0)
+
+        @pl.when(pred0)
+        def _():
+            pltpu.make_async_copy(
+                blocks.at[c0_s0], blk.at[pl.ds(0, crows)],
+                s0).start()
+            pltpu.make_async_copy(
+                blocks.at[c0_s0 + 1], blk.at[pl.ds(crows, crows)],
+                s1).start()
+
+        @pl.when(pred1 & (p1 > 0))
+        def _():
+            pf2_drain(1)
+
+        @pl.when(pred1)
+        def _():
+            pltpu.make_async_copy(
+                blocks.at[c0_s1], blk.at[pl.ds(2 * crows, crows)],
+                s2).start()
+            pltpu.make_async_copy(
+                blocks.at[c0_s1 + 1],
+                blk.at[pl.ds(3 * crows, crows)], s3).start()
+        return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
+
+    return pf1_consume, pf1_issue, pf2_drain, pf2_issue
+
+
 def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     cl_first, width, stride, cpb, t_min, unroll,
                     smem_nodes, top_rows, quant=False, qparams=None,
@@ -905,46 +995,9 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, s0=None, s1=None, s2=None, s3=None,
                ntab=None, cls=None, bst=None):
-        def pf2_drain(slot):
-            """Wait BOTH single-cluster copies of pair slot 0/1."""
-            lo = slot * 2 * CROWS
-            sa, sb = (s0, s1) if slot == 0 else (s2, s3)
-            pltpu.make_async_copy(blocks.at[0],
-                                  blk.at[pl.ds(lo, CROWS)], sa).wait()
-            pltpu.make_async_copy(blocks.at[0],
-                                  blk.at[pl.ds(lo + CROWS, CROWS)],
-                                  sb).wait()
-
-        def pf2_issue(pred0, c0_s0, pred1, c0_s1, p0, p1):
-            """Pair issue, packed layout: two cluster copies per slot
-            (c0_*: the pair's EVEN cluster id), draining any unconsumed
-            previous pair in the slot first."""
-            @pl.when(pred0 & (p0 > 0))
-            def _():
-                pf2_drain(0)
-
-            @pl.when(pred0)
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[c0_s0], blk.at[pl.ds(0, CROWS)],
-                    s0).start()
-                pltpu.make_async_copy(
-                    blocks.at[c0_s0 + 1], blk.at[pl.ds(CROWS, CROWS)],
-                    s1).start()
-
-            @pl.when(pred1 & (p1 > 0))
-            def _():
-                pf2_drain(1)
-
-            @pl.when(pred1)
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[c0_s1], blk.at[pl.ds(2 * CROWS, CROWS)],
-                    s2).start()
-                pltpu.make_async_copy(
-                    blocks.at[c0_s1 + 1],
-                    blk.at[pl.ds(3 * CROWS, CROWS)], s3).start()
-            return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
+        (pf1_consume, pf1_issue, pf2_drain,
+         pf2_issue) = _packed_pf_helpers(blocks, blk, sem, s0, s1,
+                                         s2, s3, CROWS)
         def pf_drain(ss, lo):
             pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
                                   blk.at[pl.ds(lo, PAIR)], ss).wait()
@@ -974,41 +1027,6 @@ def _kernel_nearest(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     blk.at[pl.ds(PAIR, PAIR)], s1).start()
             return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
 
-        def pf1_consume(c_blk, pfon, par):
-            """Wait/load cluster ``c_blk`` into a slot; returns it."""
-            cur_slot = jnp.where(pfon > 0, par, 0)
-
-            @pl.when(pfon > 0)
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
-
-            @pl.when(pfon == 0)
-            def _():
-                dma = pltpu.make_async_copy(
-                    blocks.at[c_blk], blk.at[pl.ds(0, CROWS)], sem)
-                dma.start()
-                dma.wait()
-            return cur_slot
-
-        def pf1_issue(nxt_leaf, nxt_blk, cur_slot):
-            """Start the pop target's copy into the other slot (only
-            when the target is itself a leaf — then it is GUARANTEED
-            to be the next visit)."""
-            pf_slot = 1 - cur_slot
-
-            @pl.when(nxt_leaf & (pf_slot == 0))
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[nxt_blk], blk.at[pl.ds(0, CROWS)],
-                    s0).start()
-
-            @pl.when(nxt_leaf & (pf_slot == 1))
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[nxt_blk], blk.at[pl.ds(CROWS, CROWS)],
-                    s0).start()
-            return nxt_leaf.astype(jnp.int32), pf_slot
 
         if smem_nodes:
             # node table -> SMEM once per packet: scalar loads beat VMEM
@@ -1406,42 +1424,9 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
     pid0 = pl.program_id(0) == 0  # first grid step: table DMA runs once
     def scoped(blk, sem, s0=None, s1=None, s2=None, s3=None,
                ntab=None, cls=None, bst=None):
-        def pf2_drain(slot):
-            lo = slot * 2 * CROWS
-            sa, sb = (s0, s1) if slot == 0 else (s2, s3)
-            pltpu.make_async_copy(blocks.at[0],
-                                  blk.at[pl.ds(lo, CROWS)], sa).wait()
-            pltpu.make_async_copy(blocks.at[0],
-                                  blk.at[pl.ds(lo + CROWS, CROWS)],
-                                  sb).wait()
-
-        def pf2_issue(pred0, c0_s0, pred1, c0_s1, p0, p1):
-            @pl.when(pred0 & (p0 > 0))
-            def _():
-                pf2_drain(0)
-
-            @pl.when(pred0)
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[c0_s0], blk.at[pl.ds(0, CROWS)],
-                    s0).start()
-                pltpu.make_async_copy(
-                    blocks.at[c0_s0 + 1], blk.at[pl.ds(CROWS, CROWS)],
-                    s1).start()
-
-            @pl.when(pred1 & (p1 > 0))
-            def _():
-                pf2_drain(1)
-
-            @pl.when(pred1)
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[c0_s1], blk.at[pl.ds(2 * CROWS, CROWS)],
-                    s2).start()
-                pltpu.make_async_copy(
-                    blocks.at[c0_s1 + 1],
-                    blk.at[pl.ds(3 * CROWS, CROWS)], s3).start()
-            return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
+        (pf1_consume, pf1_issue, pf2_drain,
+         pf2_issue) = _packed_pf_helpers(blocks, blk, sem, s0, s1,
+                                         s2, s3, CROWS)
         def pf_drain(ss, lo):
             pltpu.make_async_copy(blocks.at[pl.ds(0, PAIR)],
                                   blk.at[pl.ds(lo, PAIR)], ss).wait()
@@ -1468,37 +1453,6 @@ def _kernel_shadow(ox, oy, oz, dx, dy, dz, tmax, nodes, *rest,
                     blk.at[pl.ds(PAIR, PAIR)], s1).start()
             return (jnp.where(pred0, 1, p0), jnp.where(pred1, 1, p1))
 
-        def pf1_consume(c_blk, pfon, par):
-            cur_slot = jnp.where(pfon > 0, par, 0)
-
-            @pl.when(pfon > 0)
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[0], blk.at[pl.ds(0, CROWS)], s0).wait()
-
-            @pl.when(pfon == 0)
-            def _():
-                dma = pltpu.make_async_copy(
-                    blocks.at[c_blk], blk.at[pl.ds(0, CROWS)], sem)
-                dma.start()
-                dma.wait()
-            return cur_slot
-
-        def pf1_issue(nxt_leaf, nxt_blk, cur_slot):
-            pf_slot = 1 - cur_slot
-
-            @pl.when(nxt_leaf & (pf_slot == 0))
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[nxt_blk], blk.at[pl.ds(0, CROWS)],
-                    s0).start()
-
-            @pl.when(nxt_leaf & (pf_slot == 1))
-            def _():
-                pltpu.make_async_copy(
-                    blocks.at[nxt_blk], blk.at[pl.ds(CROWS, CROWS)],
-                    s0).start()
-            return nxt_leaf.astype(jnp.int32), pf_slot
 
         if smem_nodes:
             # once per pallas_call — SMEM scratch persists across the

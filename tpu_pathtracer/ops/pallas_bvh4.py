@@ -776,10 +776,15 @@ def packet_trace4(origin, direction, t_max, bounds, refs, blocks,
                   spec_probe: bool = False, spec: bool = False,
                   pair: bool = False):
     """Nearest-hit BVH4 packet traversal (see packet_trace for the
-    output contract — identical, with tri ids in SAH cluster-slot
-    space).  ``quant``: ``bounds`` is the packed uint16 table
-    (ops/bvh4._quantize4) and ``qparams`` the [8] f32 dequant
-    scales/offsets, riding SMEM like the heap kernel's."""
+    output contract), with two differences: tri ids are in SAH
+    cluster-slot space, and the counter tuple has a FOURTH element
+    (nodes_both, nodes_single, leaf_visits, leaf_pop) — leaf_pop is
+    the subset of visits entered by popping a leaf straight off the
+    stack (the pop-vs-descend split telemetry, VERDICT r4 item 1b;
+    the heap kernels return 3-tuples — callers index, they must not
+    fixed-arity unpack across tiers).  ``quant``: ``bounds`` is the
+    packed uint16 table (ops/bvh4._quantize4) and ``qparams`` the [8]
+    f32 dequant scales/offsets, riding SMEM like the heap kernel's."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -829,7 +834,8 @@ def packet_occluded4(origin, direction, t_max, bounds, refs, blocks,
                      interpret: bool = False, prefetch: bool = False,
                      quant: bool = False, qparams=None,
                      scratch: bool = False):
-    """Any-hit BVH4 packet traversal (see packet_occluded)."""
+    """Any-hit BVH4 packet traversal (see packet_occluded; counters
+    are the 4-tuple of packet_trace4 — leaf_pop last)."""
     n = origin.x.shape[0]
     n_pad = ((n + ROWS * 128 - 1) // (ROWS * 128)) * (ROWS * 128)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
